@@ -1,0 +1,144 @@
+"""FlatDeviceIndex behavior: exact recall, upsert/remove/epochs, partitions,
+filter masks, capacity growth."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from vector_store_tpu.core.types import Quantization, SpaceType  # noqa: E402
+from vector_store_tpu.engine import FlatDeviceIndex  # noqa: E402
+
+RNG = np.random.default_rng(7)
+
+
+def brute_force_l2sq(q, v):
+    return ((q[None, :] - v) ** 2).sum(-1)
+
+
+def make_index(n=500, d=24, **kw):
+    kw.setdefault("space_type", SpaceType.EUCLIDEAN)
+    kw.setdefault("initial_capacity", 1024)
+    kw.setdefault("block_rows", 256)
+    idx = FlatDeviceIndex(d, **kw)
+    vecs = RNG.normal(size=(n, d)).astype(np.float32)
+    idx.upsert_batch(np.arange(n), np.zeros(n, dtype=np.int32), vecs)
+    return idx, vecs
+
+
+class TestExactSearch:
+    def test_exact_matches_numpy(self):
+        idx, vecs = make_index()
+        q = RNG.normal(size=(3, 24)).astype(np.float32)
+        res = idx.search(q, k=10)
+        for row in range(3):
+            want = np.argsort(brute_force_l2sq(q[row], vecs))[:10]
+            np.testing.assert_array_equal(np.sort(res[row].slots), np.sort(want))
+            np.testing.assert_allclose(
+                res[row].distances,
+                np.sort(brute_force_l2sq(q[row], vecs))[:10],
+                rtol=1e-4,
+            )
+
+    def test_cosine(self):
+        idx = FlatDeviceIndex(16, space_type=SpaceType.COSINE, block_rows=128, initial_capacity=128)
+        vecs = RNG.normal(size=(100, 16)).astype(np.float32)
+        idx.upsert_batch(np.arange(100), np.zeros(100, np.int32), vecs)
+        q = RNG.normal(size=(1, 16)).astype(np.float32)
+        res = idx.search(q, k=5)[0]
+        dots = (q[0] @ vecs.T) / (np.linalg.norm(q[0]) * np.linalg.norm(vecs, axis=-1))
+        want = np.argsort(1 - dots)[:5]
+        np.testing.assert_array_equal(np.sort(res.slots), np.sort(want))
+
+    def test_empty_index(self):
+        idx = FlatDeviceIndex(8, initial_capacity=64, block_rows=64)
+        res = idx.search(np.zeros((2, 8), np.float32), k=3)
+        assert all(r.slots.size == 0 for r in res)
+
+    def test_k_larger_than_live(self):
+        idx, _ = make_index(n=4)
+        res = idx.search(np.zeros((1, 24), np.float32), k=10)[0]
+        assert res.slots.size == 4
+
+
+class TestMutation:
+    def test_remove(self):
+        idx, vecs = make_index(n=50)
+        q = vecs[7][None, :]
+        assert idx.search(q, k=1)[0].slots[0] == 7
+        idx.remove_batch(np.array([7]))
+        assert idx.search(q, k=1)[0].slots[0] != 7
+        assert idx.size == 49
+
+    def test_upsert_overwrites_slot(self):
+        idx, vecs = make_index(n=20)
+        new_vec = RNG.normal(size=(1, 24)).astype(np.float32) * 100
+        idx.upsert_batch(np.array([3]), np.array([5], np.int32), new_vec)
+        assert idx.size == 20  # same slot, still 20 live
+        res = idx.search(new_vec, k=1)[0]
+        assert res.slots[0] == 3
+        assert res.epochs[0] == 5  # epoch returned with the hit
+
+    def test_growth(self):
+        idx = FlatDeviceIndex(
+            8, initial_capacity=64, block_rows=64, reserve_increment=64
+        )
+        n = 300
+        vecs = RNG.normal(size=(n, 8)).astype(np.float32)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.capacity >= n
+        res = idx.search(vecs[n - 1][None], k=1)[0]
+        assert res.slots[0] == n - 1
+
+
+class TestFiltering:
+    def test_partition_mask(self):
+        idx = FlatDeviceIndex(8, initial_capacity=128, block_rows=64)
+        vecs = RNG.normal(size=(100, 8)).astype(np.float32)
+        parts = (np.arange(100) % 4).astype(np.int32)
+        idx.upsert_batch(np.arange(100), np.zeros(100, np.int32), vecs, partitions=parts)
+        res = idx.search(vecs[2][None], k=10, partitions=np.array([2], np.int32))[0]
+        assert np.all(res.slots % 4 == 2)
+        # unrestricted (-1) sees all partitions
+        res_all = idx.search(vecs[2][None], k=10, partitions=np.array([-1], np.int32))[0]
+        assert len(set(res_all.slots % 4)) > 1
+
+    def test_allow_mask(self):
+        idx, vecs = make_index(n=100)
+        allow = np.zeros(idx.capacity, dtype=bool)
+        allow[40:60] = True
+        res = idx.search(vecs[5][None], k=10, allow_mask=allow)[0]
+        assert np.all((res.slots >= 40) & (res.slots < 60))
+
+
+@pytest.mark.parametrize(
+    "quant", [Quantization.BF16, Quantization.I8, Quantization.B1]
+)
+def test_quantized_recall(quant):
+    """Quantized index must keep recall@10 high on easy clustered data."""
+    d = 64
+    n = 400
+    base = RNG.normal(size=(n, d)).astype(np.float32)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    idx = FlatDeviceIndex(
+        d,
+        space_type=SpaceType.COSINE,
+        quantization=quant,
+        initial_capacity=512,
+        block_rows=128,
+    )
+    idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), base)
+    q = base[:20] + 0.01 * RNG.normal(size=(20, d)).astype(np.float32)
+    res = idx.search(q, k=10)
+    dots = q @ base.T
+    recall = 0.0
+    for row in range(20):
+        want = set(np.argsort(-dots[row])[:10])
+        got = set(res[row].slots.tolist())
+        recall += len(want & got) / 10
+    recall /= 20
+    # B1 sign-binarization of random gaussians is inherently lossy; the
+    # reference compensates with oversampling+rescoring (validator
+    # quantization_and_rescoring.rs), which the engine layer adds on top.
+    min_recall = 0.25 if quant is Quantization.B1 else 0.95
+    assert recall >= min_recall, f"{quant}: recall {recall}"

@@ -1,0 +1,320 @@
+"""Exact (brute-force) device-resident vector index.
+
+This is the TPU engine's foundation: the reference's full-scan-equivalent
+correctness oracle (SURVEY §7 step 3) and a serving engine in its own right —
+on TPU a blocked MXU matmul over ~1M vectors saturates HBM bandwidth, so
+exact search is competitive with CPU HNSW at this scale while giving
+recall 1.0.
+
+Device state (all slot-indexed, mirroring the reference's PrimaryId slots):
+- vectors [cap, Dp]   quantized storage (bf16/f16/f32/i8/packed-b1)
+- aux     [cap]       per-vector norm (cosine) or popcount (hamming)
+- epochs  [cap] i32   epoch written at insert; returned with hits so the
+                      table can reject stale results (usearch stores the
+                      epoch inside its u64 keys, usearch.rs:1067-1154)
+- valid   [cap] bool  live mask (False = never written or removed)
+- parts   [cap] i32   partition slot for local indexes (-1 = none)
+
+Mutations are functional array updates under jit with donated buffers, so
+they are in-place on device. Growth reallocates at reserve increments like
+the reference (1M global / 1k local, usearch.rs:442-443).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_store_tpu.core.types import Quantization, SpaceType
+from vector_store_tpu.ops.distance import (
+    pairwise_distance,
+    prepare_queries,
+    vector_aux,
+)
+from vector_store_tpu.ops.quantize import padded_dim, quantize_for_storage, storage_dtype
+from vector_store_tpu.ops.topk import merge_min_k
+
+GLOBAL_RESERVE_INCREMENT = 1_000_000
+LOCAL_RESERVE_INCREMENT = 1_000
+
+_BATCH_BUCKETS = (1, 8, 32, 128, 512)
+_K_BUCKETS = (1, 16, 64, 256, 1024)
+
+
+def _bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+@dataclass
+class SearchResult:
+    """Host-side search output; invalid lanes already stripped."""
+
+    slots: np.ndarray  # [k'] int64
+    epochs: np.ndarray  # [k'] int32
+    distances: np.ndarray  # [k'] float32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "quant", "k", "block_rows", "approx", "use_parts"),
+    donate_argnums=(),
+)
+def _flat_search(
+    vectors: jax.Array,
+    aux: jax.Array,
+    epochs: jax.Array,
+    valid: jax.Array,
+    parts: jax.Array,
+    queries: jax.Array,  # [B, Dp] storage dtype
+    q_aux: jax.Array,  # [B]
+    psel: jax.Array,  # [B] i32 partition selector (-1 = all)
+    allow: jax.Array,  # [cap] bool additional filter mask
+    *,
+    space: SpaceType,
+    quant: Quantization,
+    k: int,
+    block_rows: int,
+    approx: bool,
+    use_parts: bool,
+):
+    cap = vectors.shape[0]
+    b = queries.shape[0]
+    nblocks = cap // block_rows
+    inf = jnp.float32(jnp.inf)
+
+    init_d = jnp.full((b, k), inf, dtype=jnp.float32)
+    init_i = jnp.full((b, k), -1, dtype=jnp.int32)
+
+    def body(carry, i):
+        best_d, best_i = carry
+        start = i * block_rows
+        vb = jax.lax.dynamic_slice_in_dim(vectors, start, block_rows, 0)
+        ab = jax.lax.dynamic_slice_in_dim(aux, start, block_rows, 0)
+        valb = jax.lax.dynamic_slice_in_dim(valid, start, block_rows, 0)
+        alb = jax.lax.dynamic_slice_in_dim(allow, start, block_rows, 0)
+        d = pairwise_distance(queries, vb, space, quant, q_aux, ab)  # [B, blk]
+        mask = (valb & alb)[None, :]
+        if use_parts:
+            pb = jax.lax.dynamic_slice_in_dim(parts, start, block_rows, 0)
+            pm = (psel[:, None] < 0) | (pb[None, :] == psel[:, None])
+            mask = mask & pm
+        d = jnp.where(mask, d, inf)
+        ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, block_rows), 1)
+        return merge_min_k(best_d, best_i, d, ids, approx=approx), None
+
+    (best_d, best_i), _ = jax.lax.scan(
+        body, (init_d, init_i), jnp.arange(nblocks, dtype=jnp.int32)
+    )
+    safe_i = jnp.maximum(best_i, 0)
+    best_e = jnp.where(best_i >= 0, epochs[safe_i], -1)
+    return best_d, best_i, best_e
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _apply_upserts(vectors, aux, epochs, valid, parts, slots, vals, new_aux, new_epochs, new_parts):
+    vectors = vectors.at[slots].set(vals)
+    aux = aux.at[slots].set(new_aux)
+    epochs = epochs.at[slots].set(new_epochs)
+    valid = valid.at[slots].set(True)
+    parts = parts.at[slots].set(new_parts)
+    return vectors, aux, epochs, valid, parts
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_removes(valid, slots):
+    return valid.at[slots].set(False)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
+def _grow_2d(arr, *, new_cap):
+    out = jnp.zeros((new_cap, arr.shape[1]), dtype=arr.dtype)
+    return jax.lax.dynamic_update_slice(out, arr, (0, 0))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap", "fill"))
+def _grow_1d(arr, *, new_cap, fill):
+    out = jnp.full((new_cap,), fill, dtype=arr.dtype)
+    return jax.lax.dynamic_update_slice(out, arr, (0,))
+
+
+class FlatDeviceIndex:
+    """Exact search over slot-addressed device arrays."""
+
+    def __init__(
+        self,
+        dimensions: int,
+        space_type: SpaceType = SpaceType.COSINE,
+        quantization: Quantization = Quantization.F32,
+        initial_capacity: int = 8192,
+        reserve_increment: int = GLOBAL_RESERVE_INCREMENT,
+        block_rows: int = 8192,
+        approx: bool = False,
+        device: jax.Device | None = None,
+    ) -> None:
+        self.dimensions = dimensions
+        self.space_type = space_type
+        self.quantization = quantization
+        self.block_rows = block_rows
+        self.reserve_increment = reserve_increment
+        self.approx = approx
+        self.device = device or jax.devices()[0]
+        self.dp = padded_dim(dimensions, quantization)
+
+        cap = self._round_cap(max(initial_capacity, block_rows))
+        dt = storage_dtype(quantization)
+        with jax.default_device(self.device):
+            self.vectors = jnp.zeros((cap, self.dp), dtype=dt)
+            self.aux = jnp.zeros((cap,), dtype=jnp.float32)
+            self.epochs = jnp.full((cap,), -1, dtype=jnp.int32)
+            self.valid = jnp.zeros((cap,), dtype=jnp.bool_)
+            self.parts = jnp.full((cap,), -1, dtype=jnp.int32)
+        self._live = 0
+
+    # -- capacity ------------------------------------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.vectors.shape[0]
+
+    @property
+    def size(self) -> int:
+        """Number of live vectors."""
+        return self._live
+
+    def _round_cap(self, n: int) -> int:
+        b = self.block_rows
+        return ((n + b - 1) // b) * b
+
+    def reserve(self, max_slot: int) -> None:
+        """Ensure capacity covers slots [0, max_slot]; grows by the reserve
+        increment (reference reserves ahead in 1M/1k steps)."""
+        if max_slot < self.capacity:
+            return
+        new_cap = self._round_cap(
+            max(max_slot + 1, self.capacity + self.reserve_increment)
+        )
+        self.vectors = _grow_2d(self.vectors, new_cap=new_cap)
+        self.aux = _grow_1d(self.aux, new_cap=new_cap, fill=0.0)
+        self.epochs = _grow_1d(self.epochs, new_cap=new_cap, fill=-1)
+        self.valid = _grow_1d(self.valid, new_cap=new_cap, fill=False)
+        self.parts = _grow_1d(self.parts, new_cap=new_cap, fill=-1)
+
+    # -- mutation --------------------------------------------------------------
+
+    def upsert_batch(
+        self,
+        slots: np.ndarray,
+        epochs: np.ndarray,
+        vectors: np.ndarray,  # [n, D] f32
+        partitions: np.ndarray | None = None,  # [n] i32
+    ) -> None:
+        slots = np.asarray(slots, dtype=np.int32)
+        if slots.size == 0:
+            return
+        self.reserve(int(slots.max()))
+        was_valid = np.asarray(self.valid)[slots]
+        vals = quantize_for_storage(
+            np.asarray(vectors, dtype=np.float32), self.quantization
+        )
+        pad = self.dp - vals.shape[-1]
+        if pad:
+            vals = np.pad(vals, [(0, 0), (0, pad)])
+        new_aux = vector_aux(vals, self.space_type, self.quantization)
+        if partitions is None:
+            partitions = np.full((slots.size,), -1, dtype=np.int32)
+        self.vectors, self.aux, self.epochs, self.valid, self.parts = _apply_upserts(
+            self.vectors,
+            self.aux,
+            self.epochs,
+            self.valid,
+            self.parts,
+            jnp.asarray(slots),
+            jnp.asarray(vals),
+            jnp.asarray(new_aux),
+            jnp.asarray(np.asarray(epochs, dtype=np.int32)),
+            jnp.asarray(np.asarray(partitions, dtype=np.int32)),
+        )
+        # live count: newly-occupied slots only (upsert of a live slot keeps count)
+        self._live += int((~was_valid).sum())
+
+    def remove_batch(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, dtype=np.int32)
+        if slots.size == 0:
+            return
+        slots = slots[slots < self.capacity]
+        if slots.size == 0:
+            return
+        was_valid = np.asarray(self.valid)[slots]
+        self.valid = _apply_removes(self.valid, jnp.asarray(slots))
+        self._live -= int(was_valid.sum())
+
+    # -- search ----------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,  # [B, D] f32
+        k: int,
+        partitions: np.ndarray | None = None,  # [B] i32, -1 = unrestricted
+        allow_mask: np.ndarray | None = None,  # [cap] bool
+    ) -> list[SearchResult]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b_real, _ = queries.shape
+        b_pad = _bucket(b_real, _BATCH_BUCKETS)
+        k_pad = _bucket(k, _K_BUCKETS)
+        if b_pad != b_real:
+            queries = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
+        qs, q_aux = prepare_queries(queries, self.space_type, self.quantization)
+
+        if partitions is None:
+            psel = np.full((b_pad,), -1, dtype=np.int32)
+            use_parts = False
+        else:
+            psel = np.full((b_pad,), -1, dtype=np.int32)
+            psel[:b_real] = np.asarray(partitions, dtype=np.int32)
+            use_parts = True
+
+        if allow_mask is None:
+            allow = jnp.ones((self.capacity,), dtype=jnp.bool_)
+        else:
+            am = np.zeros((self.capacity,), dtype=bool)
+            am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
+            allow = jnp.asarray(am)
+
+        d, i, e = _flat_search(
+            self.vectors,
+            self.aux,
+            self.epochs,
+            self.valid,
+            self.parts,
+            jnp.asarray(qs),
+            jnp.asarray(q_aux),
+            jnp.asarray(psel),
+            allow,
+            space=self.space_type,
+            quant=self.quantization,
+            k=k_pad,
+            block_rows=self.block_rows,
+            approx=self.approx,
+            use_parts=use_parts,
+        )
+        d = np.asarray(d)[:b_real, :k]
+        i = np.asarray(i)[:b_real, :k]
+        e = np.asarray(e)[:b_real, :k]
+        results = []
+        for row in range(b_real):
+            ok = np.isfinite(d[row]) & (i[row] >= 0)
+            results.append(
+                SearchResult(
+                    slots=i[row][ok].astype(np.int64),
+                    epochs=e[row][ok],
+                    distances=d[row][ok],
+                )
+            )
+        return results
