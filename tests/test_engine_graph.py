@@ -1,0 +1,129 @@
+"""GraphDeviceIndex: recall vs exact search, streaming delta, merge, removal."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from vector_store_tpu.core.types import Quantization, SpaceType  # noqa: E402
+from vector_store_tpu.engine import FlatDeviceIndex, GraphDeviceIndex  # noqa: E402
+
+RNG = np.random.default_rng(3)
+
+
+def build_index(n=2000, d=32, space=SpaceType.EUCLIDEAN, **kw):
+    kw.setdefault("initial_capacity", 4096)
+    kw.setdefault("connectivity", 8)
+    kw.setdefault("expansion_add", 32)
+    kw.setdefault("expansion_search", 48)
+    idx = GraphDeviceIndex(d, space_type=space, **kw)
+    vecs = RNG.normal(size=(n, d)).astype(np.float32)
+    idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+    while idx.merge_delta(max_batch=512):
+        pass
+    return idx, vecs
+
+
+def recall_at_k(idx, vecs, queries, k=10, **search_kw):
+    oracle = FlatDeviceIndex(
+        vecs.shape[1], space_type=idx.space_type, initial_capacity=len(vecs)
+    )
+    oracle.upsert_batch(np.arange(len(vecs)), np.zeros(len(vecs), np.int32), vecs)
+    want = oracle.search(queries, k)
+    got = idx.search(queries, k, **search_kw)
+    total = 0.0
+    for w, g in zip(want, got):
+        total += len(set(w.slots) & set(g.slots)) / k
+    return total / len(queries)
+
+
+class TestGraphSearch:
+    def test_recall(self):
+        idx, vecs = build_index()
+        queries = RNG.normal(size=(32, 32)).astype(np.float32)
+        r = recall_at_k(idx, vecs, queries, k=10)
+        assert r >= 0.9, f"recall {r}"
+        assert idx.graph_nodes == 2000
+        assert idx.delta_count == 0
+
+    def test_self_recall(self):
+        idx, vecs = build_index(n=1000)
+        res = idx.search(vecs[:16], k=1)
+        hits = sum(1 for i, r in enumerate(res) if r.slots.size and r.slots[0] == i)
+        assert hits >= 15
+
+    def test_cosine_recall(self):
+        idx, vecs = build_index(space=SpaceType.COSINE, n=1500)
+        queries = RNG.normal(size=(16, 32)).astype(np.float32)
+        r = recall_at_k(idx, vecs, queries, k=10)
+        assert r >= 0.85, f"recall {r}"
+
+
+class TestStreaming:
+    def test_delta_searchable_before_merge(self):
+        idx, vecs = build_index(n=500)
+        new = RNG.normal(size=(10, 32)).astype(np.float32) + 50.0  # far cluster
+        idx.upsert_batch(np.arange(500, 510), np.zeros(10, np.int32), new)
+        assert idx.delta_count == 10
+        res = idx.search(new[3][None], k=1)[0]
+        assert res.slots[0] == 503  # found exactly via delta
+
+    def test_merge_moves_delta_to_graph(self):
+        idx, vecs = build_index(n=500)
+        new = RNG.normal(size=(10, 32)).astype(np.float32) + 50.0
+        idx.upsert_batch(np.arange(500, 510), np.zeros(10, np.int32), new)
+        merged = idx.merge_delta()
+        assert merged == 10
+        assert idx.delta_count == 0
+        assert idx.graph_nodes == 510
+        res = idx.search(new[3][None], k=1, expansion=64)[0]
+        assert res.slots.size and res.slots[0] == 503
+
+    def test_remove_tombstones(self):
+        idx, vecs = build_index(n=500)
+        target = vecs[7][None]
+        assert idx.search(target, k=1)[0].slots[0] == 7
+        idx.remove_batch(np.array([7]))
+        res = idx.search(target, k=1)[0]
+        assert res.slots.size == 0 or res.slots[0] != 7
+
+    def test_remove_from_delta(self):
+        idx, _ = build_index(n=100)
+        new = RNG.normal(size=(5, 32)).astype(np.float32)
+        idx.upsert_batch(np.arange(100, 105), np.zeros(5, np.int32), new)
+        idx.remove_batch(np.array([102]))
+        assert idx.delta_count == 4
+
+    def test_empty_graph_delta_only(self):
+        idx = GraphDeviceIndex(16, initial_capacity=256)
+        vecs = RNG.normal(size=(20, 16)).astype(np.float32)
+        idx.upsert_batch(np.arange(20), np.zeros(20, np.int32), vecs)
+        res = idx.search(vecs[4][None], k=3)[0]
+        assert res.slots[0] == 4
+
+    def test_empty_index(self):
+        idx = GraphDeviceIndex(16, initial_capacity=256)
+        res = idx.search(np.zeros((1, 16), np.float32), k=3)[0]
+        assert res.slots.size == 0
+
+
+class TestFilteredGraph:
+    def test_allow_mask(self):
+        idx, vecs = build_index(n=600)
+        allow = np.zeros(idx.capacity, dtype=bool)
+        allow[100:200] = True
+        res = idx.search(vecs[5][None], k=10, allow_mask=allow)[0]
+        assert res.slots.size > 0
+        assert np.all((res.slots >= 100) & (res.slots < 200))
+
+    def test_partitions_rejected(self):
+        idx, vecs = build_index(n=100)
+        with pytest.raises(ValueError):
+            idx.search(vecs[:1], k=1, partitions=np.array([0]))
+
+
+def test_quantized_graph_recall():
+    idx, vecs = build_index(n=1000, quantization=Quantization.BF16)
+    queries = RNG.normal(size=(16, 32)).astype(np.float32)
+    r = recall_at_k(idx, vecs, queries, k=10)
+    assert r >= 0.85, f"recall {r}"

@@ -14,5 +14,6 @@ Engines:
 """
 
 from vector_store_tpu.engine.flat import FlatDeviceIndex, SearchResult
+from vector_store_tpu.engine.graph import GraphDeviceIndex
 
-__all__ = ["FlatDeviceIndex", "SearchResult"]
+__all__ = ["FlatDeviceIndex", "GraphDeviceIndex", "SearchResult"]

@@ -1,0 +1,733 @@
+"""Device-resident navigable-graph ANN index with lockstep beam search.
+
+The TPU-native replacement for USearch's C++ HNSW engine
+(vs_index/usearch.rs): instead of one CPU thread chasing pointers per query,
+the whole query batch traverses a fixed-degree graph in lockstep —
+
+- adjacency lives in HBM as a padded [cap, degree] int32 array,
+- each step expands the best unexpanded beam candidate of EVERY query at
+  once: one [B, degree] neighbor gather, one [B, degree, D] vector gather,
+  one fused batched distance contraction, one masked top-L beam merge,
+- tombstones and filters mask the RESULT accumulator but never the beam, so
+  traversal can route through deleted/filtered nodes (the reference's
+  filtered_ann filters inside traversal the same way, usearch.rs:224-248).
+
+Streaming updates follow the LSM pattern the north star asks for
+("CDC upserts/deletes land without full rebuilds"): new vectors are
+immediately searchable through an exact flat *delta buffer* and are wired
+into the graph by periodic batched merges —
+
+- merge searches the graph for each pending vector (beam, ef_construction),
+- prunes candidates with the Vamana alpha rule (batched on-device greedy),
+- writes forward edges, then repairs *reverse* edges host-side in one
+  vectorized pass (gather rows of touched targets, merge, scatter back).
+
+Single-layer graph: with batched search the multi-layer HNSW hierarchy buys
+little on TPU (entry points + a few extra beam steps replace the descent),
+which is the same simplification CAGRA makes on GPUs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_store_tpu.core.types import Quantization, SpaceType
+from vector_store_tpu.engine.flat import (
+    GLOBAL_RESERVE_INCREMENT,
+    FlatDeviceIndex,
+    SearchResult,
+    _bucket,
+    _BATCH_BUCKETS,
+    _K_BUCKETS,
+)
+from vector_store_tpu.ops.distance import (
+    pairwise_distance,
+    prepare_queries,
+    query_block_distance,
+)
+from vector_store_tpu.ops.topk import merge_min_k, min_k
+
+DEFAULT_ENTRIES = 32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "quant", "k", "beam_width", "iters", "filtered"),
+)
+def _graph_beam_search(
+    vectors: jax.Array,  # [cap, Dp]
+    aux: jax.Array,  # [cap]
+    epochs: jax.Array,  # [cap]
+    valid: jax.Array,  # [cap] bool
+    allow: jax.Array,  # [cap] bool (True = may appear in results)
+    adjacency: jax.Array,  # [cap, deg] int32, -1 padded
+    entries: jax.Array,  # [E] int32, -1 padded
+    queries: jax.Array,  # [B, Dp]
+    q_aux: jax.Array,  # [B]
+    *,
+    space: SpaceType,
+    quant: Quantization,
+    k: int,
+    beam_width: int,
+    iters: int,
+    filtered: bool,
+):
+    b = queries.shape[0]
+    e = entries.shape[0]
+    deg = adjacency.shape[1]
+    el = beam_width
+    inf = jnp.float32(jnp.inf)
+
+    # --- init beam from entry points ---------------------------------------
+    evalid = entries >= 0
+    evecs = vectors[jnp.maximum(entries, 0)]  # [E, Dp]
+    eaux = aux[jnp.maximum(entries, 0)]
+    d0 = pairwise_distance(queries, evecs, space, quant, q_aux, eaux)  # [B, E]
+    d0 = jnp.where(evalid[None, :], d0, inf)
+    eids = jnp.broadcast_to(entries[None, :], (b, e))
+
+    pad = el - e if el > e else 0
+    if pad:
+        beam_d = jnp.concatenate([d0, jnp.full((b, pad), inf)], axis=1)
+        beam_i = jnp.concatenate(
+            [eids, jnp.full((b, pad), -1, dtype=jnp.int32)], axis=1
+        )
+    else:
+        beam_d, beam_i = min_k(d0, eids, el)
+    expanded = jnp.zeros((b, el), dtype=jnp.bool_)
+
+    # --- init result accumulator (filtered) --------------------------------
+    res_ok0 = valid[jnp.maximum(eids, 0)] & evalid[None, :]
+    if filtered:
+        res_ok0 = res_ok0 & allow[jnp.maximum(eids, 0)]
+    rd0 = jnp.where(res_ok0, d0, inf)
+    res_d, res_i = min_k(rd0, eids, k)
+
+    visited = jnp.full((b, iters), -1, dtype=jnp.int32)
+
+    def body(t, state):
+        beam_d, beam_i, expanded, visited, res_d, res_i = state
+
+        cand_d = jnp.where(expanded | (beam_i < 0), inf, beam_d)
+        j = jnp.argmin(cand_d, axis=1)  # [B]
+        has = jnp.isfinite(jnp.min(cand_d, axis=1))
+        u = jnp.take_along_axis(beam_i, j[:, None], axis=1)[:, 0]  # [B]
+        u = jnp.where(has, u, -1)
+
+        # mark expanded + record in visited ring
+        expanded = expanded.at[jnp.arange(b), j].set(
+            expanded[jnp.arange(b), j] | has
+        )
+        visited = visited.at[:, t].set(u)
+
+        nbrs = adjacency[jnp.maximum(u, 0)]  # [B, deg]
+        nbrs = jnp.where(has[:, None], nbrs, -1)
+
+        # drop duplicates already in beam or already expanded
+        dup_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=-1)
+        dup_vis = jnp.any(nbrs[:, :, None] == visited[:, None, :], axis=-1)
+        fresh = (nbrs >= 0) & ~dup_beam & ~dup_vis
+
+        safe = jnp.maximum(nbrs, 0)
+        nvecs = vectors[safe]  # [B, deg, Dp]
+        naux = aux[safe]
+        nd = query_block_distance(queries, nvecs, space, quant, q_aux, naux)
+        nd_beam = jnp.where(fresh, nd, inf)
+
+        nfresh = jnp.where(fresh, nbrs, -1)
+        all_d = jnp.concatenate([beam_d, nd_beam], axis=1)
+        all_i = jnp.concatenate([beam_i, nfresh], axis=1)
+        all_x = jnp.concatenate(
+            [expanded, jnp.zeros((b, deg), dtype=jnp.bool_)], axis=1
+        )
+        negd, pos = jax.lax.top_k(-all_d, el)
+        beam_d = -negd
+        beam_i = jnp.take_along_axis(all_i, pos, axis=1)
+        expanded = jnp.take_along_axis(all_x, pos, axis=1)
+
+        res_ok = fresh & valid[safe]
+        if filtered:
+            res_ok = res_ok & allow[safe]
+        nd_res = jnp.where(res_ok, nd, inf)
+        res_d, res_i = merge_min_k(res_d, res_i, nd_res, nfresh)
+
+        return beam_d, beam_i, expanded, visited, res_d, res_i
+
+    state = (beam_d, beam_i, expanded, visited, res_d, res_i)
+    _, _, _, _, res_d, res_i = jax.lax.fori_loop(0, iters, body, state)
+
+    res_i = jnp.where(jnp.isfinite(res_d), res_i, -1)
+    safe_i = jnp.maximum(res_i, 0)
+    res_e = jnp.where(res_i >= 0, epochs[safe_i], -1)
+    return res_d, res_i, res_e
+
+
+@functools.partial(jax.jit, static_argnames=("m", "alpha", "space", "quant"))
+def _alpha_prune(
+    cand_i: jax.Array,  # [B, C] candidate ids sorted by distance asc, -1 pad
+    cand_d: jax.Array,  # [B, C] distances to the new node
+    cand_vecs: jax.Array,  # [B, C, Dp] candidate vectors (storage dtype)
+    cand_aux: jax.Array,  # [B, C]
+    *,
+    m: int,
+    alpha: float,
+    space: SpaceType,
+    quant: Quantization,
+):
+    """Batched Vamana-style robust prune: greedily keep candidates, dropping
+    any candidate c for which an already-kept s satisfies
+    alpha * d(s, c) <= d(u, c). Returns ([B, m] ids, [B, m] dists), -1/inf
+    padded."""
+    b, c, _ = cand_vecs.shape
+
+    # pairwise distances among candidates: [B, C, C]
+    fv = cand_vecs.astype(jnp.float32)
+    if quant is Quantization.I8:
+        from vector_store_tpu.ops.quantize import I8_SCALE
+
+        fv = fv / I8_SCALE
+    eff = space if quant is not Quantization.B1 else SpaceType.HAMMING
+    if eff is SpaceType.EUCLIDEAN:
+        sq = jnp.sum(fv * fv, axis=-1)
+        dots = jnp.einsum("bcd,bed->bce", fv, fv, preferred_element_type=jnp.float32)
+        pair = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+    elif eff is SpaceType.COSINE:
+        dots = jnp.einsum("bcd,bed->bce", fv, fv, preferred_element_type=jnp.float32)
+        denom = jnp.maximum(cand_aux[:, :, None] * cand_aux[:, None, :], 1e-30)
+        pair = 1.0 - dots / denom
+    elif eff is SpaceType.DOT_PRODUCT:
+        dots = jnp.einsum("bcd,bed->bce", fv, fv, preferred_element_type=jnp.float32)
+        pair = 1.0 - dots
+    else:  # HAMMING on unpacked-from-storage bits is approximated by L2^2
+        sq = jnp.sum(fv * fv, axis=-1)
+        dots = jnp.einsum("bcd,bed->bce", fv, fv, preferred_element_type=jnp.float32)
+        pair = jnp.maximum(sq[:, :, None] + sq[:, None, :] - 2.0 * dots, 0.0)
+
+    valid_c = cand_i >= 0
+
+    def body(i, state):
+        selected, n_sel = state
+        # candidate i survives if no selected s dominates it
+        dom = jnp.any(
+            selected & (alpha * pair[:, i, :] <= cand_d[:, i][:, None]), axis=1
+        )
+        keep = valid_c[:, i] & ~dom & (n_sel < m)
+        selected = selected.at[:, i].set(keep)
+        return selected, n_sel + keep.astype(jnp.int32)
+
+    selected, _ = jax.lax.fori_loop(
+        0,
+        c,
+        body,
+        (jnp.zeros((b, c), dtype=jnp.bool_), jnp.zeros((b,), dtype=jnp.int32)),
+    )
+
+    # compact: selected candidates (they are distance-ascending) into [B, m]
+    sel_d = jnp.where(selected, cand_d, jnp.inf)
+    out_d, pos = jax.lax.top_k(-sel_d, m)
+    out_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    out_d = -out_d
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+    return out_i, out_d
+
+
+class GraphDeviceIndex:
+    """Navigable-graph ANN index over a FlatDeviceIndex's storage, plus an
+    exact delta buffer for not-yet-merged streaming inserts."""
+
+    def __init__(
+        self,
+        dimensions: int,
+        space_type: SpaceType = SpaceType.COSINE,
+        quantization: Quantization = Quantization.F32,
+        connectivity: int = 16,
+        expansion_add: int = 128,
+        expansion_search: int = 64,
+        initial_capacity: int = 8192,
+        reserve_increment: int = GLOBAL_RESERVE_INCREMENT,
+        n_entries: int = DEFAULT_ENTRIES,
+        alpha: float = 1.2,
+        max_delta: int = 65536,
+        device: jax.Device | None = None,
+    ) -> None:
+        self.store = FlatDeviceIndex(
+            dimensions,
+            space_type=space_type,
+            quantization=quantization,
+            initial_capacity=initial_capacity,
+            reserve_increment=reserve_increment,
+            device=device,
+        )
+        self.space_type = space_type
+        self.quantization = quantization
+        self.connectivity = connectivity
+        self.degree = 2 * connectivity  # like HNSW level-0 (2*M)
+        self.expansion_add = expansion_add
+        self.expansion_search = expansion_search
+        self.alpha = alpha
+        self.n_entries = n_entries
+        self.max_delta = max_delta
+
+        cap = self.store.capacity
+        with jax.default_device(self.store.device):
+            self.adjacency = jnp.full((cap, self.degree), -1, dtype=jnp.int32)
+
+        self._entries: list[int] = []  # host-side entry point slots
+        self._graph_nodes = 0
+        # delta buffer: host staging (numpy); searched exactly via the store's
+        # flat path restricted to an allow-mask over delta slots
+        self._delta_slots: list[int] = []
+        self._delta_set: set[int] = set()
+
+    # -- basic properties ----------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return self.store.size
+
+    @property
+    def capacity(self) -> int:
+        return self.store.capacity
+
+    @property
+    def delta_count(self) -> int:
+        return len(self._delta_slots)
+
+    @property
+    def graph_nodes(self) -> int:
+        return self._graph_nodes
+
+    def _entries_array(self) -> jnp.ndarray:
+        e = np.full((self.n_entries,), -1, dtype=np.int32)
+        n = min(len(self._entries), self.n_entries)
+        if n:
+            e[:n] = self._entries[:n]
+        return jnp.asarray(e)
+
+    # -- mutation ------------------------------------------------------------
+
+    def upsert_batch(
+        self,
+        slots: np.ndarray,
+        epochs: np.ndarray,
+        vectors: np.ndarray,
+        partitions: np.ndarray | None = None,
+    ) -> None:
+        """Store vectors and stage them in the delta buffer. They are
+        searchable immediately (exact) and get merged into the graph by
+        `merge_delta` (called by the owner between query batches)."""
+        slots = np.asarray(slots, dtype=np.int64)
+        if slots.size == 0:
+            return
+        self.store.upsert_batch(slots, epochs, vectors, partitions)
+        for s in slots.tolist():
+            if s not in self._delta_set:
+                self._delta_set.add(s)
+                self._delta_slots.append(s)
+
+    def remove_batch(self, slots: np.ndarray) -> None:
+        """Tombstone: mask from results; graph edges stay navigable."""
+        self.store.remove_batch(slots)
+        removed = set(np.asarray(slots, dtype=np.int64).tolist())
+        if removed & self._delta_set:
+            self._delta_slots = [s for s in self._delta_slots if s not in removed]
+            self._delta_set -= removed
+
+    def needs_merge(self) -> bool:
+        return len(self._delta_slots) >= self.max_delta
+
+    # -- delta merge (graph construction) -----------------------------------
+
+    def merge_delta(self, max_batch: int = 4096) -> int:
+        """Wire up to max_batch pending delta vectors into the graph.
+        Returns the number merged. Call repeatedly (e.g. between query
+        batches) until it returns 0 to drain."""
+        if not self._delta_slots:
+            return 0
+        batch = self._delta_slots[:max_batch]
+        n = len(batch)
+        slots = np.asarray(batch, dtype=np.int64)
+
+        store = self.store
+        host_vec = np.asarray(store.vectors[jnp.asarray(slots)])  # [n, Dp] storage
+        host_aux = np.asarray(store.aux[jnp.asarray(slots)])
+
+        if self._graph_nodes == 0:
+            self._bootstrap(slots, host_vec, host_aux)
+        else:
+            self._insert_into_graph(slots, host_vec, host_aux)
+
+        self._delta_slots = self._delta_slots[n:]
+        self._delta_set -= set(batch)
+        self._graph_nodes += n
+        for s in batch:
+            if len(self._entries) < self.n_entries:
+                self._entries.append(int(s))
+        return n
+
+    def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray, aux: np.ndarray) -> None:
+        """First batch: exact kNN graph among the batch itself."""
+        n = len(slots)
+        qv = jnp.asarray(vecs)
+        qa = jnp.asarray(aux)
+        d = pairwise_distance(
+            qv, qv, self.space_type, self.quantization, qa, qa
+        )  # [n, n]
+        d = np.array(d)  # writable copy (np.asarray of a jax array is read-only)
+        np.fill_diagonal(d, np.inf)
+        m = min(self.degree, max(n - 1, 1))
+        order = np.argsort(d, axis=1)[:, :m]
+        rows = np.full((n, self.degree), -1, dtype=np.int32)
+        rows[:, :m] = slots[order]
+        if n == 1:
+            rows[:] = -1
+        self.adjacency = _scatter_rows(self.adjacency, jnp.asarray(slots), jnp.asarray(rows))
+
+    def _insert_into_graph(
+        self, slots: np.ndarray, vecs: np.ndarray, aux: np.ndarray
+    ) -> None:
+        store = self.store
+        efc = self.expansion_add
+        # pad the insert batch to a bucket so the jitted search doesn't
+        # recompile for every tail-batch size
+        n_real = len(slots)
+        n_pad = _bucket(n_real, _BATCH_BUCKETS)
+        if n_pad != n_real:
+            vecs = np.pad(vecs, [(0, n_pad - n_real), (0, 0)])
+            aux = np.pad(aux, [(0, n_pad - n_real)])
+        # 1. search graph for candidates (unfiltered, generous beam)
+        all_allow = jnp.ones((store.capacity,), dtype=jnp.bool_)
+        d, i, _ = _graph_beam_search(
+            store.vectors,
+            store.aux,
+            store.epochs,
+            jnp.ones((store.capacity,), dtype=jnp.bool_),  # candidates may be tombstoned; edges still useful
+            all_allow,
+            self.adjacency,
+            self._entries_array(),
+            jnp.asarray(vecs),
+            jnp.asarray(aux),
+            space=self.space_type,
+            quant=self.quantization,
+            k=efc,
+            beam_width=efc,
+            iters=efc,
+            filtered=False,
+        )
+        cand_i = np.array(i)  # [n_pad, efc]
+        cand_d = np.array(d)
+
+        # 1b. intra-batch candidates: batch members are not yet in the graph
+        # so beam search cannot find them; add each node's nearest batch
+        # peers as extra candidates (keeps clusters inserted together
+        # self-connected).
+        if n_real > 1:
+            kb = min(16, n_real - 1)
+            bd = np.array(
+                pairwise_distance(
+                    jnp.asarray(vecs[:n_real]),
+                    jnp.asarray(vecs[:n_real]),
+                    self.space_type,
+                    self.quantization,
+                    jnp.asarray(aux[:n_real]),
+                    jnp.asarray(aux[:n_real]),
+                )
+            )
+            np.fill_diagonal(bd, np.inf)
+            peer_pos = np.argsort(bd, axis=1, kind="stable")[:, :kb]
+            peer_i = slots[peer_pos].astype(np.int32)  # [n_real, kb]
+            peer_d = np.take_along_axis(bd, peer_pos, axis=1).astype(np.float32)
+            ext_i = np.full((cand_i.shape[0], kb), -1, dtype=cand_i.dtype)
+            ext_d = np.full((cand_i.shape[0], kb), np.inf, dtype=np.float32)
+            ext_i[:n_real] = peer_i
+            ext_d[:n_real] = peer_d
+            cand_i = np.concatenate([cand_i, ext_i], axis=1)
+            cand_d = np.concatenate([cand_d, ext_d], axis=1)
+            order = np.argsort(cand_d, axis=1, kind="stable")
+            cand_i = np.take_along_axis(cand_i, order, axis=1)
+            cand_d = np.take_along_axis(cand_d, order, axis=1)
+            cand_i[~np.isfinite(cand_d)] = -1
+
+        # 2. alpha-prune to degree (still padded; sliced after)
+        ci_j = jnp.asarray(cand_i.astype(np.int32))
+        safe = jnp.maximum(ci_j, 0)
+        cvecs = store.vectors[safe]
+        caux = store.aux[safe]
+        sel_i, sel_d = _alpha_prune(
+            ci_j,
+            jnp.asarray(cand_d),
+            cvecs,
+            caux,
+            m=self.degree,
+            alpha=self.alpha,
+            space=self.space_type,
+            quant=self.quantization,
+        )
+        sel_i = np.asarray(sel_i)[:n_real]  # [n, deg]
+        sel_d = np.asarray(sel_d)[:n_real]
+
+        # 3. forward edges
+        self.adjacency = _scatter_rows(
+            self.adjacency, jnp.asarray(slots), jnp.asarray(sel_i)
+        )
+
+        # 4. reverse edges, host-side vectorized merge
+        self._apply_reverse_edges(slots, sel_i, sel_d)
+
+    def _apply_reverse_edges(
+        self, slots: np.ndarray, sel_i: np.ndarray, sel_d: np.ndarray
+    ) -> None:
+        n, deg = sel_i.shape
+        src = np.repeat(slots.astype(np.int64), deg)
+        tgt = sel_i.reshape(-1).astype(np.int64)
+        dist = sel_d.reshape(-1)
+        ok = tgt >= 0
+        src, tgt, dist = src[ok], tgt[ok], dist[ok]
+        if tgt.size == 0:
+            return
+
+        uniq, inv = np.unique(tgt, return_inverse=True)
+        u = uniq.size
+        # up to R incoming edges considered per target this round
+        r = 8
+        incoming_i = np.full((u, r), -1, dtype=np.int64)
+        incoming_d = np.full((u, r), np.inf, dtype=np.float32)
+        order = np.argsort(dist, kind="stable")  # closest first keeps best
+        pos_in_group = np.zeros(u, dtype=np.int64)
+        for e in order:
+            g = inv[e]
+            p = pos_in_group[g]
+            if p < r:
+                incoming_i[g, p] = src[e]
+                incoming_d[g, p] = dist[e]
+                pos_in_group[g] = p + 1
+
+        # current rows of the targets
+        cur_rows = np.asarray(self.adjacency[jnp.asarray(uniq)])  # [U, deg]
+        # distances of current edges: d(target, neighbor) — recompute on
+        # device in one gather+contraction
+        store = self.store
+        tvec = store.vectors[jnp.asarray(uniq)]
+        taux = store.aux[jnp.asarray(uniq)]
+        safe = jnp.maximum(jnp.asarray(cur_rows), 0)
+        nvec = store.vectors[safe]
+        naux = store.aux[safe]
+        cur_d = np.array(
+            query_block_distance(
+                tvec, nvec, self.space_type, self.quantization, taux, naux
+            )
+        )
+        cur_d[cur_rows < 0] = np.inf
+
+        # candidate sets: current edges + incoming back-links
+        all_i = np.concatenate([cur_rows.astype(np.int64), incoming_i], axis=1)
+        all_d = np.concatenate([cur_d, incoming_d], axis=1)
+        # dedup (incoming may already be an edge)
+        sort_i = np.argsort(all_i, axis=1, kind="stable")
+        si = np.take_along_axis(all_i, sort_i, axis=1)
+        dup = np.zeros_like(si, dtype=bool)
+        dup[:, 1:] = (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0)
+        dup_unsorted = np.zeros_like(dup)
+        np.put_along_axis(dup_unsorted, sort_i, dup, axis=1)
+        all_d[dup_unsorted] = np.inf
+        all_d[all_i < 0] = np.inf
+
+        # Re-prune each touched target with the alpha DIVERSITY rule rather
+        # than plain nearest-deg: diversity keeps long-range edges, so
+        # outlier inserts still receive back-links and stay reachable (pure
+        # distance competition would orphan them).
+        order = np.argsort(all_d, axis=1, kind="stable")
+        si = np.take_along_axis(all_i, order, axis=1)
+        sd = np.take_along_axis(all_d, order, axis=1).astype(np.float32)
+        si[~np.isfinite(sd)] = -1
+
+        u_total = uniq.size
+        chunk = 4096
+        new_rows = np.empty((u_total, self.degree), dtype=np.int32)
+        for lo in range(0, u_total, chunk):
+            hi = min(lo + chunk, u_total)
+            n_real = hi - lo
+            n_pad = _bucket(n_real, _BATCH_BUCKETS)
+            ci = np.full((n_pad, si.shape[1]), -1, dtype=np.int64)
+            cd = np.full((n_pad, si.shape[1]), np.inf, dtype=np.float32)
+            ci[:n_real] = si[lo:hi]
+            cd[:n_real] = sd[lo:hi]
+            ci_j = jnp.asarray(ci.astype(np.int32))
+            csafe = jnp.maximum(ci_j, 0)
+            cvecs = store.vectors[csafe]
+            caux = store.aux[csafe]
+            out_i, _ = _alpha_prune(
+                ci_j,
+                jnp.asarray(cd),
+                cvecs,
+                caux,
+                m=self.degree,
+                alpha=self.alpha,
+                space=self.space_type,
+                quant=self.quantization,
+            )
+            new_rows[lo:hi] = np.asarray(out_i)[:n_real]
+
+        # In-degree guarantee: every inserted node must receive at least one
+        # back-link from its nearest graph neighbor, or saturated target
+        # lists would orphan outliers (unreachable until a future rebuild).
+        # Force each new node into the tail slots of its top-1 target.
+        top_v = sel_i[:, 0].astype(np.int64)  # nearest graph neighbor per new node
+        max_forced = max(1, self.degree // 4)
+        forced_count: dict[int, int] = {}
+        vpos = {int(v): j for j, v in enumerate(uniq)}
+        for row_idx in np.argsort(sel_d[:, 0], kind="stable"):
+            v = int(top_v[row_idx])
+            if v < 0:
+                continue
+            u = int(slots[row_idx])
+            j = vpos.get(v)
+            if j is None:
+                continue
+            row = new_rows[j]
+            if u in row:
+                continue
+            c = forced_count.get(v, 0)
+            if c >= max_forced:
+                continue
+            row[self.degree - 1 - c] = u
+            forced_count[v] = c + 1
+
+        self.adjacency = _scatter_rows(
+            self.adjacency, jnp.asarray(uniq), jnp.asarray(new_rows)
+        )
+
+    # -- capacity ------------------------------------------------------------
+
+    def _sync_capacity(self) -> None:
+        cap = self.store.capacity
+        if self.adjacency.shape[0] < cap:
+            old = self.adjacency
+            self.adjacency = jnp.full((cap, self.degree), -1, dtype=jnp.int32)
+            self.adjacency = jax.lax.dynamic_update_slice(
+                self.adjacency, old, (0, 0)
+            )
+
+    # -- search ----------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        partitions: np.ndarray | None = None,
+        allow_mask: np.ndarray | None = None,
+        expansion: int | None = None,
+    ) -> list[SearchResult]:
+        """Graph beam search + exact delta search, merged.
+
+        Per-query partition restriction is a local-index concern; local
+        indexes are served by FlatDeviceIndex (their partitions stay small,
+        mirroring the reference's 1k local reserve increments), so the graph
+        engine rejects `partitions`.
+        """
+        if partitions is not None:
+            raise ValueError("GraphDeviceIndex does not support per-query partitions")
+        self._sync_capacity()
+        store = self.store
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b_real = queries.shape[0]
+
+        graph_results: list[SearchResult] | None = None
+        if self._graph_nodes > 0:
+            b_pad = _bucket(b_real, _BATCH_BUCKETS)
+            k_pad = _bucket(k, _K_BUCKETS)
+            qp = queries
+            if b_pad != b_real:
+                qp = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
+            qs, q_aux = prepare_queries(qp, self.space_type, self.quantization)
+            ef = expansion or self.expansion_search
+            ef = max(ef, k_pad)
+            if allow_mask is None and partitions is None:
+                allow = jnp.ones((store.capacity,), dtype=jnp.bool_)
+                filtered = False
+            else:
+                am = np.ones((store.capacity,), dtype=bool)
+                if allow_mask is not None:
+                    am[:] = False
+                    am[: allow_mask.shape[0]] = allow_mask[: store.capacity]
+                allow = jnp.asarray(am)
+                filtered = True
+                # per-query partition masks are handled by the flat path for
+                # local indexes; graph engine serves global indexes
+            d, i, e = _graph_beam_search(
+                store.vectors,
+                store.aux,
+                store.epochs,
+                store.valid,
+                allow,
+                self.adjacency,
+                self._entries_array(),
+                jnp.asarray(qs),
+                jnp.asarray(q_aux),
+                space=self.space_type,
+                quant=self.quantization,
+                k=k_pad,
+                beam_width=ef,
+                iters=ef,
+                filtered=filtered,
+            )
+            d = np.asarray(d)[:b_real, :k]
+            i = np.asarray(i)[:b_real, :k]
+            e = np.asarray(e)[:b_real, :k]
+            graph_results = []
+            for row in range(b_real):
+                ok = np.isfinite(d[row]) & (i[row] >= 0)
+                graph_results.append(
+                    SearchResult(
+                        slots=i[row][ok].astype(np.int64),
+                        epochs=e[row][ok],
+                        distances=d[row][ok],
+                    )
+                )
+
+        delta_results: list[SearchResult] | None = None
+        if self._delta_slots:
+            dm = np.zeros((store.capacity,), dtype=bool)
+            dm[np.asarray(self._delta_slots, dtype=np.int64)] = True
+            if allow_mask is not None:
+                dm[: allow_mask.shape[0]] &= allow_mask[: store.capacity]
+            delta_results = store.search(
+                queries, k, partitions=partitions, allow_mask=dm
+            )
+
+        if graph_results is None and delta_results is None:
+            return [
+                SearchResult(
+                    slots=np.empty(0, np.int64),
+                    epochs=np.empty(0, np.int32),
+                    distances=np.empty(0, np.float32),
+                )
+                for _ in range(b_real)
+            ]
+        if graph_results is None:
+            return delta_results  # type: ignore[return-value]
+        if delta_results is None:
+            return graph_results
+
+        merged = []
+        for g, dl in zip(graph_results, delta_results):
+            slots = np.concatenate([g.slots, dl.slots])
+            eps = np.concatenate([g.epochs, dl.epochs])
+            dist = np.concatenate([g.distances, dl.distances])
+            # dedup (a slot may be both merged & still pending in rare races)
+            _, first = np.unique(slots, return_index=True)
+            slots, eps, dist = slots[first], eps[first], dist[first]
+            order = np.argsort(dist, kind="stable")[:k]
+            merged.append(
+                SearchResult(slots=slots[order], epochs=eps[order], distances=dist[order])
+            )
+        return merged
+
+
+@jax.jit
+def _scatter_rows(adjacency, row_ids, rows):
+    return adjacency.at[row_ids].set(rows)

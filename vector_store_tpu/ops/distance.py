@@ -138,6 +138,66 @@ def pairwise_distance(
     return jnp.maximum(d, 0.0)
 
 
+def query_block_distance(
+    queries: jax.Array,  # [B, Dp] query dtype
+    blocks: jax.Array,  # [B, m, Dp] storage dtype (per-query gathered rows)
+    space_type: SpaceType,
+    quantization: Quantization,
+    q_aux: jax.Array,  # [B]
+    v_aux: jax.Array,  # [B, m]
+) -> jax.Array:
+    """Distances [B, m] f32 between each query and its own m gathered
+    vectors (the beam-search neighbor-expansion shape)."""
+    space = effective_space(space_type, quantization)
+
+    if space is SpaceType.HAMMING:
+        qb = _unpack_bits_device(queries)  # [B, D8]
+        vb = _unpack_bits_device(blocks)  # [B, m, D8]
+        dot = jnp.einsum(
+            "bd,bmd->bm", qb, vb, preferred_element_type=jnp.float32
+        )
+        return q_aux[:, None] + v_aux - 2.0 * dot
+
+    if quantization is Quantization.I8:
+        doti = jnp.einsum(
+            "bd,bmd->bm",
+            queries.astype(jnp.int32),
+            blocks.astype(jnp.int32),
+            preferred_element_type=jnp.int32,
+        )
+        dot = doti.astype(jnp.float32) / (I8_SCALE * I8_SCALE)
+    else:
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if quantization is Quantization.F32
+            else jax.lax.Precision.DEFAULT
+        )
+        dot = jnp.einsum(
+            "bd,bmd->bm",
+            queries,
+            blocks,
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+
+    if space is SpaceType.DOT_PRODUCT:
+        return 1.0 - dot
+    if space is SpaceType.COSINE:
+        denom = jnp.maximum(q_aux[:, None] * v_aux, _EPS)
+        return 1.0 - dot / denom
+    # EUCLIDEAN squared
+    if quantization is Quantization.I8:
+        qf = queries.astype(jnp.float32) / I8_SCALE
+        vf = blocks.astype(jnp.float32) / I8_SCALE
+    else:
+        qf = queries.astype(jnp.float32)
+        vf = blocks.astype(jnp.float32)
+    q2 = jnp.sum(qf * qf, axis=-1)
+    v2 = jnp.sum(vf * vf, axis=-1)
+    d = q2[:, None] + v2 - 2.0 * dot
+    return jnp.maximum(d, 0.0)
+
+
 def prepare_queries(
     q: np.ndarray, space_type: SpaceType, quantization: Quantization
 ) -> tuple[np.ndarray, np.ndarray]:
