@@ -114,7 +114,29 @@ def _flat_search(
     )
     safe_i = jnp.maximum(best_i, 0)
     best_e = jnp.where(best_i >= 0, epochs[safe_i], -1)
-    return best_d, best_i, best_e
+    # pack into one f32 array: a single device->host pull per search batch
+    # (tiny pulls are pathologically slow through the TPU relay)
+    return _pack_results(best_d, best_i, best_e)
+
+
+def _pack_results(d: jax.Array, i: jax.Array, e: jax.Array) -> jax.Array:
+    """Stack (distances f32, ids i32, epochs i32) as one [3, B, k] f32 array
+    (ints bitcast); host unpacks with np.view."""
+    return jnp.stack(
+        [
+            d,
+            jax.lax.bitcast_convert_type(i, jnp.float32),
+            jax.lax.bitcast_convert_type(e, jnp.float32),
+        ]
+    )
+
+
+def unpack_results(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of _pack_results on host numpy."""
+    d = packed[0]
+    i = packed[1].view(np.int32)
+    e = packed[2].view(np.int32)
+    return d, i, e
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
@@ -176,6 +198,9 @@ class FlatDeviceIndex:
             self.valid = jnp.zeros((cap,), dtype=jnp.bool_)
             self.parts = jnp.full((cap,), -1, dtype=jnp.int32)
         self._live = 0
+        # host mirror of `valid`, so mutations never pull device state
+        self._valid_host = np.zeros((cap,), dtype=bool)
+        self._allow_all: jax.Array | None = None  # cached all-true mask
 
     # -- capacity ------------------------------------------------------------
 
@@ -205,6 +230,10 @@ class FlatDeviceIndex:
         self.epochs = _grow_1d(self.epochs, new_cap=new_cap, fill=-1)
         self.valid = _grow_1d(self.valid, new_cap=new_cap, fill=False)
         self.parts = _grow_1d(self.parts, new_cap=new_cap, fill=-1)
+        grown = np.zeros((new_cap,), dtype=bool)
+        grown[: self._valid_host.shape[0]] = self._valid_host
+        self._valid_host = grown
+        self._allow_all = None
 
     # -- mutation --------------------------------------------------------------
 
@@ -219,7 +248,7 @@ class FlatDeviceIndex:
         if slots.size == 0:
             return
         self.reserve(int(slots.max()))
-        was_valid = np.asarray(self.valid)[slots]
+        was_valid = self._valid_host[slots]
         vals = quantize_for_storage(
             np.asarray(vectors, dtype=np.float32), self.quantization
         )
@@ -243,6 +272,7 @@ class FlatDeviceIndex:
         )
         # live count: newly-occupied slots only (upsert of a live slot keeps count)
         self._live += int((~was_valid).sum())
+        self._valid_host[slots] = True
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int32)
@@ -251,8 +281,9 @@ class FlatDeviceIndex:
         slots = slots[slots < self.capacity]
         if slots.size == 0:
             return
-        was_valid = np.asarray(self.valid)[slots]
+        was_valid = self._valid_host[slots]
         self.valid = _apply_removes(self.valid, jnp.asarray(slots))
+        self._valid_host[slots] = False
         self._live -= int(was_valid.sum())
 
     # -- search ----------------------------------------------------------------
@@ -281,13 +312,15 @@ class FlatDeviceIndex:
             use_parts = True
 
         if allow_mask is None:
-            allow = jnp.ones((self.capacity,), dtype=jnp.bool_)
+            if self._allow_all is None or self._allow_all.shape[0] != self.capacity:
+                self._allow_all = jnp.ones((self.capacity,), dtype=jnp.bool_)
+            allow = self._allow_all
         else:
             am = np.zeros((self.capacity,), dtype=bool)
             am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
             allow = jnp.asarray(am)
 
-        d, i, e = _flat_search(
+        packed = _flat_search(
             self.vectors,
             self.aux,
             self.epochs,
@@ -304,9 +337,10 @@ class FlatDeviceIndex:
             approx=self.approx,
             use_parts=use_parts,
         )
-        d = np.asarray(d)[:b_real, :k]
-        i = np.asarray(i)[:b_real, :k]
-        e = np.asarray(e)[:b_real, :k]
+        d, i, e = unpack_results(np.asarray(packed))
+        d = d[:b_real, :k]
+        i = i[:b_real, :k]
+        e = e[:b_real, :k]
         results = []
         for row in range(b_real):
             ok = np.isfinite(d[row]) & (i[row] >= 0)

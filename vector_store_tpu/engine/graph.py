@@ -43,6 +43,8 @@ from vector_store_tpu.engine.flat import (
     _bucket,
     _BATCH_BUCKETS,
     _K_BUCKETS,
+    _pack_results,
+    unpack_results,
 )
 from vector_store_tpu.ops.distance import (
     pairwise_distance,
@@ -163,7 +165,7 @@ def _graph_beam_search(
     res_i = jnp.where(jnp.isfinite(res_d), res_i, -1)
     safe_i = jnp.maximum(res_i, 0)
     res_e = jnp.where(res_i >= 0, epochs[safe_i], -1)
-    return res_d, res_i, res_e
+    return _pack_results(res_d, res_i, res_e)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "alpha", "space", "quant"))
@@ -401,7 +403,7 @@ class GraphDeviceIndex:
             aux = np.pad(aux, [(0, n_pad - n_real)])
         # 1. search graph for candidates (unfiltered, generous beam)
         all_allow = jnp.ones((store.capacity,), dtype=jnp.bool_)
-        d, i, _ = _graph_beam_search(
+        packed = _graph_beam_search(
             store.vectors,
             store.aux,
             store.epochs,
@@ -418,8 +420,9 @@ class GraphDeviceIndex:
             iters=efc,
             filtered=False,
         )
-        cand_i = np.array(i)  # [n_pad, efc]
-        cand_d = np.array(d)
+        d_np, i_np, _ = unpack_results(np.asarray(packed))
+        cand_i = np.array(i_np)  # [n_pad, efc]
+        cand_d = np.array(d_np)
 
         # 1b. intra-batch candidates: batch members are not yet in the graph
         # so beam search cannot find them; add each node's nearest batch
@@ -658,7 +661,7 @@ class GraphDeviceIndex:
                 filtered = True
                 # per-query partition masks are handled by the flat path for
                 # local indexes; graph engine serves global indexes
-            d, i, e = _graph_beam_search(
+            packed = _graph_beam_search(
                 store.vectors,
                 store.aux,
                 store.epochs,
@@ -675,9 +678,10 @@ class GraphDeviceIndex:
                 iters=ef,
                 filtered=filtered,
             )
-            d = np.asarray(d)[:b_real, :k]
-            i = np.asarray(i)[:b_real, :k]
-            e = np.asarray(e)[:b_real, :k]
+            d, i, e = unpack_results(np.asarray(packed))
+            d = d[:b_real, :k]
+            i = i[:b_real, :k]
+            e = e[:b_real, :k]
             graph_results = []
             for row in range(b_real):
                 ok = np.isfinite(d[row]) & (i[row] >= 0)

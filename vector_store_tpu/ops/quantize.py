@@ -10,6 +10,7 @@ scheme (USearch's i8 convention); B1 packs sign bits 8-per-byte, MSB first.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from vector_store_tpu.core.types import Quantization
@@ -61,8 +62,7 @@ def quantize_for_storage(x: np.ndarray, quantization: Quantization) -> np.ndarra
     if quantization is Quantization.F16:
         return x.astype(np.float16)
     if quantization is Quantization.BF16:
-        # numpy lacks bfloat16; round-trip through jax on host
-        return np.asarray(jnp.asarray(x, dtype=jnp.bfloat16))
+        return x.astype(ml_dtypes.bfloat16)
     if quantization is Quantization.I8:
         return np.clip(np.round(x * I8_SCALE), -127, 127).astype(np.int8)
     if quantization is Quantization.B1:

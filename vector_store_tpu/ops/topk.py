@@ -16,7 +16,18 @@ def min_k(
     distances: jax.Array, ids: jax.Array, k: int, approx: bool = False
 ) -> tuple[jax.Array, jax.Array]:
     """Smallest-k along the last axis. distances [B, N] f32, ids [B, N] i32.
-    Returns ([B, k] dists, [B, k] ids) sorted ascending by distance."""
+    Returns ([B, k] dists, [B, k] ids) sorted ascending by distance.
+    When N < k the result is padded with (+inf, -1) lanes."""
+    n = distances.shape[-1]
+    if n < k:
+        pad = k - n
+        b = distances.shape[0]
+        distances = jnp.concatenate(
+            [distances, jnp.full((b, pad), jnp.inf, dtype=distances.dtype)], axis=-1
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.full((b, pad), -1, dtype=ids.dtype)], axis=-1
+        )
     if approx:
         d, pos = jax.lax.approx_min_k(distances, k)
     else:

@@ -1,0 +1,695 @@
+"""Authoritative row cache: PrimaryKey→PrimaryId allocation, LWW timestamp
+conflict resolution, partition bookkeeping, and Operation deltas feeding the
+device index engines.
+
+Behavioral parity with reference table/mod.rs: the 7-case ProcessingPartition
+classification (get_partition_key, table/mod.rs:176-236), the timestamp gate
+and UpdateWork matrix (update_index, table/mod.rs:759-1003), LWW column
+updates guarded by strictly-newer timestamps (column_vec.rs:38-47), epoch
+bumping on every accepted update so stale index hits are rejected
+(primary_id epoch check, table/mod.rs:591-596), and the five Operation
+variants (table/mod.rs:1394-1419).
+
+Pure host-side Python, no JAX. The Operations it emits are consumed by the
+monitor_items pump which batches them into device engine calls.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import deque
+from dataclasses import dataclass
+from typing import Iterable, Optional
+
+from vector_store_tpu.core.filters import Restriction, RestrictionKind
+from vector_store_tpu.core.ids import IndexId, IndexIdGenerator, PartitionId, PrimaryId, next_epoch
+from vector_store_tpu.core.keys import PartitionKey, PrimaryKey
+from vector_store_tpu.core.timestamp import Timestamp, Timestamped
+from vector_store_tpu.core.types import (
+    ColumnName,
+    DbIndexedValue,
+    IndexKey,
+    IndexMetadata,
+)
+
+logger = logging.getLogger(__name__)
+
+RESERVE_PRIMARY_IDS = 1 << 10  # table/mod.rs:446
+RESERVE_PARTITION_IDS = 1 << 8  # table/mod.rs:325
+
+
+# ---------------------------------------------------------------------------
+# Operations emitted to the index engines (table/mod.rs:1394-1419)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AddVector:
+    primary_id: PrimaryId
+    partition_id: PartitionId
+    vector: tuple[float, ...]
+    is_update: bool
+
+
+@dataclass(frozen=True)
+class AddDocument:
+    primary_id: PrimaryId
+    partition_id: PartitionId
+    document: str
+    is_update: bool
+
+
+@dataclass(frozen=True)
+class RemoveBeforeAddValue:
+    primary_id: PrimaryId
+    partition_id: PartitionId
+
+
+@dataclass(frozen=True)
+class RemoveValue:
+    primary_id: PrimaryId
+    partition_id: PartitionId
+
+
+@dataclass(frozen=True)
+class RemovePartition:
+    partition_id: PartitionId
+
+
+Operation = AddVector | AddDocument | RemoveBeforeAddValue | RemoveValue | RemovePartition
+
+
+# ---------------------------------------------------------------------------
+# Partition classification (table/mod.rs:302-321)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _Processing:
+    kind: str  # existing|new|add_to_existing|move_to_new|move_to_existing|missing_key|missing
+    partition_id: PartitionId | None = None
+    new_partition_id: PartitionId | None = None
+    partition_key: PartitionKey | None = None
+
+    @property
+    def is_changing_partitions(self) -> bool:
+        return self.kind in ("move_to_new", "move_to_existing", "missing_key", "new")
+
+
+class _IndexData:
+    """Global marker or local partition bookkeeping (table/mod.rs:98-287)."""
+
+    def __init__(
+        self,
+        index_id: IndexId,
+        partition_key_columns: tuple[ColumnName, ...] | None,
+        primary_key_columns: tuple[ColumnName, ...],
+    ) -> None:
+        self.index_id = index_id
+        self.is_global = partition_key_columns is None
+        self.partition_key_columns = partition_key_columns or ()
+        self.nonpk_partition_key_columns = tuple(
+            c for c in self.partition_key_columns if c not in primary_key_columns
+        )
+        # local-only state
+        self.map: dict[PartitionKey, PartitionId] = {}
+        self.free_ids: deque[PartitionId] = deque()
+        self.keys: list[PartitionKey | None] = []  # by partition slot
+        self.sizes: list[int] = []
+        self.ids: list[PartitionId | None] = []  # by primary slot
+        self._next_partition_slot = 0
+
+    def reserve_partition_ids(self) -> None:
+        if self.is_global or self.free_ids:
+            return
+        start = self._next_partition_slot
+        end = start + RESERVE_PARTITION_IDS
+        for slot in range(start, end):
+            self.free_ids.append(PartitionId.new(slot, self.index_id))
+        self._next_partition_slot = end
+        self.keys.extend([None] * (end - len(self.keys)))
+        self.sizes.extend([0] * (end - len(self.sizes)))
+
+    def resize_primary_ids(self, new_size: int) -> None:
+        if not self.is_global and len(self.ids) < new_size:
+            self.ids.extend([None] * (new_size - len(self.ids)))
+
+    def create_partition(self, partition_key: PartitionKey) -> PartitionId:
+        if self.is_global:
+            raise RuntimeError("Global index does not support partition keys")
+        existing = self.map.get(partition_key)
+        if existing is not None:
+            logger.debug("partition key already exists while creating partition")
+            return existing
+        partition_id = self.free_ids.popleft()
+        self.map[partition_key] = partition_id
+        self.keys[partition_id.slot] = partition_key
+        self.sizes[partition_id.slot] = 0
+        return partition_id
+
+    def insert_row_into_partition(self, primary_id: PrimaryId, partition_id: PartitionId) -> None:
+        if self.is_global:
+            return
+        self.ids[primary_id.slot] = partition_id
+        self.sizes[partition_id.slot] += 1
+
+    def remove_row_from_partition(
+        self, primary_id: PrimaryId, partition_id: PartitionId
+    ) -> bool:
+        """Returns True if the partition became empty (and was dropped)."""
+        if self.is_global:
+            return False
+        self.ids[primary_id.slot] = None
+        slot = partition_id.slot
+        if self.sizes[slot] > 0:
+            self.sizes[slot] -= 1
+        else:
+            logger.debug("partition size should be > 0 when removing a row")
+        if self.sizes[slot] == 0:
+            key = self.keys[slot]
+            if key is not None:
+                self.keys[slot] = None
+                self.map.pop(key, None)
+                self.free_ids.append(partition_id)
+            return True
+        return False
+
+    def classify(
+        self,
+        primary_id: PrimaryId,
+        get_column_value,  # (column_name) -> value | None
+    ) -> _Processing:
+        """The 7-case partition transition (get_partition_key,
+        table/mod.rs:176-236)."""
+        if self.is_global:
+            return _Processing("existing", PartitionId.global_for(self.index_id))
+
+        cur = self.ids[primary_id.slot] if primary_id.slot < len(self.ids) else None
+
+        if not self.nonpk_partition_key_columns and cur is not None:
+            return _Processing("existing", cur)
+
+        values = [get_column_value(c) for c in self.partition_key_columns]
+        if any(v is None for v in values):
+            if cur is not None:
+                return _Processing("missing_key", cur)
+            return _Processing("missing")
+        pkey = PartitionKey.from_values(values)
+
+        mapped = self.map.get(pkey)
+        if mapped is None:
+            if cur is not None:
+                return _Processing("move_to_new", cur, partition_key=pkey)
+            return _Processing("new", partition_key=pkey)
+        if cur is None:
+            return _Processing("add_to_existing", mapped)
+        if mapped == cur:
+            return _Processing("existing", cur)
+        return _Processing("move_to_existing", cur, new_partition_id=mapped)
+
+
+class _Index:
+    """Per-index slot state: epoch + per-target-column value timestamps
+    (table/mod.rs:290-299)."""
+
+    def __init__(
+        self,
+        index_id: IndexId,
+        data: _IndexData,
+        filtering_columns: tuple[ColumnName, ...],
+        target_count: int,
+    ) -> None:
+        self.index_id = index_id
+        self.data = data
+        self.filtering_columns = filtering_columns
+        self.target_count = target_count
+        # per primary slot: epoch int, or None when slot unused
+        self.epochs: list[int | None] = []
+        # per primary slot: list of Timestamped[None] per target column
+        self.value_ts: list[list[Timestamped] | None] = []
+
+    def resize_primary_ids(self, new_size: int) -> None:
+        if len(self.epochs) < new_size:
+            grow = new_size - len(self.epochs)
+            self.epochs.extend([None] * grow)
+            self.value_ts.extend([None] * grow)
+        self.data.resize_primary_ids(new_size)
+
+    def slot_state(self, slot: int) -> tuple[int, list[Timestamped]]:
+        if self.epochs[slot] is None:
+            self.epochs[slot] = 0
+            self.value_ts[slot] = [
+                Timestamped.tombstone(Timestamp.MIN) for _ in range(self.target_count)
+            ]
+        return self.epochs[slot], self.value_ts[slot]  # type: ignore[return-value]
+
+
+@dataclass
+class _CompareTimestamps:
+    is_cur_tombstone: bool
+    is_new_tombstone: bool
+    is_newer_timestamp: bool
+    is_same_timestamp: bool
+
+
+def _compare_timestamps(
+    current: list[Timestamped], new: list[Timestamped]
+) -> _CompareTimestamps:
+    cmp = _CompareTimestamps(
+        is_cur_tombstone=False,
+        is_new_tombstone=True,
+        is_newer_timestamp=False,
+        is_same_timestamp=True,
+    )
+    for cur, nw in zip(current, new):
+        if cur.is_tombstone:
+            cmp.is_cur_tombstone = True
+        if nw.is_valid:
+            cmp.is_new_tombstone = False
+        if cur.timestamp < nw.timestamp:
+            cmp.is_newer_timestamp = True
+        if cur.timestamp != nw.timestamp:
+            cmp.is_same_timestamp = False
+    return cmp
+
+
+class Table:
+    """One base table's cache serving one index (the reference wires one
+    Table per index, engine.rs:215-231, though the structure supports
+    several sharing it)."""
+
+    def __init__(self, metadata: IndexMetadata) -> None:
+        self.metadata = metadata
+        self.primary_key_columns = metadata.primary_key_columns
+        self.partition_primary_key_count = metadata.partition_key_count
+
+        self.primary_ids: dict[PrimaryKey, PrimaryId] = {}
+        self.free_primary_ids: deque[PrimaryId] = deque()
+        self._next_primary_slot = 0
+        self.primary_keys: list[PrimaryKey | None] = []
+
+        # regular (non-pk) columns: name -> per-slot list of Timestamped
+        self.columns: dict[ColumnName, list[Timestamped]] = {}
+
+        self._id_gen = IndexIdGenerator()
+        self.index_ids: dict[IndexKey, IndexId] = {}
+        self.indexes: dict[IndexId, _Index] = {}
+
+        self.add_index(metadata)
+
+    # -- setup ---------------------------------------------------------------
+
+    def add_index(self, metadata: IndexMetadata) -> None:
+        index_id = self._id_gen.next(global_=metadata.partitioning.is_global)
+        data = _IndexData(
+            index_id,
+            metadata.partitioning.local_columns,
+            metadata.primary_key_columns,
+        )
+        index = _Index(
+            index_id,
+            data,
+            metadata.filtering_columns,
+            target_count=1,  # one target column per index (vector or document)
+        )
+        self.index_ids[metadata.key] = index_id
+        self.indexes[index_id] = index
+        size = len(self.primary_keys)
+        index.resize_primary_ids(size)
+        for col in list(data.nonpk_partition_key_columns) + list(metadata.filtering_columns):
+            if col not in self.primary_key_columns:
+                self.columns.setdefault(
+                    col, [Timestamped.tombstone(Timestamp.MIN) for _ in range(size)]
+                )
+
+    # -- id plumbing -----------------------------------------------------------
+
+    def _reserve_primary_ids(self) -> None:
+        if self.free_primary_ids:
+            return
+        start = self._next_primary_slot
+        end = start + RESERVE_PRIMARY_IDS
+        for slot in range(start, end):
+            self.free_primary_ids.append(PrimaryId.new(slot, 0))
+        self._next_primary_slot = end
+        self.primary_keys.extend([None] * (end - len(self.primary_keys)))
+        for col, vec in self.columns.items():
+            vec.extend(
+                Timestamped.tombstone(Timestamp.MIN) for _ in range(end - len(vec))
+            )
+        for index in self.indexes.values():
+            index.resize_primary_ids(end)
+
+    def _add_primary_key(self, primary_key: PrimaryKey) -> PrimaryId:
+        existing = self.primary_ids.get(primary_key)
+        if existing is not None:
+            return existing
+        primary_id = self.free_primary_ids.popleft()
+        self.primary_ids[primary_key] = primary_id
+        self.primary_keys[primary_id.slot] = primary_key
+        return primary_id
+
+    # -- column access ---------------------------------------------------------
+
+    def _column_value(self, primary_id: PrimaryId, column: ColumnName):
+        """Current value of a column for a row; None when tombstoned or
+        unknown. Primary-key columns pass through to the key itself."""
+        if column in self.primary_key_columns:
+            pk = self.primary_keys[primary_id.slot]
+            if pk is None:
+                return None
+            offset = self.primary_key_columns.index(column)
+            values = pk.values()
+            return values[offset] if offset < len(values) else None
+        vec = self.columns.get(column)
+        if vec is None or primary_id.slot >= len(vec):
+            return None
+        return vec[primary_id.slot].value
+
+    def _update_columns(
+        self,
+        primary_id: PrimaryId,
+        column_names: Iterable[ColumnName],
+        values: list[tuple[Timestamp, object | None]],
+    ) -> None:
+        for (ts, value), name in zip(values, column_names):
+            if name in self.primary_key_columns:
+                continue  # pk columns are immutable pass-throughs
+            vec = self.columns.get(name)
+            if vec is None:
+                raise KeyError(f"Column {name} not found in table columns")
+            new = Timestamped(ts, value) if value is not None else Timestamped.tombstone(ts)
+            # LWW guard: strictly newer wins (column_vec.rs:38-47)
+            if new.timestamp > vec[primary_id.slot].timestamp:
+                vec[primary_id.slot] = new
+
+    # -- modify (TableModify parity, table/mod.rs:1006-1119) -------------------
+
+    def upsert(
+        self,
+        index_key: IndexKey,
+        primary_key: PrimaryKey,
+        values: tuple[Timestamped, ...],  # Timestamped[DbIndexedValue], 1+target
+    ) -> list[Operation]:
+        self._reserve_primary_ids()
+        index_id = self.index_ids.get(index_key)
+        if index_id is None:
+            raise KeyError(f"Index key {index_key} not found")
+        index = self.indexes[index_id]
+        index.data.reserve_partition_ids()
+
+        primary_id = self._add_primary_key(primary_key)
+
+        # split: first value is the target (vector/document), the rest are
+        # filtering values in [nonpk partition key cols] + [filtering cols]
+        # order (split_values_filtering, table/mod.rs:709-756)
+        head = values[0]
+        target: DbIndexedValue | None = head.value
+        if target is not None and target.kind == "filtering":
+            raise ValueError("Expected vector or document for the target column")
+        timestamps = [
+            Timestamped(head.timestamp, ())
+            if head.is_valid
+            else Timestamped.tombstone(head.timestamp)
+        ]
+        filtering: list[tuple[Timestamp, object | None]] = []
+        for tv in values[1:]:
+            v = tv.value
+            if v is not None and v.kind != "filtering":
+                raise ValueError("Expected filtering value for non-target column")
+            filtering.append((tv.timestamp, v.value if v is not None else None))
+
+        self._update_columns(
+            primary_id,
+            list(index.data.nonpk_partition_key_columns) + list(index.filtering_columns),
+            filtering,
+        )
+
+        processing = index.data.classify(
+            primary_id, lambda col: self._column_value(primary_id, col)
+        )
+        return self._update_index(primary_id, processing, index, target, timestamps)
+
+    def delete(
+        self, index_key: IndexKey, primary_key: PrimaryKey, timestamp: Timestamp
+    ) -> list[Operation]:
+        self._reserve_primary_ids()
+        index_id = self.index_ids.get(index_key)
+        if index_id is None:
+            raise KeyError(f"Index key {index_key} not found")
+        index = self.indexes[index_id]
+        index.data.reserve_partition_ids()
+
+        primary_id = self._add_primary_key(primary_key)
+
+        # tombstone only filtering columns; partition-key columns cannot be
+        # removed (table/mod.rs:1092-1102)
+        self._update_columns(
+            primary_id,
+            list(index.filtering_columns),
+            [(timestamp, None) for _ in index.filtering_columns],
+        )
+
+        processing = index.data.classify(
+            primary_id, lambda col: self._column_value(primary_id, col)
+        )
+        return self._update_index(
+            primary_id,
+            processing,
+            index,
+            None,
+            [Timestamped.tombstone(timestamp)],
+        )
+
+    # -- the UpdateWork state machine (table/mod.rs:759-1003) -------------------
+
+    def _update_index(
+        self,
+        primary_id: PrimaryId,
+        processing: _Processing,
+        index: _Index,
+        target: DbIndexedValue | None,
+        timestamps: list[Timestamped],
+    ) -> list[Operation]:
+        operations: list[Operation] = []
+        if processing.kind == "missing":
+            logger.debug("Missing partition, skipping update")
+            return operations
+
+        cur_epoch, cur_ts = index.slot_state(primary_id.slot)
+        cmp = _compare_timestamps(cur_ts, timestamps)
+        if not cmp.is_newer_timestamp and (
+            not cmp.is_same_timestamp or not processing.is_changing_partitions
+        ):
+            return operations
+
+        # a row re-read that lost its target column behaves as a tombstone
+        if target is None and not cmp.is_new_tombstone:
+            cmp.is_new_tombstone = True
+            timestamps = [Timestamped.tombstone(timestamps[0].timestamp)]
+
+        work, work_partition, work_new_partition = self._classify_work(
+            processing, cmp, index
+        )
+
+        cur_primary_id = primary_id.with_epoch(cur_epoch)
+        new_epoch = next_epoch(cur_epoch)
+        new_primary_id = primary_id.with_epoch(new_epoch)
+
+        index.epochs[primary_id.slot] = new_epoch
+        index.value_ts[primary_id.slot] = list(timestamps)
+
+        if work == "none":
+            return operations
+
+        if work == "move_inside":
+            operations.append(
+                RemoveBeforeAddValue(primary_id=cur_primary_id, partition_id=work_partition)
+            )
+        if work == "move_between":
+            operations.append(
+                RemoveBeforeAddValue(primary_id=cur_primary_id, partition_id=work_partition)
+            )
+            if index.data.remove_row_from_partition(cur_primary_id, work_partition):
+                operations.append(RemovePartition(partition_id=work_partition))
+
+        if target is not None and work in ("move_inside", "move_between", "add"):
+            if work == "move_inside":
+                pid, is_update = work_partition, True
+            elif work == "move_between":
+                pid, is_update = work_new_partition, True
+            else:
+                pid, is_update = work_partition, False
+            if target.kind == "vector":
+                operations.append(
+                    AddVector(
+                        primary_id=new_primary_id,
+                        partition_id=pid,
+                        vector=tuple(target.value),  # type: ignore[arg-type]
+                        is_update=is_update,
+                    )
+                )
+            else:
+                operations.append(
+                    AddDocument(
+                        primary_id=new_primary_id,
+                        partition_id=pid,
+                        document=str(target.value),
+                        is_update=is_update,
+                    )
+                )
+            if work in ("move_between", "add"):
+                index.data.insert_row_into_partition(new_primary_id, pid)
+
+        if work == "remove":
+            operations.append(
+                RemoveValue(primary_id=cur_primary_id, partition_id=work_partition)
+            )
+            if index.data.remove_row_from_partition(cur_primary_id, work_partition):
+                operations.append(RemovePartition(partition_id=work_partition))
+
+        return operations
+
+    def _classify_work(
+        self, processing: _Processing, cmp: _CompareTimestamps, index: _Index
+    ) -> tuple[str | None, PartitionId | None, PartitionId | None]:
+        """Maps (ProcessingPartition x CompareTimestamps) to work
+        (UpdateWork::new, table/mod.rs:767-868). Returns
+        (work, partition, new_partition) where work is one of
+        {'none', 'move_inside', 'move_between', 'add', 'remove'}; 'none'
+        still advances the row's epoch and timestamps (the reference's
+        UpdateWork::None) but emits no operations."""
+        k = processing.kind
+        ct, nt = cmp.is_cur_tombstone, cmp.is_new_tombstone
+
+        if k == "existing":
+            pid = processing.partition_id
+            if ct:
+                return ("none", None, None) if nt else ("add", pid, None)
+            return ("remove", pid, None) if nt else ("move_inside", pid, None)
+
+        if k == "new":
+            if nt:
+                return ("none", None, None)
+            pid = index.data.create_partition(processing.partition_key)  # type: ignore[arg-type]
+            return ("add", pid, None)
+
+        if k == "add_to_existing":
+            if nt:
+                return ("none", None, None)
+            return ("add", processing.partition_id, None)
+
+        if k == "move_to_new":
+            cur = processing.partition_id
+            if nt:
+                if ct:
+                    return ("none", None, None)
+                return ("remove", cur, None)
+            new_pid = index.data.create_partition(processing.partition_key)  # type: ignore[arg-type]
+            if ct:
+                return ("add", new_pid, None)
+            return ("move_between", cur, new_pid)
+
+        if k == "move_to_existing":
+            cur, new = processing.partition_id, processing.new_partition_id
+            if ct:
+                return ("none", None, None) if nt else ("add", new, None)
+            return ("remove", cur, None) if nt else ("move_between", cur, new)
+
+        if k == "missing_key":
+            # partition key vanished: the row can no longer be indexed
+            if ct:
+                return ("none", None, None)
+            return ("remove", processing.partition_id, None)
+
+        return ("none", None, None)
+
+    # -- search-side (TableSearch parity, table/mod.rs:1122-1276) ---------------
+
+    def index_id(self, index_key: IndexKey) -> IndexId | None:
+        return self.index_ids.get(index_key)
+
+    def is_valid_primary_id(self, partition_id: PartitionId, primary_id: PrimaryId) -> bool:
+        index = self.indexes.get(partition_id.index_id)
+        if index is None or primary_id.slot >= len(index.epochs):
+            return False
+        epoch = index.epochs[primary_id.slot]
+        return epoch is not None and epoch == primary_id.epoch
+
+    def partition_id(
+        self,
+        index_key: IndexKey,
+        restrictions: Optional[list[Restriction]],
+    ) -> Optional[tuple[PartitionId, Optional[list[Restriction]]]]:
+        index_id = self.index_ids.get(index_key)
+        if index_id is None:
+            return None
+        index = self.indexes[index_id]
+        if index.data.is_global:
+            return (PartitionId.global_for(index_id), restrictions)
+        if restrictions is None:
+            return None
+        got = partition_key_from_restrictions(
+            index.data.partition_key_columns, restrictions
+        )
+        if got is None:
+            return None
+        pkey, remaining = got
+        pid = index.data.map.get(pkey)
+        if pid is None:
+            return None
+        return (pid, remaining)
+
+    def primary_key(
+        self, partition_id: PartitionId, primary_id: PrimaryId
+    ) -> PrimaryKey | None:
+        if not self.is_valid_primary_id(partition_id, primary_id):
+            return None
+        if primary_id.slot >= len(self.primary_keys):
+            return None
+        return self.primary_keys[primary_id.slot]
+
+    def is_valid_for(
+        self,
+        partition_id: PartitionId,
+        primary_id: PrimaryId,
+        restriction: Restriction,
+    ) -> bool:
+        if not self.is_valid_primary_id(partition_id, primary_id):
+            return False
+        try:
+            return restriction.matches(
+                lambda col: self._column_value(primary_id, col)
+            )
+        except TypeError:
+            return False
+
+    # -- stats -------------------------------------------------------------------
+
+    @property
+    def row_count(self) -> int:
+        return len(self.primary_ids)
+
+
+def partition_key_from_restrictions(
+    key_columns: tuple[ColumnName, ...], restrictions: list[Restriction]
+) -> Optional[tuple[PartitionKey, Optional[list[Restriction]]]]:
+    """Extract the local-index partition key from Eq restrictions covering
+    every partition key column; the consumed restrictions are removed
+    (table/mod.rs:1280-1316)."""
+    values = []
+    for column in key_columns:
+        found = None
+        for r in restrictions:
+            if r.kind is RestrictionKind.EQ and r.lhs[0] == column:
+                found = r.rhs
+                break
+        if found is None:
+            return None
+        values.append(found)
+    remaining = [
+        r
+        for r in restrictions
+        if not (r.kind is RestrictionKind.EQ and r.lhs[0] in key_columns)
+    ]
+    return PartitionKey.from_values(values), (remaining or None)
