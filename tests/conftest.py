@@ -19,3 +19,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# async tests run through aiohttp's pytest plugin (pytest-asyncio is not in
+# the image)
+pytest_plugins = ("aiohttp.pytest_plugin",)

@@ -1,0 +1,148 @@
+"""Service wiring (parity with reference lib.rs::run + main.rs).
+
+Builds every actor — node_state, internals, memory governor, indexes
+registry, engine, schema-discovery monitor, HTTP app — around an injectable
+Db (a real ScyllaDB session in production, FakeDb in tests), and runs until
+stopped.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import signal
+from dataclasses import dataclass
+
+from aiohttp import web
+
+from vector_store_tpu.db import Db
+from vector_store_tpu.http.routes import AppState, build_app
+from vector_store_tpu.service.config import Config, ConfigManager, load_config
+from vector_store_tpu.service.engine import Engine
+from vector_store_tpu.service.indexes import Indexes
+from vector_store_tpu.service.internals import Internals
+from vector_store_tpu.service.memory import MemoryGovernor
+from vector_store_tpu.service.metrics import Metrics
+from vector_store_tpu.service.monitor_indexes import MonitorIndexes
+from vector_store_tpu.service.node_state import NodeState
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Service:
+    config: Config
+    db: Db
+    node_state: NodeState
+    internals: Internals
+    memory: MemoryGovernor
+    metrics: Metrics
+    indexes: Indexes
+    engine: Engine
+    monitor_indexes: MonitorIndexes
+    app: web.Application
+    runner: web.AppRunner | None = None
+
+    async def stop(self) -> None:
+        await self.monitor_indexes.stop()
+        await self.engine.stop()
+        await self.memory.stop()
+        if self.runner is not None:
+            await self.runner.cleanup()
+
+
+async def build_service(db: Db, config: Config | None = None) -> Service:
+    config = config or load_config()
+
+    node_state = NodeState()
+    internals = Internals()
+    memory = MemoryGovernor(limit_bytes=config.memory_limit)
+    metrics = Metrics()
+    indexes = Indexes()
+
+    engine = Engine(
+        db,
+        indexes,
+        node_state,
+        memory=memory,
+        metrics=metrics,
+        internals=internals,
+        engine_kind=config.engine_kind,
+    )
+    monitor = MonitorIndexes(
+        db, engine, node_state, interval=config.monitor_indexes_interval
+    )
+
+    state = AppState(
+        indexes,
+        node_state,
+        metrics,
+        internals,
+        engine=engine,
+        use_tls=config.use_tls,
+    )
+    app = build_app(state)
+
+    node_state.connecting_to_db()
+    node_state.connected_to_db()
+
+    memory.start()
+    engine.start()
+    monitor.start()
+
+    return Service(
+        config=config,
+        db=db,
+        node_state=node_state,
+        internals=internals,
+        memory=memory,
+        metrics=metrics,
+        indexes=indexes,
+        engine=engine,
+        monitor_indexes=monitor,
+        app=app,
+    )
+
+
+async def serve(db: Db, config: Config | None = None) -> Service:
+    """Build the service AND bind the HTTP listener."""
+    service = await build_service(db, config)
+    runner = web.AppRunner(service.app)
+    await runner.setup()
+    cfg = service.config
+    ssl_ctx = None
+    if cfg.use_tls:
+        import ssl
+
+        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        ssl_ctx.load_cert_chain(cfg.tls_cert_path, cfg.tls_key_path)
+    site = web.TCPSite(runner, cfg.host, cfg.port, ssl_context=ssl_ctx)
+    await site.start()
+    service.runner = runner
+    logger.info("listening on %s", cfg.uri)
+    return service
+
+
+async def main() -> None:
+    logging.basicConfig(level=logging.INFO)
+    config_manager = ConfigManager()
+    config_manager.install_sighup()
+    config = config_manager.config
+
+    # production path: real ScyllaDB driver (later rounds); for now the
+    # service boots with the fake DB unless a driver is available
+    from vector_store_tpu.db.fake import FakeDb
+
+    db = FakeDb()
+    service = await serve(db, config)
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        loop.add_signal_handler(sig, stop.set)
+    await stop.wait()
+    await service.stop()
+
+
+if __name__ == "__main__":
+    asyncio.run(main())

@@ -1,0 +1,408 @@
+"""VS index actor: owns one device index and schedules device work.
+
+TPU-native replacement for the usearch actor (vs_index/usearch.rs). Where
+the reference dispatches each query as its own CPU job on a worker pool, a
+TPU serves hundreds of queries per kernel launch, so the actor's core is a
+micro-batching loop:
+
+- incoming ANN requests accumulate in a queue; the loop drains whatever is
+  pending (bounded by MAX_BATCH) into ONE device search call;
+- search is prioritized over modifications (the reference's biased recv,
+  vs_index/mod.rs:30-45); modify ops apply in batches between search
+  batches, and graph delta merges run when the modify queue is idle —
+  the reference's exclusive Reserve/Remove permits become this scheduling
+  (one loop owner = no data races on device state);
+- filtered search post-filters an oversampled result set against the table
+  (the reference filters inside traversal via per-id callback; on TPU the
+  equivalent cheap check happens on the k' candidates after the batched
+  kernel), growing k' until satisfied or exhausted;
+- adds are dropped when the memory governor says Cannot (usearch.rs:1156).
+
+Engine choice: global indexes get the graph engine (sub-linear search at
+scale); local (per-partition) indexes get the flat engine with partition
+masks, mirroring the reference's small per-partition sub-indexes (1k
+reserve increments).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from vector_store_tpu.core.distance import Distance
+from vector_store_tpu.core.filters import Restriction
+from vector_store_tpu.core.ids import PartitionId, PrimaryId
+from vector_store_tpu.core.keys import PrimaryKey
+from vector_store_tpu.core.types import IndexKey, IndexMetadata, Quantization, SpaceType
+from vector_store_tpu.engine import FlatDeviceIndex, GraphDeviceIndex
+from vector_store_tpu.engine.flat import LOCAL_RESERVE_INCREMENT
+from vector_store_tpu.table import (
+    AddDocument,
+    AddVector,
+    Operation,
+    RemoveBeforeAddValue,
+    RemovePartition,
+    RemoveValue,
+    Table,
+)
+
+logger = logging.getLogger(__name__)
+
+MAX_SEARCH_BATCH = 512
+MAX_MODIFY_BATCH = 8192
+MERGE_BATCH = 4096
+OVERSAMPLE_STEPS = (4, 16, 64)
+
+
+class DimensionMismatch(ValueError):
+    """Query vector dimensionality differs from the index
+    (vs_index/validator.rs -> HTTP 400)."""
+
+
+@dataclass
+class _SearchRequest:
+    vector: np.ndarray
+    limit: int
+    partition: Optional[PartitionId]
+    restrictions: Optional[list[Restriction]]
+    future: asyncio.Future
+    # filled by the batch executor
+    oversample: int = 1
+
+
+class VsIndexActor:
+    def __init__(
+        self,
+        metadata: IndexMetadata,
+        table: Table,
+        memory=None,  # MemoryGovernor | None
+        metrics=None,  # Metrics | None
+        engine_kind: str = "auto",  # auto|flat|graph
+    ) -> None:
+        self.metadata = metadata
+        self.table = table
+        self.memory = memory
+        self.metrics = metrics
+        vs = metadata.vs_options
+        assert vs is not None
+        self.dimensions = int(vs.dimensions)
+        self.space_type = vs.space_type
+        self.quantization = vs.quantization
+
+        is_local = not metadata.partitioning.is_global
+        if engine_kind == "auto":
+            engine_kind = "flat" if is_local else "graph"
+        self.engine_kind = engine_kind
+        if engine_kind == "graph":
+            self.engine: GraphDeviceIndex | FlatDeviceIndex = GraphDeviceIndex(
+                self.dimensions,
+                space_type=vs.space_type,
+                quantization=vs.quantization,
+                connectivity=int(vs.connectivity),
+                expansion_add=int(vs.expansion_add),
+                expansion_search=int(vs.expansion_search),
+            )
+        else:
+            self.engine = FlatDeviceIndex(
+                self.dimensions,
+                space_type=vs.space_type,
+                quantization=vs.quantization,
+                reserve_increment=LOCAL_RESERVE_INCREMENT if is_local else 1_000_000,
+            )
+        self.is_local = is_local
+
+        self._search_queue: deque_t = asyncio.Queue()
+        self._modify_queue: list[Operation] = []
+        self._modify_event = asyncio.Event()
+        self._task: asyncio.Task | None = None
+        self._stopped = False
+        self._dropped_adds = 0
+
+    # -- lifecycle ------------------------------------------------------------
+
+    def start(self) -> None:
+        self._task = asyncio.get_running_loop().create_task(self._run())
+
+    async def stop(self) -> None:
+        self._stopped = True
+        self._modify_event.set()
+        if self._task:
+            self._task.cancel()
+            try:
+                await self._task
+            except (asyncio.CancelledError, Exception):
+                pass
+
+    # -- public API (VsIndexSearch/Modify parity, vs_index/actor.rs) ----------
+
+    async def ann(
+        self, vector: list[float], limit: int
+    ) -> list[tuple[PrimaryKey, Distance]]:
+        return await self._submit(vector, limit, None, None)
+
+    async def filtered_ann(
+        self,
+        vector: list[float],
+        restrictions: list[Restriction],
+        limit: int,
+    ) -> list[tuple[PrimaryKey, Distance]]:
+        partition = None
+        rest: Optional[list[Restriction]] = restrictions
+        if self.is_local:
+            routed = self.table.partition_id(self.metadata.key, restrictions)
+            if routed is None:
+                # unknown partition -> empty result (reference resolves the
+                # partition from Eq restrictions, usearch.rs:781-864)
+                return []
+            partition, rest = routed
+        return await self._submit(vector, limit, partition, rest)
+
+    async def count(self) -> int:
+        return self.engine.size
+
+    def apply_operations(self, ops: list[Operation]) -> None:
+        """Called by the monitor_items pump; thread-safe enough for the
+        single asyncio loop."""
+        self._modify_queue.extend(ops)
+        self._modify_event.set()
+
+    @property
+    def backlog(self) -> int:
+        return len(self._modify_queue)
+
+    # -- internals -------------------------------------------------------------
+
+    async def _submit(self, vector, limit, partition, restrictions):
+        v = np.asarray(vector, dtype=np.float32)
+        if v.ndim != 1 or v.shape[0] != self.dimensions:
+            raise DimensionMismatch(
+                f"Invalid query vector size {v.shape[-1] if v.ndim else 0}, "
+                f"expected {self.dimensions}"
+            )
+        fut = asyncio.get_running_loop().create_future()
+        await self._search_queue.put(
+            _SearchRequest(v, limit, partition, restrictions, fut)
+        )
+        return await fut
+
+    async def _run(self) -> None:
+        loop = asyncio.get_running_loop()
+        while not self._stopped:
+            # 1) searches first (biased recv)
+            if not self._search_queue.empty():
+                batch = self._drain_searches()
+                try:
+                    await loop.run_in_executor(None, self._execute_search_batch, batch)
+                except Exception as e:  # resolve all futures with the error
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                continue
+
+            # 2) modifications
+            if self._modify_queue:
+                ops = self._modify_queue[:MAX_MODIFY_BATCH]
+                del self._modify_queue[: len(ops)]
+                await loop.run_in_executor(None, self._apply_ops_batch, ops)
+                continue
+
+            # 3) background graph maintenance
+            if isinstance(self.engine, GraphDeviceIndex) and self.engine.delta_count:
+                await loop.run_in_executor(None, self.engine.merge_delta, MERGE_BATCH)
+                # yield to let searches preempt between merge batches
+                await asyncio.sleep(0)
+                continue
+
+            # idle: wait for work
+            self._modify_event.clear()
+            getter = asyncio.ensure_future(self._search_queue.get())
+            waiter = asyncio.ensure_future(self._modify_event.wait())
+            done, pending = await asyncio.wait(
+                [getter, waiter], return_when=asyncio.FIRST_COMPLETED
+            )
+            for p in pending:
+                p.cancel()
+                try:
+                    await p
+                except (asyncio.CancelledError, Exception):
+                    pass
+            if getter in done:
+                req = getter.result()
+                batch = [req] + self._drain_searches()
+                try:
+                    await loop.run_in_executor(None, self._execute_search_batch, batch)
+                except Exception as e:
+                    for r in batch:
+                        if not r.future.done():
+                            r.future.set_exception(e)
+
+    def _drain_searches(self) -> list[_SearchRequest]:
+        batch: list[_SearchRequest] = []
+        while len(batch) < MAX_SEARCH_BATCH:
+            try:
+                batch.append(self._search_queue.get_nowait())
+            except asyncio.QueueEmpty:
+                break
+        return batch
+
+    # executed in a worker thread
+    def _execute_search_batch(self, batch: list[_SearchRequest]) -> None:
+        pending = batch
+        for step in (1,) + OVERSAMPLE_STEPS:
+            if not pending:
+                break
+            k = max(r.limit * step for r in pending)
+            k = min(k, max(self.engine.size, 1))
+            queries = np.stack([r.vector for r in pending])
+            partitions = None
+            if self.is_local:
+                partitions = np.asarray(
+                    [r.partition.slot if r.partition else -1 for r in pending],
+                    dtype=np.int32,
+                )
+            results = self.engine.search(queries, k, partitions=partitions)
+            still_pending: list[_SearchRequest] = []
+            for req, res in zip(pending, results):
+                resolved = self._resolve(req, res)
+                exhausted = res.slots.size >= self.engine.size or k >= self.engine.size
+                if len(resolved) >= req.limit or exhausted:
+                    self._finish(req, resolved[: req.limit])
+                else:
+                    still_pending.append(req)
+            pending = still_pending
+        for req in pending:  # best effort after last oversample step
+            self._finish_last(req)
+
+    def _finish_last(self, req: _SearchRequest) -> None:
+        k = min(max(self.engine.size, 1), req.limit * OVERSAMPLE_STEPS[-1] * 4)
+        partitions = None
+        if self.is_local:
+            partitions = np.asarray(
+                [req.partition.slot if req.partition else -1], dtype=np.int32
+            )
+        res = self.engine.search(req.vector[None, :], k, partitions=partitions)[0]
+        self._finish(req, self._resolve(req, res)[: req.limit])
+
+    def _resolve(self, req: _SearchRequest, res) -> list[tuple[PrimaryKey, Distance]]:
+        """Slot/epoch hits -> (PrimaryKey, Distance), dropping stale epochs
+        and rows failing the remaining restrictions (usearch.rs:1067-1154)."""
+        out: list[tuple[PrimaryKey, Distance]] = []
+        pid = req.partition or PartitionId.global_for(
+            self.table.index_id(self.metadata.key)
+        )
+        for slot, epoch, dist in zip(res.slots, res.epochs, res.distances):
+            primary_id = PrimaryId.new(int(slot), int(epoch))
+            if req.restrictions:
+                ok = all(
+                    self.table.is_valid_for(pid, primary_id, r)
+                    for r in req.restrictions
+                )
+                if not ok:
+                    continue
+            pk = self.table.primary_key(pid, primary_id)
+            if pk is None:
+                continue
+            out.append((pk, self._distance(float(dist))))
+        return out
+
+    def _distance(self, d: float) -> Distance:
+        st = self.space_type
+        if self.quantization is Quantization.B1:
+            st = SpaceType.HAMMING
+        if st is SpaceType.HAMMING:
+            return Distance(float(max(0.0, round(d))), st, self.dimensions)
+        if st is SpaceType.COSINE:
+            d = min(max(d, 0.0), 2.0)
+        elif st is SpaceType.EUCLIDEAN:
+            d = max(d, 0.0)
+        return Distance(d, st)
+
+    def _finish(self, req: _SearchRequest, result) -> None:
+        loop = req.future.get_loop()
+        loop.call_soon_threadsafe(
+            lambda: req.future.set_result(result) if not req.future.done() else None
+        )
+
+    # executed in a worker thread
+    def _apply_ops_batch(self, ops: list[Operation]) -> None:
+        """Batch Operation deltas into bulk device calls."""
+        can_add = self.memory.can_allocate if self.memory is not None else True
+        add_slots: list[int] = []
+        add_epochs: list[int] = []
+        add_vecs: list[np.ndarray] = []
+        add_parts: list[int] = []
+        remove_slots: list[int] = []
+        seen_add: dict[int, int] = {}  # slot -> position in add arrays
+
+        for op in ops:
+            if isinstance(op, AddVector):
+                if not can_add:
+                    self._dropped_adds += 1
+                    continue
+                slot = op.primary_id.slot
+                pos = seen_add.get(slot)
+                vec = np.asarray(op.vector, dtype=np.float32)
+                if vec.shape[0] != self.dimensions:
+                    logger.warning(
+                        "dropping vector with wrong dimensions %d != %d",
+                        vec.shape[0],
+                        self.dimensions,
+                    )
+                    continue
+                if pos is not None:
+                    add_epochs[pos] = op.primary_id.epoch
+                    add_vecs[pos] = vec
+                    add_parts[pos] = op.partition_id.slot if self.is_local else -1
+                else:
+                    seen_add[slot] = len(add_slots)
+                    add_slots.append(slot)
+                    add_epochs.append(op.primary_id.epoch)
+                    add_vecs.append(vec)
+                    add_parts.append(op.partition_id.slot if self.is_local else -1)
+            elif isinstance(op, (RemoveValue,)):
+                slot = op.primary_id.slot
+                pos = seen_add.pop(slot, None)
+                if pos is not None:
+                    # add then remove within one batch: drop the add
+                    add_slots[pos] = -1
+                remove_slots.append(slot)
+            elif isinstance(op, RemoveBeforeAddValue):
+                # the following AddVector overwrites the same slot with a new
+                # epoch; the overwrite itself invalidates the old entry, so
+                # this is a no-op device-side unless no add follows
+                continue
+            elif isinstance(op, RemovePartition):
+                continue  # device partition mask handles emptiness naturally
+            elif isinstance(op, AddDocument):
+                logger.warning("AddDocument sent to a VS index; ignoring")
+
+        if remove_slots:
+            self.engine.remove_batch(np.asarray(remove_slots, dtype=np.int64))
+        live = [i for i, s in enumerate(add_slots) if s >= 0]
+        if live:
+            slots = np.asarray([add_slots[i] for i in live], dtype=np.int64)
+            epochs = np.asarray([add_epochs[i] for i in live], dtype=np.int32)
+            vecs = np.stack([add_vecs[i] for i in live])
+            parts = np.asarray([add_parts[i] for i in live], dtype=np.int32)
+            self.engine.upsert_batch(
+                slots, epochs, vecs, partitions=parts if self.is_local else None
+            )
+        if self.metrics is not None:
+            key = self.metadata.key
+            n_add = len(live)
+            n_rm = len(remove_slots)
+            if n_add:
+                self.metrics.modified.with_labels(
+                    key.keyspace, key.index, "insert"
+                ).inc(n_add)
+            if n_rm:
+                self.metrics.modified.with_labels(key.keyspace, key.index, "remove").inc(
+                    n_rm
+                )
+
+
+deque_t = asyncio.Queue
