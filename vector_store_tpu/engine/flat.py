@@ -36,7 +36,7 @@ from vector_store_tpu.ops.distance import (
     vector_aux,
 )
 from vector_store_tpu.ops.quantize import padded_dim, quantize_for_storage, storage_dtype
-from vector_store_tpu.ops.topk import merge_min_k
+from vector_store_tpu.ops.topk import merge_min_k, min_k
 
 GLOBAL_RESERVE_INCREMENT = 1_000_000
 LOCAL_RESERVE_INCREMENT = 1_000
@@ -59,6 +59,15 @@ class SearchResult:
     slots: np.ndarray  # [k'] int64
     epochs: np.ndarray  # [k'] int32
     distances: np.ndarray  # [k'] float32
+
+
+@dataclass
+class PendingSearch:
+    """In-flight device search: packed [3, B, k] device array + metadata."""
+
+    packed: jax.Array
+    b_real: int
+    k: int
 
 
 @functools.partial(
@@ -89,11 +98,7 @@ def _flat_search(
     nblocks = cap // block_rows
     inf = jnp.float32(jnp.inf)
 
-    init_d = jnp.full((b, k), inf, dtype=jnp.float32)
-    init_i = jnp.full((b, k), -1, dtype=jnp.int32)
-
-    def body(carry, i):
-        best_d, best_i = carry
+    def body(_, i):
         start = i * block_rows
         vb = jax.lax.dynamic_slice_in_dim(vectors, start, block_rows, 0)
         ab = jax.lax.dynamic_slice_in_dim(aux, start, block_rows, 0)
@@ -107,11 +112,18 @@ def _flat_search(
             mask = mask & pm
         d = jnp.where(mask, d, inf)
         ids = start + jax.lax.broadcasted_iota(jnp.int32, (b, block_rows), 1)
-        return merge_min_k(best_d, best_i, d, ids, approx=approx), None
+        # per-block partial top-k only; the cross-block merge happens once
+        # after the scan (top_k inside the loop dominated the runtime)
+        bd, bi = min_k(d, ids, k, approx=approx)
+        return None, (bd, bi)
 
-    (best_d, best_i), _ = jax.lax.scan(
-        body, (init_d, init_i), jnp.arange(nblocks, dtype=jnp.int32)
+    _, (blk_d, blk_i) = jax.lax.scan(
+        body, None, jnp.arange(nblocks, dtype=jnp.int32)
     )
+    # [nblocks, B, k] -> [B, nblocks*k]
+    cand_d = jnp.moveaxis(blk_d, 0, 1).reshape(b, nblocks * k)
+    cand_i = jnp.moveaxis(blk_i, 0, 1).reshape(b, nblocks * k)
+    best_d, best_i = min_k(cand_d, cand_i, k)
     safe_i = jnp.maximum(best_i, 0)
     best_e = jnp.where(best_i >= 0, epochs[safe_i], -1)
     # pack into one f32 array: a single device->host pull per search batch
@@ -295,6 +307,18 @@ class FlatDeviceIndex:
         partitions: np.ndarray | None = None,  # [B] i32, -1 = unrestricted
         allow_mask: np.ndarray | None = None,  # [cap] bool
     ) -> list[SearchResult]:
+        return self.search_collect(self.search_begin(queries, k, partitions, allow_mask))
+
+    def search_begin(
+        self,
+        queries: np.ndarray,
+        k: int,
+        partitions: np.ndarray | None = None,
+        allow_mask: np.ndarray | None = None,
+    ) -> "PendingSearch":
+        """Dispatch the device kernel and return a handle without waiting.
+        Pipelining `search_begin` of batch N+1 before `search_collect` of
+        batch N hides the device->host pull latency behind compute."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b_real, _ = queries.shape
         b_pad = _bucket(b_real, _BATCH_BUCKETS)
@@ -337,7 +361,11 @@ class FlatDeviceIndex:
             approx=self.approx,
             use_parts=use_parts,
         )
-        d, i, e = unpack_results(np.asarray(packed))
+        return PendingSearch(packed=packed, b_real=b_real, k=k)
+
+    def search_collect(self, pending: "PendingSearch") -> list[SearchResult]:
+        d, i, e = unpack_results(np.asarray(pending.packed))
+        b_real, k = pending.b_real, pending.k
         d = d[:b_real, :k]
         i = i[:b_real, :k]
         e = e[:b_real, :k]

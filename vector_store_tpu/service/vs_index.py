@@ -190,20 +190,40 @@ class VsIndexActor:
         return await fut
 
     async def _run(self) -> None:
+        """Scheduling loop. Searches are pipelined two-deep: while batch N's
+        device->host result pull is in flight in one worker thread, batch
+        N+1's kernel already executes on the device from another — the pull
+        latency (the dominant fixed cost through the TPU relay) hides behind
+        the next batch's compute. Mutations wait for the pipeline to drain
+        (the reference's exclusive modify permits become this scheduling)."""
         loop = asyncio.get_running_loop()
-        while not self._stopped:
-            # 1) searches first (biased recv)
-            if not self._search_queue.empty():
-                batch = self._drain_searches()
-                try:
-                    await loop.run_in_executor(None, self._execute_search_batch, batch)
-                except Exception as e:  # resolve all futures with the error
+        inflight: set[asyncio.Future] = set()
+
+        def launch(batch: list[_SearchRequest]) -> None:
+            fut = loop.run_in_executor(None, self._execute_search_batch, batch)
+
+            def _done(f: asyncio.Future, batch=batch) -> None:
+                inflight.discard(f)
+                exc = f.exception() if not f.cancelled() else None
+                if exc is not None:
                     for req in batch:
                         if not req.future.done():
-                            req.future.set_exception(e)
+                            req.future.set_exception(exc)
+
+            fut.add_done_callback(_done)
+            inflight.add(fut)
+
+        while not self._stopped:
+            # 1) searches first (biased recv), up to 2 batches in flight
+            if not self._search_queue.empty() and len(inflight) < 2:
+                launch(self._drain_searches())
                 continue
 
-            # 2) modifications
+            if inflight:
+                await asyncio.wait(inflight, return_when=asyncio.FIRST_COMPLETED)
+                continue
+
+            # 2) modifications (pipeline drained)
             if self._modify_queue:
                 ops = self._modify_queue[:MAX_MODIFY_BATCH]
                 del self._modify_queue[: len(ops)]
@@ -232,13 +252,7 @@ class VsIndexActor:
                     pass
             if getter in done:
                 req = getter.result()
-                batch = [req] + self._drain_searches()
-                try:
-                    await loop.run_in_executor(None, self._execute_search_batch, batch)
-                except Exception as e:
-                    for r in batch:
-                        if not r.future.done():
-                            r.future.set_exception(e)
+                launch([req] + self._drain_searches())
 
     def _drain_searches(self) -> list[_SearchRequest]:
         batch: list[_SearchRequest] = []
