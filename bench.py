@@ -53,36 +53,48 @@ def main() -> None:
         block_rows=131072,
         approx=True,
     )
-    exact = FlatDeviceIndex(
-        d,
-        space_type=SpaceType.EUCLIDEAN,
-        quantization=Quantization.F32,
-        initial_capacity=n,
-        block_rows=131072,
-    )
     chunk = 250_000
     held_out = None
+    all_vecs = np.empty((n, d), dtype=np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
         vecs = (
             centers[assign[lo:hi]]
             + rng.normal(size=(hi - lo, d)).astype(np.float32)
         )
+        all_vecs[lo:hi] = vecs
         if held_out is None:
             held_out = vecs[:128] + 0.1 * rng.normal(size=(128, d)).astype(np.float32)
-        slots = np.arange(lo, hi)
-        zeros = np.zeros(hi - lo, np.int32)
-        index.upsert_batch(slots, zeros, vecs)
-        exact.upsert_batch(slots, zeros, vecs)
+        index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs)
     ingest_s = time.time() - t_ingest
     build_rate = n / ingest_s
 
-    # recall gate vs exact f32 ground truth
-    gt = exact.search(held_out, k)
+    # recall gate vs exact f32 ground truth (host numpy, blocked)
+    gt_sets = []
+    q2 = (held_out**2).sum(-1)
+    best_d = np.full((held_out.shape[0], 0), np.inf, dtype=np.float32)
+    best_i = np.zeros((held_out.shape[0], 0), dtype=np.int64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = all_vecs[lo:hi]
+        dist = (
+            q2[:, None]
+            + (block**2).sum(-1)[None, :]
+            - 2.0 * held_out @ block.T
+        )
+        idx_top = np.argpartition(dist, k, axis=1)[:, :k]
+        dd = np.take_along_axis(dist, idx_top, axis=1)
+        best_d = np.concatenate([best_d, dd], axis=1)
+        best_i = np.concatenate([best_i, idx_top + lo], axis=1)
+    order = np.argsort(best_d, axis=1)[:, :k]
+    gt_ids = np.take_along_axis(best_i, order, axis=1)
     got = index.search(held_out, k)
     recall = float(
         np.mean(
-            [len(set(a.slots) & set(b.slots)) / k for a, b in zip(got, gt)]
+            [
+                len(set(res.slots) & set(gt_ids[row])) / k
+                for row, res in enumerate(got)
+            ]
         )
     )
 

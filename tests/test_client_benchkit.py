@@ -1,0 +1,114 @@
+"""Typed client + benchmark harness against a live in-process service."""
+
+import asyncio
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestServer
+
+from vector_store_tpu.benchkit import (
+    load_fbin,
+    load_ibin,
+    recall_at_k,
+    write_fbin,
+    write_ibin,
+)
+from vector_store_tpu.client import ApiError, VectorStoreClient
+from vector_store_tpu.db.fake import FakeDb, FakeIndex, FakeTable, make_vs_metadata, vector_row
+from vector_store_tpu.run import build_service
+from vector_store_tpu.service.config import Config
+
+RNG = np.random.default_rng(33)
+
+
+async def live_service(n=30, dims=4):
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    vecs = RNG.normal(size=(n, dims)).astype(np.float32)
+    rows = [vector_row((i,), vecs[i].tolist(), 100) for i in range(n)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=dims), scan=rows))
+    service = await build_service(db, Config(monitor_indexes_interval=0.05))
+    server = TestServer(service.app)
+    await server.start_server()
+    url = f"http://127.0.0.1:{server.port}"
+    # wait serving
+    from vector_store_tpu.service.node_state import NodeStatus
+
+    deadline = asyncio.get_event_loop().time() + 10
+    while service.node_state.get_status() is not NodeStatus.SERVING:
+        assert asyncio.get_event_loop().time() < deadline
+        await asyncio.sleep(0.05)
+    # wait for the engine tick to sync entry status into the registry
+    from vector_store_tpu.service.node_state import IndexStatus
+
+    entry = service.indexes.get_vs(("ks", "idx"))
+    while entry.status is not IndexStatus.SERVING or await entry.actor.count() < n:
+        assert asyncio.get_event_loop().time() < deadline
+        service.engine.update_entries()
+        await asyncio.sleep(0.05)
+    return service, server, url, vecs
+
+
+class TestClient:
+    async def test_full_surface(self):
+        service, server, url, vecs = await live_service()
+        try:
+            async with VectorStoreClient(url) as client:
+                info = await client.info()
+                assert info["service"] == "scylla-vector-store"
+                assert await client.status() == "SERVING"
+                idxs = await client.indexes()
+                assert idxs[0]["index"] == "idx"
+                st = await client.index_status("ks", "idx")
+                assert st.status == "SERVING" and st.count == 30
+                res = await client.ann("ks", "idx", vecs[3].tolist(), limit=2)
+                assert res.primary_keys["pk"][0] == 3
+                assert len(res.distances) == 2
+                with pytest.raises(ApiError) as e:
+                    await client.ann("ks", "nope", [0.0] * 4)
+                assert e.value.status == 404
+                text = await client.metrics_text()
+                assert "request_latency_seconds" in text
+        finally:
+            await server.close()
+            await service.stop()
+
+
+class TestBenchkit:
+    def test_fbin_roundtrip(self, tmp_path):
+        vecs = RNG.normal(size=(7, 5)).astype(np.float32)
+        path = str(tmp_path / "v.fbin")
+        write_fbin(path, vecs)
+        got = load_fbin(path)
+        np.testing.assert_array_equal(got, vecs)
+        part = load_fbin(path, start=2, count=3)
+        np.testing.assert_array_equal(part, vecs[2:5])
+
+    def test_ibin_roundtrip(self, tmp_path):
+        ids = RNG.integers(0, 100, size=(4, 10)).astype(np.int32)
+        path = str(tmp_path / "gt.ibin")
+        write_ibin(path, ids)
+        np.testing.assert_array_equal(load_ibin(path), ids)
+
+    def test_recall(self):
+        returned = [[1, 2, 3], [4, 5, 6]]
+        gt = np.array([[1, 2, 9], [4, 5, 6]])
+        assert recall_at_k(returned, gt, 3) == pytest.approx((2 / 3 + 1.0) / 2)
+
+    async def test_search_http_harness(self, tmp_path):
+        from vector_store_tpu.benchkit.harness import search_http
+
+        service, server, url, vecs = await live_service()
+        try:
+            queries = vecs[:8] + 0.001
+            gt = np.arange(8)[:, None]  # self-hit ground truth
+            result = await search_http(
+                url, "ks", "idx", queries, gt, k=1, concurrency=4
+            )
+            assert result["queries"] == 8
+            assert result["recall_at_k"] == 1.0
+            assert result["qps"] > 0
+            assert result["p50_ms"] > 0
+        finally:
+            await server.close()
+            await service.stop()

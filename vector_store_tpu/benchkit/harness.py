@@ -1,0 +1,109 @@
+"""Load/benchmark driver (parity with the reference's
+crates/benchmark/src/main.rs commands): measures QPS, latency percentiles,
+and recall over the HTTP path, with filtered-search selectivity buckets
+[50%, 10%, 1%, 0.1%] (main.rs:45-49).
+
+Usage:
+    python -m vector_store_tpu.benchkit.harness search-http \
+        --url http://127.0.0.1:6080 --keyspace ks --index idx \
+        --queries queries.fbin --ground-truth gt.ibin --k 10 --concurrency 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+
+import numpy as np
+
+from vector_store_tpu.benchkit.data import load_fbin, load_ibin
+from vector_store_tpu.benchkit.recall import recall_at_k
+from vector_store_tpu.client import VectorStoreClient
+
+SELECTIVITY_BUCKETS = [0.5, 0.1, 0.01, 0.001]
+
+
+async def search_http(
+    url: str,
+    keyspace: str,
+    index: str,
+    queries: np.ndarray,
+    ground_truth: np.ndarray | None,
+    k: int,
+    concurrency: int,
+    pk_column: str = "pk",
+    filter_template=None,
+) -> dict:
+    latencies: list[float] = []
+    returned: list[list] = [None] * len(queries)  # type: ignore[list-item]
+    sem = asyncio.Semaphore(concurrency)
+
+    async with VectorStoreClient(url) as client:
+        async def one(i: int) -> None:
+            async with sem:
+                t0 = time.perf_counter()
+                res = await client.ann(
+                    keyspace,
+                    index,
+                    queries[i].tolist(),
+                    limit=k,
+                    filter=filter_template(i) if filter_template else None,
+                )
+                latencies.append(time.perf_counter() - t0)
+                returned[i] = res.primary_keys.get(pk_column, [])
+
+        t_start = time.time()
+        await asyncio.gather(*(one(i) for i in range(len(queries))))
+        wall = time.time() - t_start
+
+    lat = np.asarray(latencies)
+    out = {
+        "queries": len(queries),
+        "qps": len(queries) / wall,
+        "p50_ms": float(np.percentile(lat, 50) * 1e3),
+        "p95_ms": float(np.percentile(lat, 95) * 1e3),
+        "p99_ms": float(np.percentile(lat, 99) * 1e3),
+    }
+    if ground_truth is not None:
+        out["recall_at_k"] = recall_at_k(returned, ground_truth, k)
+    return out
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(prog="vector-search-benchmark")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("search-http", help="drive ANN over HTTP, measure QPS/latency/recall")
+    p.add_argument("--url", default="http://127.0.0.1:6080")
+    p.add_argument("--keyspace", required=True)
+    p.add_argument("--index", required=True)
+    p.add_argument("--queries", required=True, help=".fbin query file")
+    p.add_argument("--ground-truth", help=".ibin ground truth file")
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--concurrency", type=int, default=64)
+    p.add_argument("--limit-queries", type=int)
+    p.add_argument("--pk-column", default="pk")
+
+    args = parser.parse_args()
+    if args.command == "search-http":
+        queries = load_fbin(args.queries, count=args.limit_queries)
+        gt = load_ibin(args.ground_truth) if args.ground_truth else None
+        result = asyncio.run(
+            search_http(
+                args.url,
+                args.keyspace,
+                args.index,
+                queries,
+                gt,
+                args.k,
+                args.concurrency,
+                pk_column=args.pk_column,
+            )
+        )
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,14 +41,14 @@ class Service:
     engine: Engine
     monitor_indexes: MonitorIndexes
     app: web.Application
-    runner: web.AppRunner | None = None
+    http_server: object | None = None  # http.server.HttpServer when bound
 
     async def stop(self) -> None:
         await self.monitor_indexes.stop()
         await self.engine.stop()
         await self.memory.stop()
-        if self.runner is not None:
-            await self.runner.cleanup()
+        if self.http_server is not None:
+            await self.http_server.stop()
 
 
 async def build_service(db: Db, config: Config | None = None) -> Service:
@@ -105,21 +105,15 @@ async def build_service(db: Db, config: Config | None = None) -> Service:
 
 
 async def serve(db: Db, config: Config | None = None) -> Service:
-    """Build the service AND bind the HTTP listener."""
-    service = await build_service(db, config)
-    runner = web.AppRunner(service.app)
-    await runner.setup()
-    cfg = service.config
-    ssl_ctx = None
-    if cfg.use_tls:
-        import ssl
+    """Build the service AND bind the HTTP listener(s): plain or TLS main
+    endpoint plus the optional mTLS endpoint, with bind retry and cert
+    rotation (http/server.py)."""
+    from vector_store_tpu.http.server import HttpServer
 
-        ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
-        ssl_ctx.load_cert_chain(cfg.tls_cert_path, cfg.tls_key_path)
-    site = web.TCPSite(runner, cfg.host, cfg.port, ssl_context=ssl_ctx)
-    await site.start()
-    service.runner = runner
-    logger.info("listening on %s", cfg.uri)
+    service = await build_service(db, config)
+    http_server = HttpServer(service.app, service.config)
+    await http_server.start()
+    service.http_server = http_server
     return service
 
 
