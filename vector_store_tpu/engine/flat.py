@@ -190,6 +190,7 @@ class FlatDeviceIndex:
         reserve_increment: int = GLOBAL_RESERVE_INCREMENT,
         block_rows: int = 8192,
         approx: bool = False,
+        use_pallas: bool | None = None,
         device: jax.Device | None = None,
     ) -> None:
         self.dimensions = dimensions
@@ -213,6 +214,16 @@ class FlatDeviceIndex:
         # host mirror of `valid`, so mutations never pull device state
         self._valid_host = np.zeros((cap,), dtype=bool)
         self._allow_all: jax.Array | None = None  # cached all-true mask
+        # fused pallas scan for unfiltered float searches — experimental:
+        # this environment's remote Mosaic compile path stalls on the kernel
+        # (see memory: tpu-relay-perf-quirks), so it stays opt-in for now
+        if use_pallas is None:
+            use_pallas = False
+        if use_pallas:
+            from vector_store_tpu.ops.pallas_scan import supports
+
+            use_pallas = supports(space_type, quantization)
+        self.use_pallas = use_pallas
 
     # -- capacity ------------------------------------------------------------
 
@@ -343,6 +354,28 @@ class FlatDeviceIndex:
             am = np.zeros((self.capacity,), dtype=bool)
             am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
             allow = jnp.asarray(am)
+
+        if (
+            self.use_pallas
+            and allow_mask is None
+            and not use_parts
+            and b_pad >= 32
+        ):
+            from vector_store_tpu.ops.pallas_scan import pallas_flat_search
+
+            packed = pallas_flat_search(
+                self.vectors,
+                self.aux,
+                self.valid,
+                allow,
+                self.epochs,
+                jnp.asarray(qs),
+                jnp.asarray(q_aux),
+                space=self.space_type,
+                k=k_pad,
+                block_rows=1024,
+            )
+            return PendingSearch(packed=packed, b_real=b_real, k=k)
 
         packed = _flat_search(
             self.vectors,

@@ -31,7 +31,10 @@ class FtsIndexActor:
         self.metadata = metadata
         self.table = table
         self.metrics = metrics
-        self.index = InvertedIndex()
+        # native C++ core when the toolchain allows, python fallback else
+        from vector_store_tpu.fts.native import make_inverted_index
+
+        self.index = make_inverted_index()
         # slot -> epoch of the indexed doc (stale hits rejected like VS)
         self._epochs: dict[int, int] = {}
         self._task: asyncio.Task | None = None
