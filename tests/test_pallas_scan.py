@@ -55,10 +55,14 @@ class TestPallasScan:
         assert total >= b * k - 3, total  # a few sub-column collisions allowed
 
     def test_cosine(self):
+        # the kernel contract: cosine vectors and queries arrive normalized
+        # (the engine normalizes at ingest/query time)
         n, d, b, k = 8192, 64, 8, 5
         vecs = RNG.normal(size=(n, d)).astype(np.float32)
         queries = RNG.normal(size=(b, d)).astype(np.float32)
-        dist, ids, _ = run_search(vecs, queries, SpaceType.COSINE, k)
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        dist, ids, _ = run_search(vn, qn, SpaceType.COSINE, k)
         qs = queries / np.linalg.norm(queries, axis=1, keepdims=True)
         vs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
         exact = 1 - qs @ vs.T

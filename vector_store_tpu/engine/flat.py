@@ -272,9 +272,15 @@ class FlatDeviceIndex:
             return
         self.reserve(int(slots.max()))
         was_valid = self._valid_host[slots]
-        vals = quantize_for_storage(
-            np.asarray(vectors, dtype=np.float32), self.quantization
-        )
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if self.space_type is SpaceType.COSINE and self.quantization not in (
+            Quantization.B1,
+        ):
+            # store unit vectors: cosine is scale-invariant, and normalized
+            # storage lets the fused pallas path treat cosine as dot
+            norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-30)
+        vals = quantize_for_storage(vectors, self.quantization)
         pad = self.dp - vals.shape[-1]
         if pad:
             vals = np.pad(vals, [(0, 0), (0, pad)])
@@ -331,6 +337,11 @@ class FlatDeviceIndex:
         Pipelining `search_begin` of batch N+1 before `search_collect` of
         batch N hides the device->host pull latency behind compute."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self.space_type is SpaceType.COSINE and self.quantization not in (
+            Quantization.B1,
+        ):
+            norms = np.linalg.norm(queries, axis=-1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-30)
         b_real, _ = queries.shape
         b_pad = _bucket(b_real, _BATCH_BUCKETS)
         k_pad = _bucket(k, _K_BUCKETS)

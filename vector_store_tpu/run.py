@@ -60,6 +60,16 @@ async def build_service(db: Db, config: Config | None = None) -> Service:
     metrics = Metrics()
     indexes = Indexes()
 
+    from vector_store_tpu.service.worker import Worker
+
+    worker = Worker(threads=config.threads)
+    worker.install_as_default(asyncio.get_running_loop())
+
+    engine_kind = config.engine_kind
+    if config.usearch_simulator:
+        engine_kind = f"sim:{config.usearch_simulator}"
+    elif config.opensearch_uri:
+        engine_kind = f"opensearch:{config.opensearch_uri}"
     engine = Engine(
         db,
         indexes,
@@ -67,10 +77,14 @@ async def build_service(db: Db, config: Config | None = None) -> Service:
         memory=memory,
         metrics=metrics,
         internals=internals,
-        engine_kind=config.engine_kind,
+        engine_kind=engine_kind,
     )
     monitor = MonitorIndexes(
-        db, engine, node_state, interval=config.monitor_indexes_interval
+        db,
+        engine,
+        node_state,
+        interval=config.monitor_indexes_interval,
+        alter_index_simulator=config.alter_index_simulator,
     )
 
     state = AppState(

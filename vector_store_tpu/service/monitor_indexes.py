@@ -33,11 +33,16 @@ class MonitorIndexes:
         engine: Engine,
         node_state: NodeState,
         interval: float = DEFAULT_INTERVAL,
+        alter_index_simulator: bool = False,
     ) -> None:
         self.db = db
         self.engine = engine
         self.node_state = node_state
         self.interval = interval
+        # simulates missing ALTER INDEX support: keep serving the old index
+        # when parameters change, skip version checks (monitor_indexes.rs
+        # alter_index_simulator mode)
+        self.alter_index_simulator = alter_index_simulator
         self._schema_version = None
         self._known: dict = {}  # IndexKey -> IndexMetadata
         self._task: asyncio.Task | None = None
@@ -74,7 +79,20 @@ class MonitorIndexes:
 
         # removals first
         for key in list(self._known):
-            if key not in discovered or discovered[key] != self._known[key]:
+            if key not in discovered:
+                if self.alter_index_simulator:
+                    continue
+                await self.engine.del_index(key)
+                del self._known[key]
+            elif discovered[key] != self._known[key]:
+                if self.alter_index_simulator and discovered[
+                    key
+                ].discard_version() == self._known[key].discard_version():
+                    # only the version changed: keep the running index
+                    self._known[key] = discovered[key]
+                    continue
+                if self.alter_index_simulator:
+                    continue
                 await self.engine.del_index(key)
                 del self._known[key]
         # additions

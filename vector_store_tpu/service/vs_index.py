@@ -97,7 +97,33 @@ class VsIndexActor:
         if engine_kind == "auto":
             engine_kind = "flat" if is_local else "graph"
         self.engine_kind = engine_kind
-        if engine_kind == "graph":
+        if engine_kind.startswith("sim"):
+            # simulator mode (reference usearch_simulator): exact host-side
+            # engine with configurable delays, no device needed
+            from vector_store_tpu.engine.simulator import SimulatorIndex, parse_delays
+
+            spec = engine_kind.partition(":")[2]
+            delays = parse_delays(spec) if spec else (0.0, 0.0, 0.0)
+            self.engine = SimulatorIndex(
+                self.dimensions,
+                space_type=vs.space_type,
+                quantization=vs.quantization,
+                delays=delays,
+            )
+        elif engine_kind.startswith("opensearch:"):
+            from vector_store_tpu.engine.opensearch import OpenSearchIndex
+
+            self.engine = OpenSearchIndex(
+                engine_kind.partition(":")[2],
+                f"{metadata.keyspace_name}-{metadata.index_name}",
+                self.dimensions,
+                space_type=vs.space_type,
+                quantization=vs.quantization,
+                connectivity=int(vs.connectivity),
+                expansion_add=int(vs.expansion_add),
+                expansion_search=int(vs.expansion_search),
+            )
+        elif engine_kind == "graph":
             self.engine: GraphDeviceIndex | FlatDeviceIndex = GraphDeviceIndex(
                 self.dimensions,
                 space_type=vs.space_type,
