@@ -138,7 +138,7 @@ def test_quantized_recall(quant):
         recall += len(want & got) / 10
     recall /= 20
     # B1 sign-binarization of random gaussians is inherently lossy; the
-    # reference compensates with oversampling+rescoring (validator
-    # quantization_and_rescoring.rs), which the engine layer adds on top.
-    min_recall = 0.25 if quant is Quantization.B1 else 0.95
+    # engine's oversample+rescore pass (reference oversampling/rescoring
+    # options) recovers most of it — ~0.71 at 4x oversample on this data.
+    min_recall = 0.6 if quant is Quantization.B1 else 0.95
     assert recall >= min_recall, f"{quant}: recall {recall}"

@@ -131,6 +131,46 @@ def _flat_search(
     return _pack_results(best_d, best_i, best_e)
 
 
+@functools.partial(jax.jit, static_argnames=("space", "k"))
+def _rescore_stage(
+    cand_packed: jax.Array,  # [3, B, K'] from the quantized search
+    rescore_vectors: jax.Array,  # [cap, Dp] bf16 originals
+    rescore_aux: jax.Array,  # [cap] f32 (|v| for cosine)
+    queries: jax.Array,  # [B, Dp] bf16
+    q_aux: jax.Array,  # [B] f32
+    *,
+    space: SpaceType,
+    k: int,
+) -> jax.Array:
+    """Re-rank oversampled quantized candidates with full-precision
+    distances (the reference's oversampling/rescoring index options fix
+    quantized ranking the same way, validator quantization_and_rescoring)."""
+    from vector_store_tpu.core.types import Quantization as _Q
+    from vector_store_tpu.ops.distance import query_block_distance
+
+    ci = jax.lax.bitcast_convert_type(cand_packed[1], jnp.int32)  # [B, K']
+    ce = cand_packed[2]  # epochs, still f32 bits
+    safe = jnp.maximum(ci, 0)
+    rows = rescore_vectors[safe]  # [B, K', Dp]
+    raux = rescore_aux[safe]
+    nd = query_block_distance(queries, rows, space, _Q.BF16, q_aux, raux)
+    nd = jnp.where(ci >= 0, nd, jnp.inf)
+    negd, pos = jax.lax.top_k(-nd, k)
+    best_d = -negd
+    best_i = jnp.take_along_axis(ci, pos, axis=1)
+    best_eb = jnp.take_along_axis(ce, pos, axis=1)
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    best_e = jnp.where(
+        best_i >= 0, jax.lax.bitcast_convert_type(best_eb, jnp.int32), -1
+    )
+    return _pack_results(best_d, best_i, best_e)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _apply_rescore_upserts(vectors_r, aux_r, slots, vals, new_aux):
+    return vectors_r.at[slots].set(vals), aux_r.at[slots].set(new_aux)
+
+
 def _pack_results(d: jax.Array, i: jax.Array, e: jax.Array) -> jax.Array:
     """Stack (distances f32, ids i32, epochs i32) as one [3, B, k] f32 array
     (ints bitcast); host unpacks with np.view."""
@@ -191,6 +231,8 @@ class FlatDeviceIndex:
         block_rows: int = 8192,
         approx: bool = False,
         use_pallas: bool | None = None,
+        rescore: bool | None = None,
+        oversample: int = 4,
         device: jax.Device | None = None,
     ) -> None:
         self.dimensions = dimensions
@@ -202,6 +244,14 @@ class FlatDeviceIndex:
         self.device = device or jax.devices()[0]
         self.dp = padded_dim(dimensions, quantization)
 
+        # lossy quantizations keep a bf16 copy for oversample+rescore
+        # (reference oversampling/rescoring index options)
+        if rescore is None:
+            rescore = quantization in (Quantization.I8, Quantization.B1)
+        self.rescore = rescore
+        self.oversample = oversample
+        self.dp_rescore = padded_dim(dimensions, Quantization.BF16)
+
         cap = self._round_cap(max(initial_capacity, block_rows))
         dt = storage_dtype(quantization)
         with jax.default_device(self.device):
@@ -210,6 +260,11 @@ class FlatDeviceIndex:
             self.epochs = jnp.full((cap,), -1, dtype=jnp.int32)
             self.valid = jnp.zeros((cap,), dtype=jnp.bool_)
             self.parts = jnp.full((cap,), -1, dtype=jnp.int32)
+            if self.rescore:
+                self.rescore_vectors = jnp.zeros(
+                    (cap, self.dp_rescore), dtype=jnp.bfloat16
+                )
+                self.rescore_aux = jnp.zeros((cap,), dtype=jnp.float32)
         self._live = 0
         # host mirror of `valid`, so mutations never pull device state
         self._valid_host = np.zeros((cap,), dtype=bool)
@@ -253,6 +308,9 @@ class FlatDeviceIndex:
         self.epochs = _grow_1d(self.epochs, new_cap=new_cap, fill=-1)
         self.valid = _grow_1d(self.valid, new_cap=new_cap, fill=False)
         self.parts = _grow_1d(self.parts, new_cap=new_cap, fill=-1)
+        if self.rescore:
+            self.rescore_vectors = _grow_2d(self.rescore_vectors, new_cap=new_cap)
+            self.rescore_aux = _grow_1d(self.rescore_aux, new_cap=new_cap, fill=0.0)
         grown = np.zeros((new_cap,), dtype=bool)
         grown[: self._valid_host.shape[0]] = self._valid_host
         self._valid_host = grown
@@ -299,6 +357,19 @@ class FlatDeviceIndex:
             jnp.asarray(np.asarray(epochs, dtype=np.int32)),
             jnp.asarray(np.asarray(partitions, dtype=np.int32)),
         )
+        if self.rescore:
+            rvals = quantize_for_storage(vectors, Quantization.BF16)
+            rpad = self.dp_rescore - rvals.shape[-1]
+            if rpad:
+                rvals = np.pad(rvals, [(0, 0), (0, rpad)])
+            raux = vector_aux(rvals, self.space_type, Quantization.BF16)
+            self.rescore_vectors, self.rescore_aux = _apply_rescore_upserts(
+                self.rescore_vectors,
+                self.rescore_aux,
+                jnp.asarray(slots),
+                jnp.asarray(rvals),
+                jnp.asarray(raux),
+            )
         # live count: newly-occupied slots only (upsert of a live slot keeps count)
         self._live += int((~was_valid).sum())
         self._valid_host[slots] = True
@@ -388,6 +459,11 @@ class FlatDeviceIndex:
             )
             return PendingSearch(packed=packed, b_real=b_real, k=k)
 
+        k_search = k_pad
+        if self.rescore:
+            k_search = _bucket(
+                min(k_pad * self.oversample, self.capacity), _K_BUCKETS
+            )
         packed = _flat_search(
             self.vectors,
             self.aux,
@@ -400,11 +476,27 @@ class FlatDeviceIndex:
             allow,
             space=self.space_type,
             quant=self.quantization,
-            k=k_pad,
+            k=k_search,
             block_rows=self.block_rows,
             approx=self.approx,
             use_parts=use_parts,
         )
+        if self.rescore:
+            rqs, rq_aux = prepare_queries(
+                queries, self.space_type, Quantization.BF16
+            )
+            rpad = self.dp_rescore - rqs.shape[-1]
+            if rpad:
+                rqs = np.pad(rqs, [(0, 0), (0, rpad)])
+            packed = _rescore_stage(
+                packed,
+                self.rescore_vectors,
+                self.rescore_aux,
+                jnp.asarray(rqs),
+                jnp.asarray(rq_aux),
+                space=self.space_type,
+                k=k_pad,
+            )
         return PendingSearch(packed=packed, b_real=b_real, k=k)
 
     def search_collect(self, pending: "PendingSearch") -> list[SearchResult]:

@@ -352,6 +352,10 @@ async def post_index_ann(request: web.Request) -> web.Response:
             f"Index {keyspace}.{index_name} requires ALLOW FILTERING for this query",
         )
 
+    # routing observability (reference's slow-test-hooks counter)
+    st.internals.increment(
+        f"ann-served-request--{best.key.keyspace}--{best.key.index}"
+    )
     entry = best.entry
     try:
         if restrictions:

@@ -56,9 +56,15 @@ class VsIndexEntry:
         range_columns: list[ColumnName],
     ) -> Optional[int]:
         """Returns the number of uncovered restriction columns, or None when
-        this index cannot serve the query (indexes.rs:score_index)."""
+        this index cannot serve the query (indexes.rs:score_index). The
+        coverable set = primary key columns + non-pk partition columns +
+        declared filtering columns (VsIndexEntry::new, indexes.rs:162-169)."""
         md = self.metadata
-        filtering = set(md.filtering_columns)
+        filtering = (
+            set(md.primary_key_columns)
+            | set(md.nonpk_partition_key_columns())
+            | set(md.filtering_columns)
+        )
         if not all(c in filtering for c in list(equality_columns) + list(range_columns)):
             return None
         if md.partitioning.is_global:
