@@ -132,6 +132,14 @@ async def serve(db: Db, config: Config | None = None) -> Service:
 
 
 async def main() -> None:
+    # clap-parity: the only CLI flag is --version (reference main.rs:20-22)
+    import sys
+
+    import vector_store_tpu
+
+    if "--version" in sys.argv:
+        print(f"{vector_store_tpu.SERVICE_NAME} {vector_store_tpu.__version__}")
+        return
     logging.basicConfig(level=logging.INFO)
     config_manager = ConfigManager()
     config_manager.install_sighup()
