@@ -37,6 +37,7 @@ from vector_store_tpu.ops.distance import (
 )
 from vector_store_tpu.ops.quantize import padded_dim, quantize_for_storage, storage_dtype
 from vector_store_tpu.ops.topk import merge_min_k, min_k
+from vector_store_tpu.utils import hotpath
 
 GLOBAL_RESERVE_INCREMENT = 1_000_000
 LOCAL_RESERVE_INCREMENT = 1_000
@@ -318,6 +319,7 @@ class FlatDeviceIndex:
 
     # -- mutation --------------------------------------------------------------
 
+    @hotpath.measure
     def upsert_batch(
         self,
         slots: np.ndarray,
@@ -397,6 +399,7 @@ class FlatDeviceIndex:
     ) -> list[SearchResult]:
         return self.search_collect(self.search_begin(queries, k, partitions, allow_mask))
 
+    @hotpath.measure
     def search_begin(
         self,
         queries: np.ndarray,
@@ -499,6 +502,7 @@ class FlatDeviceIndex:
             )
         return PendingSearch(packed=packed, b_real=b_real, k=k)
 
+    @hotpath.measure
     def search_collect(self, pending: "PendingSearch") -> list[SearchResult]:
         d, i, e = unpack_results(np.asarray(pending.packed))
         b_real, k = pending.b_real, pending.k

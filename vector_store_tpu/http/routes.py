@@ -494,6 +494,12 @@ async def get_internal_session_counters(request: web.Request) -> web.Response:
     return _json(_state(request).internals.session_counters())
 
 
+async def get_internal_hotpath(request: web.Request) -> web.Response:
+    from vector_store_tpu.utils import hotpath
+
+    return _json(hotpath.stats())
+
+
 async def get_openapi(request: web.Request) -> web.Response:
     from vector_store_tpu.http.openapi import openapi_doc
 
@@ -517,5 +523,6 @@ def build_app(state: AppState) -> web.Application:
     app.router.add_get(
         "/api/internals/session/counters", get_internal_session_counters
     )
+    app.router.add_get("/api/internals/hotpath", get_internal_hotpath)
     app.router.add_get("/api-docs/openapi.json", get_openapi)
     return app

@@ -40,6 +40,7 @@ from vector_store_tpu.core.keys import PrimaryKey
 from vector_store_tpu.core.types import IndexKey, IndexMetadata, Quantization, SpaceType
 from vector_store_tpu.engine import FlatDeviceIndex, GraphDeviceIndex
 from vector_store_tpu.engine.flat import LOCAL_RESERVE_INCREMENT
+from vector_store_tpu.utils import hotpath
 from vector_store_tpu.table import (
     AddDocument,
     AddVector,
@@ -290,6 +291,7 @@ class VsIndexActor:
         return batch
 
     # executed in a worker thread
+    @hotpath.measure
     def _execute_search_batch(self, batch: list[_SearchRequest]) -> None:
         pending = batch
         for step in (1,) + OVERSAMPLE_STEPS:
@@ -368,6 +370,7 @@ class VsIndexActor:
         )
 
     # executed in a worker thread
+    @hotpath.measure
     def _apply_ops_batch(self, ops: list[Operation]) -> None:
         """Batch Operation deltas into bulk device calls."""
         can_add = self.memory.can_allocate if self.memory is not None else True

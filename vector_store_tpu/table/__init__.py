@@ -31,6 +31,7 @@ from vector_store_tpu.core.types import (
     IndexKey,
     IndexMetadata,
 )
+from vector_store_tpu.utils import hotpath
 
 logger = logging.getLogger(__name__)
 
@@ -385,6 +386,7 @@ class Table:
 
     # -- modify (TableModify parity, table/mod.rs:1006-1119) -------------------
 
+    @hotpath.measure
     def upsert(
         self,
         index_key: IndexKey,
@@ -430,6 +432,7 @@ class Table:
         )
         return self._update_index(primary_id, processing, index, target, timestamps)
 
+    @hotpath.measure
     def delete(
         self, index_key: IndexKey, primary_key: PrimaryKey, timestamp: Timestamp
     ) -> list[Operation]:
