@@ -80,9 +80,16 @@ class TestLifecycle:
             await wait_serving(client, "ks", "idx")
             resp = await client.get("/api/v1/status")
             assert await resp.json() == "SERVING"
-            resp = await client.get("/api/v1/indexes/ks/idx/status")
-            data = await resp.json()
-            assert data["count"] == 50
+            # index adds apply asynchronously after SERVING (worker jobs in
+            # the reference, batched device calls here): poll the count
+            deadline = asyncio.get_event_loop().time() + 10
+            while True:
+                resp = await client.get("/api/v1/indexes/ks/idx/status")
+                data = await resp.json()
+                if data["count"] == 50:
+                    break
+                assert asyncio.get_event_loop().time() < deadline
+                await asyncio.sleep(0.05)
             assert data["build_progress"] == 100.0
         finally:
             await client.close()

@@ -96,7 +96,11 @@ class VsIndexActor:
 
         is_local = not metadata.partitioning.is_global
         if engine_kind == "auto":
-            engine_kind = "flat" if is_local else "graph"
+            # exact blocked-MXU scan is both faster AND recall-1.0 up to
+            # multi-million-vector scale on TPU; the graph engine is opt-in
+            # (VECTOR_STORE_ENGINE=graph) until its recall on clustered
+            # data matches the flat path at large N
+            engine_kind = "flat"
         self.engine_kind = engine_kind
         if engine_kind.startswith("sim"):
             # simulator mode (reference usearch_simulator): exact host-side
