@@ -64,7 +64,10 @@ def main() -> None:
         )
         all_vecs[lo:hi] = vecs
         if held_out is None:
-            held_out = vecs[:128] + 0.1 * rng.normal(size=(128, d)).astype(np.float32)
+            # 512 queries: keeps the result pull comfortably above the TPU
+            # relay's slow small-transfer threshold and tightens the recall
+            # estimate
+            held_out = vecs[:512] + 0.1 * rng.normal(size=(512, d)).astype(np.float32)
         index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs)
     ingest_s = time.time() - t_ingest
     build_rate = n / ingest_s

@@ -279,7 +279,10 @@ class GraphDeviceIndex:
             self.adjacency = jnp.full((cap, self.degree), -1, dtype=jnp.int32)
 
         self._entries: list[int] = []  # host-side entry point slots
+        self._entries_seen = 0  # reservoir-sampling counter
+        self._rng = np.random.default_rng(0xC0FFEE)
         self._graph_nodes = 0
+        self._graph_slots: list[int] = []  # all merged slots (for random edges)
         # delta buffer: host staging (numpy); searched exactly via the store's
         # flat path restricted to an allow-mask over delta slots
         self._delta_slots: list[int] = []
@@ -366,9 +369,18 @@ class GraphDeviceIndex:
         self._delta_slots = self._delta_slots[n:]
         self._delta_set -= set(batch)
         self._graph_nodes += n
+        self._graph_slots.extend(int(s) for s in batch)
+        # entry points: reservoir sample over ALL inserted nodes, so entries
+        # stay spread across the data distribution (first-k entries cluster
+        # badly on clustered data)
         for s in batch:
+            self._entries_seen += 1
             if len(self._entries) < self.n_entries:
                 self._entries.append(int(s))
+            else:
+                j = int(self._rng.integers(0, self._entries_seen))
+                if j < self.n_entries:
+                    self._entries[j] = int(s)
         return n
 
     def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray, aux: np.ndarray) -> None:
@@ -470,10 +482,33 @@ class GraphDeviceIndex:
             space=self.space_type,
             quant=self.quantization,
         )
-        sel_i = np.asarray(sel_i)[:n_real]  # [n, deg]
-        sel_d = np.asarray(sel_d)[:n_real]
+        sel_i = np.array(sel_i)[:n_real]  # [n, deg] (writable copies)
+        sel_d = np.array(sel_d)[:n_real]
 
-        # 3. forward edges
+        # 3. forward edges + a couple of random long-range edges per node
+        # (small-world shortcuts: clustered data otherwise yields purely
+        # intra-cluster neighborhoods with no inter-cluster navigability)
+        # shortcuts only pay off once the graph is large enough that
+        # clusters outnumber entry points; on small graphs the stolen edge
+        # slot costs more recall than the shortcut adds
+        if len(self._graph_slots) >= 4096:
+            n_rand = min(2, self.degree // 8) or 1
+            pool = np.asarray(self._graph_slots, dtype=np.int32)
+            rand_edges = pool[
+                self._rng.integers(0, pool.size, size=(n_real, n_rand))
+            ]
+            for j in range(n_rand):
+                col = self.degree - 1 - j
+                # fill empty tail slots; only force-overwrite one slot when
+                # the list is full (keeps near-neighbor edges intact on
+                # small graphs while guaranteeing one long-range shortcut)
+                empty = sel_i[:, col] < 0
+                if j == 0:
+                    sel_i[:, col] = rand_edges[:, j]
+                    sel_d[:, col] = np.float32(1e30)
+                else:
+                    sel_i[:, col] = np.where(empty, rand_edges[:, j], sel_i[:, col])
+                    sel_d[:, col] = np.where(empty, np.float32(1e30), sel_d[:, col])
         self.adjacency = _scatter_rows(
             self.adjacency, jnp.asarray(slots), jnp.asarray(sel_i)
         )
