@@ -370,16 +370,18 @@ class GraphDeviceIndex:
         self._delta_set -= set(batch)
         self._graph_nodes += n
         self._graph_slots.extend(int(s) for s in batch)
-        # entry points: reservoir sample over ALL inserted nodes, so entries
-        # stay spread across the data distribution (first-k entries cluster
-        # badly on clustered data)
+        # entry points: the oldest half stays pinned (oldest nodes acquire
+        # the densest in-link sets through reverse passes and anchor small
+        # graphs), the younger half is a reservoir sample over everything
+        # else so entries still spread across clustered distributions
+        half = self.n_entries // 2
         for s in batch:
             self._entries_seen += 1
             if len(self._entries) < self.n_entries:
                 self._entries.append(int(s))
             else:
                 j = int(self._rng.integers(0, self._entries_seen))
-                if j < self.n_entries:
+                if half <= j < self.n_entries:
                     self._entries[j] = int(s)
         return n
 
