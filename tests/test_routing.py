@@ -223,3 +223,55 @@ class TestRouting:
         finally:
             await client.close()
             await service.stop()
+
+
+class TestTypedFilters:
+    async def test_type_mismatch_400(self):
+        """Filter values are converted against the base table's column
+        types; mismatches 400 like the reference's typed JSON conversion."""
+        db = FakeDb()
+        db.add_table(
+            FakeTable("ks", "tbl", ("pk",), columns={"region": "int", "name": "text"})
+        )
+        scan, vecs = rows()
+        db.add_index(
+            FakeIndex(
+                metadata=make_vs_metadata(
+                    index="g_idx", dimensions=DIMS, filtering_columns=("region", "name")
+                ),
+                scan=list(scan),
+            )
+        )
+        service, client = await start(db)
+        try:
+            await wait_serving(client, ["g_idx"])
+            # wrong type: string for an int column
+            resp = await client.post(
+                "/api/v1/indexes/ks/g_idx/ann",
+                json={
+                    "vector": vecs[0].tolist(),
+                    "limit": 3,
+                    "filter": {
+                        "restrictions": [{"type": "==", "lhs": "region", "rhs": "zero"}],
+                        "allow_filtering": True,
+                    },
+                },
+            )
+            assert resp.status == 400
+            assert "expects int" in await resp.text()
+            # right type passes
+            resp = await client.post(
+                "/api/v1/indexes/ks/g_idx/ann",
+                json={
+                    "vector": vecs[0].tolist(),
+                    "limit": 3,
+                    "filter": {
+                        "restrictions": [{"type": "==", "lhs": "region", "rhs": 1}],
+                        "allow_filtering": True,
+                    },
+                },
+            )
+            assert resp.status == 200
+        finally:
+            await client.close()
+            await service.stop()

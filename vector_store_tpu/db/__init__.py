@@ -83,6 +83,11 @@ class DbIndex(abc.ABC):
     async def stop(self) -> None:
         ...
 
+    async def get_table_columns(self) -> dict[str, str]:
+        """Base-table column name -> CQL type string, used for typed
+        filter-value conversion (reference db_index get_table_columns)."""
+        return {}
+
 
 class Db(abc.ABC):
     """Schema discovery + session surface used by the control plane."""

@@ -104,6 +104,11 @@ class FakeDbIndex(DbIndex):
     def full_scan_progress(self) -> Progress:
         return self.progress
 
+    async def get_table_columns(self) -> dict[str, str]:
+        md = self.index.metadata
+        table = self.db.tables.get((md.keyspace_name, md.table_name))
+        return dict(table.columns) if table else {}
+
     async def stop(self) -> None:
         self._stopped = True
         if self._task:

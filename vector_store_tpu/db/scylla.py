@@ -495,6 +495,11 @@ class ScyllaDbIndex(DbIndex):
     def full_scan_progress(self) -> Progress:
         return self.progress
 
+    async def get_table_columns(self) -> dict[str, str]:
+        md = self.metadata
+        schema = await self.db.get_table_schema(md.keyspace_name, md.table_name)
+        return dict(schema.columns) if schema else {}
+
     async def _run(self, on_scan_started, on_scan_finished) -> None:
         on_scan_started()
 

@@ -220,6 +220,101 @@ def _from_json(v):
     return v
 
 
+_INT_TYPES = {"tinyint", "smallint", "int", "bigint", "counter", "varint"}
+_FLOAT_TYPES = {"float", "double"}
+_TEXT_TYPES = {"text", "ascii", "varchar"}
+
+
+def _coerce_typed(value, cql_type: str, column: str):
+    """JSON value -> python value for a known CQL column type; raises
+    ValueError on type mismatch (reference try_from_json, ~18 native
+    types)."""
+    import datetime
+    import uuid as _uuid
+    from decimal import Decimal, InvalidOperation
+
+    t = cql_type.lower()
+    if t in _INT_TYPES:
+        if isinstance(value, bool) or not isinstance(value, int):
+            raise ValueError(f"column {column} expects {cql_type}, got {value!r}")
+        return value
+    if t in _FLOAT_TYPES:
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f"column {column} expects {cql_type}, got {value!r}")
+        return float(value)
+    if t in _TEXT_TYPES:
+        if not isinstance(value, str):
+            raise ValueError(f"column {column} expects {cql_type}, got {value!r}")
+        return value
+    if t == "boolean":
+        if not isinstance(value, bool):
+            raise ValueError(f"column {column} expects boolean, got {value!r}")
+        return value
+    if t in ("uuid", "timeuuid"):
+        if not isinstance(value, str):
+            raise ValueError(f"column {column} expects {cql_type}, got {value!r}")
+        try:
+            return _uuid.UUID(value)
+        except ValueError:
+            raise ValueError(f"column {column}: invalid uuid {value!r}") from None
+    if t == "decimal":
+        try:
+            return Decimal(str(value))
+        except InvalidOperation:
+            raise ValueError(f"column {column}: invalid decimal {value!r}") from None
+    if t == "timestamp":
+        if isinstance(value, (int, float)) and not isinstance(value, bool):
+            return datetime.datetime.fromtimestamp(
+                value / 1e3, tz=datetime.timezone.utc
+            )
+        if isinstance(value, str):
+            try:
+                return datetime.datetime.fromisoformat(value)
+            except ValueError:
+                raise ValueError(
+                    f"column {column}: invalid timestamp {value!r}"
+                ) from None
+        raise ValueError(f"column {column} expects timestamp, got {value!r}")
+    if t == "blob":
+        if isinstance(value, str):
+            try:
+                return bytes.fromhex(value)
+            except ValueError:
+                raise ValueError(f"column {column}: invalid blob hex") from None
+        raise ValueError(f"column {column} expects blob hex string")
+    # unknown/unhandled type: pass through untyped
+    return value
+
+
+def coerce_restrictions(
+    restrictions: list[Restriction], table_columns: dict
+) -> list[Restriction]:
+    """Convert restriction values using the base table's column types;
+    unknown columns pass through untyped (the table-side comparison treats
+    incomparable values as non-matches)."""
+    if not table_columns:
+        return restrictions
+    out = []
+    for r in restrictions:
+        def conv(col, v):
+            t = table_columns.get(col)
+            return _coerce_typed(v, t, col) if t else v
+
+        if r.kind.is_tuple:
+            if r.kind is RestrictionKind.IN_TUPLE:
+                rhs = tuple(
+                    tuple(conv(c, v) for c, v in zip(r.lhs, row)) for row in r.rhs  # type: ignore[union-attr]
+                )
+            else:
+                rhs = tuple(conv(c, v) for c, v in zip(r.lhs, r.rhs))  # type: ignore[arg-type]
+        elif r.kind is RestrictionKind.IN:
+            rhs = tuple(conv(r.lhs[0], v) for v in r.rhs)  # type: ignore[union-attr]
+        else:
+            rhs = conv(r.lhs[0], r.rhs)
+        out.append(Restriction(r.kind, r.lhs, rhs))
+    return out
+
+
 def restriction_columns(restrictions: list[Restriction]) -> tuple[list[str], list[str]]:
     equality: list[str] = []
     range_: list[str] = []
@@ -357,6 +452,14 @@ async def post_index_ann(request: web.Request) -> web.Response:
         f"ann-served-request--{best.key.keyspace}--{best.key.index}"
     )
     entry = best.entry
+    if restrictions:
+        try:
+            restrictions = coerce_restrictions(
+                restrictions, getattr(entry, "table_columns", {})
+            )
+        except ValueError as e:
+            timer.observe_duration()
+            return _err(400, str(e))
     try:
         if restrictions:
             result = await entry.actor.filtered_ann(vector, restrictions, limit)

@@ -87,8 +87,17 @@ class Engine:
                 key, db_index.feed, table, actor, metrics=self.metrics
             )
             monitor.start()
+            table_columns = {}
+            try:
+                table_columns = await db_index.get_table_columns()
+            except Exception:
+                logger.debug("get_table_columns failed for %s", key)
             entry = VsIndexEntry(
-                actor=actor, monitor=monitor, db_index=db_index, metadata=metadata
+                actor=actor,
+                monitor=monitor,
+                db_index=db_index,
+                metadata=metadata,
+                table_columns=table_columns,
             )
             self.indexes.insert_vs(key, entry)
         else:

@@ -45,6 +45,8 @@ class VsIndexEntry:
     metadata: IndexMetadata
     status: IndexStatus = IndexStatus.INITIALIZING
     progress: Progress = field(default_factory=Progress)
+    # base-table column -> CQL type string, for typed filter conversion
+    table_columns: dict = field(default_factory=dict)
 
     @property
     def routing_group(self) -> RoutingGroupKey:
