@@ -337,3 +337,53 @@ class TestMetrics:
         finally:
             await client.close()
             await service.stop()
+
+
+class TestCoexistingIndexes:
+    async def test_independent_indexes(self):
+        """Multiple indexes over different tables serve independently
+        (validator coexisting_indexes parity)."""
+        db = FakeDb()
+        db.add_table(FakeTable("ks", "t1", ("pk",)))
+        db.add_table(FakeTable("ks", "t2", ("pk",)))
+        v1 = RNG.normal(size=(10, 4)).astype(np.float32)
+        v2 = RNG.normal(size=(10, 6)).astype(np.float32)
+        db.add_index(
+            FakeIndex(
+                metadata=make_vs_metadata(index="i1", table="t1", dimensions=4),
+                scan=[vector_row((i,), v1[i].tolist(), 100) for i in range(10)],
+            )
+        )
+        db.add_index(
+            FakeIndex(
+                metadata=make_vs_metadata(index="i2", table="t2", dimensions=6),
+                scan=[vector_row((i,), v2[i].tolist(), 100) for i in range(10)],
+            )
+        )
+        service, client = await start_service(db)
+        try:
+            await wait_serving(client, "ks", "i1")
+            await wait_serving(client, "ks", "i2")
+            r1 = await client.post(
+                "/api/v1/indexes/ks/i1/ann", json={"vector": v1[3].tolist(), "limit": 1}
+            )
+            r2 = await client.post(
+                "/api/v1/indexes/ks/i2/ann", json={"vector": v2[7].tolist(), "limit": 1}
+            )
+            assert (await r1.json())["primary_keys"]["pk"] == [3]
+            assert (await r2.json())["primary_keys"]["pk"] == [7]
+            # dimensions are per-index
+            bad = await client.post(
+                "/api/v1/indexes/ks/i1/ann", json={"vector": v2[0].tolist(), "limit": 1}
+            )
+            assert bad.status == 400
+            # dropping one leaves the other serving
+            db.drop_index(("ks", "i1"))
+            await wait_for(lambda: service.indexes.get_vs(("ks", "i1")) is None)
+            r2 = await client.post(
+                "/api/v1/indexes/ks/i2/ann", json={"vector": v2[7].tolist(), "limit": 1}
+            )
+            assert r2.status == 200
+        finally:
+            await client.close()
+            await service.stop()

@@ -594,7 +594,17 @@ async def put_internal_counter(request: web.Request) -> web.Response:
 
 
 async def get_internal_session_counters(request: web.Request) -> web.Response:
-    return _json(_state(request).internals.session_counters())
+    st = _state(request)
+    counters = st.internals.session_counters()
+    # live CQL session counters when a real DB session is attached
+    db = getattr(st.engine, "db", None) if st.engine else None
+    session = getattr(db, "session", None)
+    if session is not None:
+        counters = dict(counters)
+        counters["cql_connect_failures"] = getattr(session, "connect_failures", 0)
+        counters["cql_reconnects"] = getattr(session, "reconnects", 0)
+        counters["cql_connected"] = int(getattr(session, "is_connected", False))
+    return _json(counters)
 
 
 async def get_internal_hotpath(request: web.Request) -> web.Response:
