@@ -192,6 +192,32 @@ def unpack_results(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
     return d, i, e
 
 
+# The TPU relay's device->host path degrades pathologically for small
+# transfers (tiny pulls can cost 100-1000x a 512KB pull); pad every result
+# pull up to this many elements per channel.
+_MIN_PULL_ELEMS = 48 * 1024  # 3ch * 48k * 4B = 576KB
+
+
+@functools.partial(jax.jit, static_argnames=("pad",))
+def _pad_packed(packed: jax.Array, *, pad: int) -> jax.Array:
+    flat = packed.reshape(3, -1)
+    return jnp.concatenate(
+        [flat, jnp.zeros((3, pad), dtype=flat.dtype)], axis=1
+    )
+
+
+def pull_packed(packed: jax.Array) -> np.ndarray:
+    """Device [3, B, K] -> host numpy, padding the transfer above the
+    relay's slow small-transfer threshold."""
+    _, b, k = packed.shape
+    elems = b * k
+    need = _MIN_PULL_ELEMS - elems
+    if need > 0:
+        host = np.asarray(_pad_packed(packed, pad=need))
+        return host[:, :elems].reshape(3, b, k)
+    return np.asarray(packed)
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _apply_upserts(vectors, aux, epochs, valid, parts, slots, vals, new_aux, new_epochs, new_parts):
     vectors = vectors.at[slots].set(vals)
@@ -504,7 +530,7 @@ class FlatDeviceIndex:
 
     @hotpath.measure
     def search_collect(self, pending: "PendingSearch") -> list[SearchResult]:
-        d, i, e = unpack_results(np.asarray(pending.packed))
+        d, i, e = unpack_results(pull_packed(pending.packed))
         b_real, k = pending.b_real, pending.k
         d = d[:b_real, :k]
         i = i[:b_real, :k]

@@ -44,6 +44,7 @@ from vector_store_tpu.engine.flat import (
     _BATCH_BUCKETS,
     _K_BUCKETS,
     _pack_results,
+    pull_packed,
     unpack_results,
 )
 from vector_store_tpu.ops.distance import (
@@ -434,7 +435,7 @@ class GraphDeviceIndex:
             iters=efc,
             filtered=False,
         )
-        d_np, i_np, _ = unpack_results(np.asarray(packed))
+        d_np, i_np, _ = unpack_results(pull_packed(packed))
         cand_i = np.array(i_np)  # [n_pad, efc]
         cand_d = np.array(d_np)
 
@@ -715,7 +716,7 @@ class GraphDeviceIndex:
                 iters=ef,
                 filtered=filtered,
             )
-            d, i, e = unpack_results(np.asarray(packed))
+            d, i, e = unpack_results(pull_packed(packed))
             d = d[:b_real, :k]
             i = i[:b_real, :k]
             e = e[:b_real, :k]

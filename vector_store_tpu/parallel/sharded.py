@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vector_store_tpu.core.types import Quantization, SpaceType
-from vector_store_tpu.engine.flat import _pack_results, unpack_results
+from vector_store_tpu.engine.flat import _pack_results, pull_packed, unpack_results
 from vector_store_tpu.ops.distance import pairwise_distance, prepare_queries
 from vector_store_tpu.ops.quantize import padded_dim, quantize_for_storage, storage_dtype
 from vector_store_tpu.ops.distance import vector_aux
@@ -222,5 +222,5 @@ class ShardedFlatIndex:
             jnp.asarray(qs),
             jnp.asarray(q_aux),
         )
-        d, i, e = unpack_results(np.asarray(packed))
+        d, i, e = unpack_results(pull_packed(packed))
         return d[:b_real], i[:b_real], e[:b_real]
