@@ -127,3 +127,30 @@ def test_quantized_graph_recall():
     queries = RNG.normal(size=(16, 32)).astype(np.float32)
     r = recall_at_k(idx, vecs, queries, k=10)
     assert r >= 0.85, f"recall {r}"
+
+
+class TestCompaction:
+    def test_compact_drops_tombstones(self):
+        idx, vecs = build_index(n=600)
+        removed = np.arange(0, 600, 3)
+        idx.remove_batch(removed)
+        n_live = idx.compact()
+        assert n_live == 400
+        assert idx.graph_nodes == 400
+        assert idx.delta_count == 0
+        # tombstoned ids never come back; live ids still found
+        live_id = 1  # 1 % 3 != 0
+        res = idx.search(vecs[live_id][None], k=1)[0]
+        assert res.slots[0] == live_id
+        res = idx.search(vecs[0][None], k=5)[0]
+        assert 0 not in res.slots
+
+    def test_compact_then_insert(self):
+        idx, vecs = build_index(n=300)
+        idx.remove_batch(np.arange(100))
+        idx.compact()
+        new = RNG.normal(size=(5, 32)).astype(np.float32) + 30
+        idx.upsert_batch(np.arange(300, 305), np.zeros(5, np.int32), new)
+        idx.merge_delta()
+        res = idx.search(new[2][None], k=1, expansion=64)[0]
+        assert res.slots[0] == 302

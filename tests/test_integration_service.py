@@ -387,3 +387,72 @@ class TestCoexistingIndexes:
         finally:
             await client.close()
             await service.stop()
+
+
+class TestFtsIntegration:
+    async def test_bm25_over_http(self):
+        """FTS index end-to-end: scan docs, serve BM25 (integration fts.rs
+        parity)."""
+        from vector_store_tpu.core.types import (
+            IndexMetadata,
+            IndexOptionsFts,
+            IndexVersion,
+        )
+        import uuid as _uuid
+        from vector_store_tpu.db.fake import document_row
+
+        db = FakeDb()
+        db.add_table(FakeTable("ks", "docs", ("pk",)))
+        md = IndexMetadata(
+            keyspace_name="ks",
+            index_name="fts",
+            table_name="docs",
+            primary_key_columns=("pk",),
+            partition_key_count=1,
+            target_columns=("body",),
+            partitioning=DbIndexPartitioning.global_(),
+            filtering_columns=(),
+            version=IndexVersion(_uuid.uuid1()),
+            fts_options=IndexOptionsFts(),
+        )
+        docs = [
+            document_row((1,), "the quick brown fox", 100),
+            document_row((2,), "lazy dogs sleep", 100),
+            document_row((3,), "quick quick foxes", 100),
+        ]
+        db.add_index(FakeIndex(metadata=md, scan=docs))
+        service, client = await start_service(db)
+        try:
+            await wait_serving(client, "ks", "fts")
+            resp = await client.get("/api/v1/indexes/ks/fts/status")
+            data = await resp.json()
+            assert data["count"] == 3 or data["count"] == 0  # commit batching
+            resp = await client.post(
+                "/api/v1/indexes/ks/fts/bm25",
+                json={"query": "quick fox", "limit": 2},
+            )
+            assert resp.status == 200
+            data = await resp.json()
+            assert 1 in data["primary_keys"]["pk"]
+            assert len(data["scores"]) == len(data["primary_keys"]["pk"])
+            # listed with fulltext options
+            idxs = await (await client.get("/api/v1/indexes")).json()
+            fts = [i for i in idxs if i["index"] == "fts"]
+            assert fts and fts[0]["options"]["type"] == "fulltext"
+            # CDC document update
+            dbi = db.db_indexes[("ks", "fts")]
+            await dbi.push_cdc(document_row((9,), "zebras gallop quickly", 200))
+            deadline = asyncio.get_event_loop().time() + 10
+            while True:
+                resp = await client.post(
+                    "/api/v1/indexes/ks/fts/bm25",
+                    json={"query": "zebras", "limit": 1},
+                )
+                data = await resp.json()
+                if resp.status == 200 and data["primary_keys"]["pk"] == [9]:
+                    break
+                assert asyncio.get_event_loop().time() < deadline
+                await asyncio.sleep(0.05)
+        finally:
+            await client.close()
+            await service.stop()

@@ -346,6 +346,33 @@ class GraphDeviceIndex:
     def needs_merge(self) -> bool:
         return len(self._delta_slots) >= self.max_delta
 
+    def compact(self) -> int:
+        """Rebuild the graph without tombstoned nodes. Tombstones stay
+        traversable after remove_batch (cheap deletes); once they accumulate
+        they waste beam steps, so the owner can run this in the background.
+        Returns the number of live nodes re-linked.
+
+        The reference never compacts (indexes are rebuilt from the DB on
+        restart); this is the TPU-native longevity path for long-running
+        streaming indexes.
+        """
+        live = [s for s in self._graph_slots if self.store._valid_host[s]]
+        cap = self.store.capacity
+        self.adjacency = jnp.full((cap, self.degree), -1, dtype=jnp.int32)
+        self._entries = []
+        self._entries_seen = 0
+        self._graph_nodes = 0
+        self._graph_slots = []
+        # re-stage live nodes (delta order preserved for determinism)
+        pending = set(self._delta_slots)
+        for s in live:
+            if s not in pending and s not in self._delta_set:
+                self._delta_slots.append(s)
+                self._delta_set.add(s)
+        while self.merge_delta(max_batch=4096):
+            pass
+        return len(live)
+
     # -- delta merge (graph construction) -----------------------------------
 
     def merge_delta(self, max_batch: int = 4096) -> int:
