@@ -131,6 +131,59 @@ async def serve(db: Db, config: Config | None = None) -> Service:
     return service
 
 
+async def serve_scaled(
+    db: Db,
+    config: Config | None = None,
+    workers: int = 4,
+    ipc_path: str | None = None,
+) -> Service:
+    """Multi-process serving: this (owner) process keeps exclusive TPU
+    ownership and runs ingestion + engines + the binary IPC endpoint; N
+    spawned frontend processes bind the HTTP port with SO_REUSEPORT and do
+    all HTTP/JSON work, forwarding searches over unix sockets. This is how
+    the single-loop Python HTTP ceiling is lifted (the reference's tokio
+    runtime is natively multithreaded)."""
+    import multiprocessing
+    import tempfile
+
+    from vector_store_tpu.http.frontend import frontend_worker_main
+    from vector_store_tpu.service.ipc import OwnerIpcServer
+
+    service = await build_service(db, config)
+    cfg = service.config
+    if ipc_path is None:
+        ipc_path = tempfile.mktemp(prefix="vst-ipc-", suffix=".sock")
+    ipc_server = OwnerIpcServer(service, ipc_path)
+    await ipc_server.start()
+    service.ipc_server = ipc_server  # type: ignore[attr-defined]
+
+    ctx = multiprocessing.get_context("spawn")  # never fork jax/TPU state
+    procs = []
+    for _ in range(workers):
+        p = ctx.Process(
+            target=frontend_worker_main,
+            args=(ipc_path, cfg.host, cfg.port),
+            daemon=True,
+        )
+        p.start()
+        procs.append(p)
+    service.frontends = procs  # type: ignore[attr-defined]
+
+    orig_stop = service.stop
+
+    async def stop() -> None:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            p.join(timeout=5)
+        await ipc_server.stop()
+        await orig_stop()
+
+    service.stop = stop  # type: ignore[method-assign]
+    logger.info("scaled serving: %d frontend workers on %s", workers, cfg.uri)
+    return service
+
+
 async def main() -> None:
     # clap-parity: the only CLI flag is --version (reference main.rs:20-22)
     import sys
