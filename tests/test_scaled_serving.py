@@ -83,3 +83,48 @@ async def test_scaled_serving_end_to_end():
             assert "request_latency_seconds" in text
     finally:
         await service.stop()
+
+
+async def test_scaled_serving_with_ipc_batching(monkeypatch):
+    """Opt-in IPC batching path (VECTOR_STORE_FRONTEND_BATCH=1)."""
+    import os
+
+    monkeypatch.setenv("VECTOR_STORE_FRONTEND_BATCH", "1")
+    n, dims = 30, 8
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    vecs = RNG.normal(size=(n, dims)).astype(np.float32)
+    rows = [vector_row((i,), vecs[i].tolist(), 100) for i in range(n)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=dims), scan=rows))
+    port = free_port()
+    service = await serve_scaled(
+        db, Config(uri=f"127.0.0.1:{port}", monitor_indexes_interval=0.05), workers=2
+    )
+    try:
+        url = f"http://127.0.0.1:{port}"
+        async with aiohttp.ClientSession() as http:
+            deadline = asyncio.get_event_loop().time() + 30
+            while True:
+                try:
+                    resp = await http.get(f"{url}/api/v1/indexes/ks/idx/status")
+                    if resp.status == 200:
+                        data = await resp.json()
+                        if data["status"] == "SERVING" and data["count"] == n:
+                            break
+                except aiohttp.ClientError:
+                    pass
+                assert asyncio.get_event_loop().time() < deadline
+                await asyncio.sleep(0.1)
+
+            async def one(i):
+                resp = await http.post(
+                    f"{url}/api/v1/indexes/ks/idx/ann",
+                    json={"vector": vecs[i % n].tolist(), "limit": 2},
+                )
+                assert resp.status == 200, await resp.text()
+                data = await resp.json()
+                assert data["primary_keys"]["pk"][0] == i % n
+
+            await asyncio.gather(*(one(i) for i in range(120)))
+    finally:
+        await service.stop()

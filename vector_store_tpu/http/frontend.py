@@ -71,9 +71,91 @@ def _collect_pks(pk_columns, keys):
     return out
 
 
-class Frontend:
+class _AnnBatcher:
+    """Coalesces concurrent unfiltered ANN requests for the same
+    (index, limit) into one IPC message: flush at BATCH_MAX or after
+    WINDOW seconds, whichever first."""
+
+    BATCH_MAX = 128
+    WINDOW = 0.002
+
     def __init__(self, ipc: IpcClient) -> None:
         self.ipc = ipc
+        self._pending: dict[tuple, list] = {}  # key -> [(vec_bytes, future)]
+        self._timers: dict[tuple, asyncio.TimerHandle] = {}
+
+    async def submit(self, keyspace: str, index: str, vector: list, limit: int):
+        key = (keyspace, index, limit, len(vector))
+        fut = asyncio.get_running_loop().create_future()
+        bucket = self._pending.setdefault(key, [])
+        bucket.append((np.asarray(vector, dtype=np.float32).tobytes(), fut))
+        if len(bucket) >= self.BATCH_MAX:
+            self._flush(key)
+        elif key not in self._timers:
+            self._timers[key] = asyncio.get_running_loop().call_later(
+                self.WINDOW, self._flush, key
+            )
+        return await fut
+
+    def _flush(self, key: tuple) -> None:
+        bucket = self._pending.pop(key, None)
+        timer = self._timers.pop(key, None)
+        if timer is not None:
+            timer.cancel()
+        if not bucket:
+            return
+        asyncio.get_running_loop().create_task(self._send(key, bucket))
+
+    async def _send(self, key: tuple, bucket: list) -> None:
+        keyspace, index, limit, dims = key
+        try:
+            result = await self.ipc.call(
+                "ann_batch",
+                {
+                    "keyspace": keyspace,
+                    "index": index,
+                    "vectors": b"".join(vb for vb, _ in bucket),
+                    "n": len(bucket),
+                    "dims": dims,
+                    "limit": limit,
+                },
+            )
+        except Exception as e:
+            for _, fut in bucket:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        if isinstance(result, dict) and "error" in result:
+            for _, fut in bucket:
+                if not fut.done():
+                    fut.set_result(result)
+            return
+        pk_columns = result["pk_columns"]
+        for (_, fut), (keys, dists, sims) in zip(bucket, result["results"]):
+            if not fut.done():
+                fut.set_result(
+                    {
+                        "pk_columns": pk_columns,
+                        "keys": keys,
+                        "distances": dists,
+                        "similarities": sims,
+                    }
+                )
+
+
+class Frontend:
+    def __init__(self, ipc: IpcClient, batch_ipc: bool | None = None) -> None:
+        self.ipc = ipc
+        # IPC-level coalescing is opt-in (VECTOR_STORE_FRONTEND_BATCH=1):
+        # under heavy TPU load it produced sporadic 500s that don't
+        # reproduce on CPU — the per-request path is the proven default
+        # until that's root-caused (round 2)
+        import os
+
+        if batch_ipc is None:
+            batch_ipc = os.environ.get("VECTOR_STORE_FRONTEND_BATCH", "") == "1"
+        self.batch_ipc = batch_ipc
+        self.batcher = _AnnBatcher(ipc) if batch_ipc else None
 
     def build_app(self) -> web.Application:
         app = web.Application(client_max_size=64 * 1024 * 1024)
@@ -118,6 +200,13 @@ class Frontend:
 
     async def post_ann(self, request):
         try:
+            return await self._post_ann(request)
+        except Exception as e:
+            logger.exception("post_ann failed in frontend")
+            return _err(500, f"frontend error: {type(e).__name__}: {e}")
+
+    async def _post_ann(self, request):
+        try:
             body = await request.json()
         except Exception:
             return _err(400, "malformed JSON body")
@@ -129,16 +218,26 @@ class Frontend:
         limit = body.get("limit", 1)
         if not isinstance(limit, int) or limit < 1:
             return _err(400, "invalid 'limit'")
-        result = await self.ipc.call(
-            "ann",
-            {
-                "keyspace": request.match_info["keyspace"],
-                "index": request.match_info["index"],
-                "vector": np.asarray(vector, dtype=np.float32).tobytes(),
-                "limit": limit,
-                "filter": body.get("filter"),
-            },
-        )
+        filter_data = body.get("filter")
+        if filter_data is None and self.batcher is not None:
+            # hot path: unfiltered searches coalesce into bulk IPC messages
+            result = await self.batcher.submit(
+                request.match_info["keyspace"],
+                request.match_info["index"],
+                vector,
+                limit,
+            )
+        else:
+            result = await self.ipc.call(
+                "ann",
+                {
+                    "keyspace": request.match_info["keyspace"],
+                    "index": request.match_info["index"],
+                    "vector": np.asarray(vector, dtype=np.float32).tobytes(),
+                    "limit": limit,
+                    "filter": filter_data,
+                },
+            )
         resp = _maybe_error(result)
         if resp is not None:
             return resp
@@ -203,7 +302,10 @@ async def run_frontend(ipc_path: str, host: str, port: int) -> web.AppRunner:
 
 def frontend_worker_main(ipc_path: str, host: str, port: int) -> None:
     """Entry point for a frontend worker process."""
+    import logging as _logging
     import signal
+
+    _logging.basicConfig(level=_logging.WARNING)
 
     async def main():
         runner = await run_frontend(ipc_path, host, port)

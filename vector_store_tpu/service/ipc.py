@@ -151,6 +151,8 @@ class OwnerIpcServer:
             }
         if cmd == "ann":
             return await self._ann(args)
+        if cmd == "ann_batch":
+            return await self._ann_batch(args)
         if cmd == "bm25":
             return await self._bm25(args)
         raise ValueError(f"unknown ipc command {cmd}")
@@ -231,6 +233,69 @@ class OwnerIpcServer:
             "keys": [pk.values() for pk, _ in result],
             "distances": [d.value for _, d in result],
             "similarities": [similarity_score(d) for _, d in result],
+        }
+
+    async def _ann_batch(self, args):
+        """Bulk unfiltered ANN: one IPC message carries n query vectors for
+        one index; routing/metrics run once and results travel back in one
+        pickle. This removes the per-request asyncio/pickle overhead that
+        capped per-request IPC at ~500 QPS."""
+        from vector_store_tpu.core.distance import similarity_score
+        from vector_store_tpu.service.indexes import BestIndexKind
+        from vector_store_tpu.service.node_state import NodeStatus
+        from vector_store_tpu.service.vs_index import DimensionMismatch
+
+        svc = self.service
+        ks, ix = args["keyspace"], args["index"]
+        n = args["n"]
+        d = args["dims"]
+        vectors = np.frombuffer(args["vectors"], dtype=np.float32).reshape(n, d)
+        limit = args["limit"]
+        timer = svc.metrics.latency.with_labels(ks, ix).start_timer()
+        try:
+            best = svc.indexes.best_index((ks, ix), [], [])
+            if best.kind is BestIndexKind.NOT_FOUND:
+                return {"error": 404, "message": f"missing index: {ks}.{ix}"}
+            if best.kind is BestIndexKind.NO_GLOBAL_INDEX:
+                return {
+                    "error": 400,
+                    "message": (
+                        "Global ANN query is not supported when only a local "
+                        f"vector index is available for {ks}.{ix}"
+                    ),
+                }
+            if best.kind is BestIndexKind.NOT_SERVING:
+                progress = best.progress.percentage if best.progress else 0.0
+                if svc.node_state.get_status() is NodeStatus.SERVING:
+                    reason = {
+                        "reason": "INDEX_BUILDING",
+                        "message": (
+                            f"Index {ks}.{ix} is not available yet as it is "
+                            f"still being constructed, progress: {progress:.3f}%"
+                        ),
+                    }
+                else:
+                    reason = {"reason": "NODE_BOOTSTRAPPING"}
+                return {"error": 503, "reason": reason}
+            svc.internals.increment(
+                f"ann-served-request--{best.key.keyspace}--{best.key.index}", n
+            )
+            entry = best.entry
+            results = await entry.actor.ann_many(vectors, limit)
+        except DimensionMismatch as e:
+            return {"error": 400, "message": str(e)}
+        finally:
+            timer.observe_duration()
+        return {
+            "pk_columns": entry.metadata.primary_key_columns,
+            "results": [
+                (
+                    [pk.values() for pk, _ in res],
+                    [d.value for _, d in res],
+                    [similarity_score(d) for _, d in res],
+                )
+                for res in results
+            ],
         }
 
     async def _bm25(self, args):

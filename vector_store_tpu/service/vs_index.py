@@ -175,6 +175,17 @@ class VsIndexActor:
     ) -> list[tuple[PrimaryKey, Distance]]:
         return await self._submit(vector, limit, None, None)
 
+    async def ann_many(
+        self, vectors: np.ndarray, limit: int
+    ) -> list[list[tuple[PrimaryKey, Distance]]]:
+        """Bulk unfiltered ANN: n queries submitted together (one await per
+        batch on the caller side; they coalesce into the same device
+        batches)."""
+        vectors = np.atleast_2d(np.asarray(vectors, dtype=np.float32))
+        return await asyncio.gather(
+            *(self._submit(vectors[i], limit, None, None) for i in range(len(vectors)))
+        )
+
     async def filtered_ann(
         self,
         vector: list[float],
