@@ -154,3 +154,14 @@ class TestCompaction:
         idx.merge_delta()
         res = idx.search(new[2][None], k=1, expansion=64)[0]
         assert res.slots[0] == 302
+
+
+def test_refine_improves_or_keeps_recall():
+    idx, vecs = build_index(n=1200)
+    queries = RNG.normal(size=(24, 32)).astype(np.float32)
+    before = recall_at_k(idx, vecs, queries, k=10)
+    idx.refine(max_batch=512)
+    after = recall_at_k(idx, vecs, queries, k=10)
+    assert after >= before - 0.02, (before, after)
+    # graph membership unchanged
+    assert idx.graph_nodes == 1200

@@ -284,6 +284,8 @@ class GraphDeviceIndex:
         self._rng = np.random.default_rng(0xC0FFEE)
         self._graph_nodes = 0
         self._graph_slots: list[int] = []  # all merged slots (for random edges)
+        self._refine_cursor: int | None = None  # in-progress refinement pass
+        self._last_refined_nodes = 0
         # delta buffer: host staging (numpy); searched exactly via the store's
         # flat path restricted to an allow-mask over delta slots
         self._delta_slots: list[int] = []
@@ -346,6 +348,63 @@ class GraphDeviceIndex:
     def needs_merge(self) -> bool:
         return len(self._delta_slots) >= self.max_delta
 
+    def maintain(self, max_batch: int = 4096) -> bool:
+        """One unit of background maintenance; returns True when work was
+        done. Priority: drain the delta buffer, then (after the graph grew
+        >=25% since the last pass) run one incremental refinement step.
+        The owner calls this between query batches."""
+        if self._delta_slots:
+            self.merge_delta(max_batch)
+            return True
+        if self._refine_cursor is not None:
+            self.refine_step(max_batch)
+            return True
+        if (
+            self._graph_nodes >= 4096
+            and self._graph_nodes >= int(self._last_refined_nodes * 1.25)
+        ):
+            self._refine_cursor = 0
+            return True
+        return False
+
+    def refine_step(self, max_batch: int = 4096) -> int:
+        """Process one slice of an in-progress refinement pass."""
+        if self._refine_cursor is None:
+            self._refine_cursor = 0
+        slots_all = self._graph_slots
+        if self._refine_cursor >= len(slots_all):
+            self._refine_cursor = None
+            self._last_refined_nodes = self._graph_nodes
+            return 0
+        batch = np.asarray(
+            slots_all[self._refine_cursor : self._refine_cursor + max_batch],
+            dtype=np.int64,
+        )
+        self._refine_cursor += len(batch)
+        store = self.store
+        vec = np.array(store.vectors[jnp.asarray(batch)])
+        aux = np.array(store.aux[jnp.asarray(batch)])
+        self._insert_into_graph(batch, vec, aux, include_current=True)
+        return len(batch)
+
+    def refine(self, max_batch: int = 4096, rounds: int = 1) -> None:
+        """Graph quality refinement: re-search the graph for every node's
+        own vector and re-prune its neighborhood from (current edges ∪
+        fresh beam candidates). Incremental builds only see candidates that
+        existed at insert time; a refinement round lets early nodes link to
+        later arrivals (the quality step CAGRA gets from its global kNN
+        construction). Run between query batches / in background."""
+        for _ in range(rounds):
+            slots_all = np.asarray(self._graph_slots, dtype=np.int64)
+            store = self.store
+            for lo in range(0, len(slots_all), max_batch):
+                batch = slots_all[lo : lo + max_batch]
+                vec = np.array(store.vectors[jnp.asarray(batch)])
+                aux = np.array(store.aux[jnp.asarray(batch)])
+                # reuse the insert path: candidates from a fresh beam search
+                # + current edges, alpha-pruned, reverse edges repaired
+                self._insert_into_graph(batch, vec, aux, include_current=True)
+
     def compact(self) -> int:
         """Rebuild the graph without tombstoned nodes. Tombstones stay
         traversable after remove_batch (cheap deletes); once they accumulate
@@ -363,6 +422,8 @@ class GraphDeviceIndex:
         self._entries_seen = 0
         self._graph_nodes = 0
         self._graph_slots = []
+        self._refine_cursor = None
+        self._last_refined_nodes = 0
         # re-stage live nodes (delta order preserved for determinism)
         pending = set(self._delta_slots)
         for s in live:
@@ -432,7 +493,11 @@ class GraphDeviceIndex:
         self.adjacency = _scatter_rows(self.adjacency, jnp.asarray(slots), jnp.asarray(rows))
 
     def _insert_into_graph(
-        self, slots: np.ndarray, vecs: np.ndarray, aux: np.ndarray
+        self,
+        slots: np.ndarray,
+        vecs: np.ndarray,
+        aux: np.ndarray,
+        include_current: bool = False,
     ) -> None:
         store = self.store
         efc = self.expansion_add
@@ -466,11 +531,46 @@ class GraphDeviceIndex:
         cand_i = np.array(i_np)  # [n_pad, efc]
         cand_d = np.array(d_np)
 
+        if include_current:
+            # refinement: the node itself is in the graph — drop self-hits
+            # and add its CURRENT edges as candidates so good old links
+            # survive the re-prune
+            padded_slots = np.full((n_pad,), -2, dtype=np.int64)
+            padded_slots[: len(slots)] = slots
+            self_mask = cand_i == padded_slots[:, None]
+            cand_d[self_mask] = np.inf
+            cand_i[self_mask] = -1
+            cur_rows = np.array(self.adjacency[jnp.asarray(slots)])  # [n_real, deg]
+            qv = store.vectors[jnp.asarray(slots)]
+            qa = store.aux[jnp.asarray(slots)]
+            safe = jnp.maximum(jnp.asarray(cur_rows), 0)
+            cur_d = np.array(
+                query_block_distance(
+                    qv,
+                    store.vectors[safe],
+                    self.space_type,
+                    self.quantization,
+                    qa,
+                    store.aux[safe],
+                )
+            )
+            cur_d[cur_rows < 0] = np.inf
+            ext_i = np.full((n_pad, cur_rows.shape[1]), -1, dtype=cand_i.dtype)
+            ext_d = np.full((n_pad, cur_rows.shape[1]), np.inf, dtype=np.float32)
+            ext_i[: len(slots)] = cur_rows
+            ext_d[: len(slots)] = cur_d
+            cand_i = np.concatenate([cand_i, ext_i], axis=1)
+            cand_d = np.concatenate([cand_d, ext_d], axis=1)
+            order = np.argsort(cand_d, axis=1, kind="stable")
+            cand_i = np.take_along_axis(cand_i, order, axis=1)
+            cand_d = np.take_along_axis(cand_d, order, axis=1)
+            cand_i[~np.isfinite(cand_d)] = -1
+
         # 1b. intra-batch candidates: batch members are not yet in the graph
         # so beam search cannot find them; add each node's nearest batch
         # peers as extra candidates (keeps clusters inserted together
         # self-connected).
-        if n_real > 1:
+        if n_real > 1 and not include_current:
             kb = min(16, n_real - 1)
             bd = np.array(
                 pairwise_distance(

@@ -272,12 +272,16 @@ class VsIndexActor:
                 await loop.run_in_executor(None, self._apply_ops_batch, ops)
                 continue
 
-            # 3) background graph maintenance
-            if isinstance(self.engine, GraphDeviceIndex) and self.engine.delta_count:
-                await loop.run_in_executor(None, self.engine.merge_delta, MERGE_BATCH)
-                # yield to let searches preempt between merge batches
-                await asyncio.sleep(0)
-                continue
+            # 3) background graph maintenance: delta merges, then periodic
+            # incremental refinement passes (recall upkeep on clustered data)
+            if isinstance(self.engine, GraphDeviceIndex):
+                did_work = await loop.run_in_executor(
+                    None, self.engine.maintain, MERGE_BATCH
+                )
+                if did_work:
+                    # yield so searches preempt between maintenance slices
+                    await asyncio.sleep(0)
+                    continue
 
             # idle: wait for work
             self._modify_event.clear()
