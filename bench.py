@@ -140,4 +140,18 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # always emit one JSON line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "QPS/chip at recall@10>=0.95 on SIFT-1M",
+                    "value": 0.0,
+                    "unit": "qps",
+                    "vs_baseline": 0.0,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+        )
+        raise SystemExit(1)
