@@ -141,15 +141,22 @@ class ExpansionSearch:
         return self.value
 
 
+MAX_LIMIT = 1_000_000
+
+
 @dataclass(frozen=True)
 class Limit:
-    """Search result limit; >= 1 (reference lib.rs:497-507, default 1)."""
+    """Search result limit; >= 1 (reference lib.rs:497-507, default 1).
+    Capped at MAX_LIMIT so a request can't demand unbounded result
+    allocations (DoS hardening beyond the reference's NonZeroUsize)."""
 
     value: int = 1
 
     def __post_init__(self) -> None:
         if self.value <= 0:
             raise ValueError(f"Limit must be positive, got {self.value}")
+        if self.value > MAX_LIMIT:
+            raise ValueError(f"Limit must be <= {MAX_LIMIT}, got {self.value}")
 
     def __int__(self) -> int:
         return self.value

@@ -442,6 +442,10 @@ class GraphDeviceIndex:
         batches) until it returns 0 to drain."""
         if not self._delta_slots:
             return 0
+        # upsert_batch may have grown store capacity past adjacency's row
+        # count; JAX silently drops out-of-bounds scatters, which would leave
+        # merged nodes edgeless (and unreachable) without an error.
+        self._sync_capacity()
         batch = self._delta_slots[:max_batch]
         n = len(batch)
         slots = np.asarray(batch, dtype=np.int64)
@@ -499,6 +503,7 @@ class GraphDeviceIndex:
         aux: np.ndarray,
         include_current: bool = False,
     ) -> None:
+        self._sync_capacity()
         store = self.store
         efc = self.expansion_add
         # pad the insert batch to a bucket so the jitted search doesn't

@@ -79,6 +79,11 @@ class NativeInvertedIndex:
         return _LIB.fts_num_docs(self._h)
 
     def search(self, query: str, limit: int) -> list[tuple[int, float]]:
+        # the core can never return more than num_docs hits; clamp before
+        # allocating so an attacker-controlled limit can't demand GBs
+        limit = max(0, min(int(limit), self.num_docs))
+        if limit == 0:
+            return []
         ids = (ctypes.c_int64 * limit)()
         scores = (ctypes.c_float * limit)()
         n = _LIB.fts_search(self._h, query.encode("utf-8"), limit, ids, scores)

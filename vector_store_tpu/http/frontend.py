@@ -16,6 +16,7 @@ import numpy as np
 from aiohttp import web
 
 from vector_store_tpu.core.distance import saturate_f32
+from vector_store_tpu.core.types import MAX_LIMIT
 from vector_store_tpu.service.ipc import IpcClient
 
 logger = logging.getLogger(__name__)
@@ -216,7 +217,7 @@ class Frontend:
         ):
             return _err(400, "missing or malformed 'vector'")
         limit = body.get("limit", 1)
-        if not isinstance(limit, int) or limit < 1:
+        if not isinstance(limit, int) or limit < 1 or limit > MAX_LIMIT:
             return _err(400, "invalid 'limit'")
         filter_data = body.get("filter")
         if filter_data is None and self.batcher is not None:
@@ -258,7 +259,7 @@ class Frontend:
         if not isinstance(query, str):
             return _err(400, "missing or malformed 'query'")
         limit = body.get("limit", 1)
-        if not isinstance(limit, int) or limit < 1:
+        if not isinstance(limit, int) or limit < 1 or limit > MAX_LIMIT:
             return _err(400, "invalid 'limit'")
         result = await self.ipc.call(
             "bm25",

@@ -32,8 +32,11 @@ from vector_store_tpu.ops.distance import vector_aux
 from vector_store_tpu.ops.topk import merge_min_k, min_k
 
 
-def make_mesh(n_devices: int | None = None, data: int = 1) -> Mesh:
-    devices = jax.devices()
+def make_mesh(
+    n_devices: int | None = None, data: int = 1, devices: list | None = None
+) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)

@@ -149,12 +149,19 @@ async def serve_scaled(
     from vector_store_tpu.http.frontend import frontend_worker_main
     from vector_store_tpu.service.ipc import OwnerIpcServer
 
+    import os
+
     service = await build_service(db, config)
     cfg = service.config
     if ipc_path is None:
-        ipc_path = tempfile.mktemp(prefix="vst-ipc-", suffix=".sock")
+        # private runtime dir: the IPC frames are pickled, so the socket
+        # must never be reachable by other local users (mkdtemp is 0700 and
+        # race-free, unlike mktemp)
+        ipc_dir = tempfile.mkdtemp(prefix="vst-ipc-")
+        ipc_path = os.path.join(ipc_dir, "owner.sock")
     ipc_server = OwnerIpcServer(service, ipc_path)
     await ipc_server.start()
+    os.chmod(ipc_path, 0o600)
     service.ipc_server = ipc_server  # type: ignore[attr-defined]
 
     ctx = multiprocessing.get_context("spawn")  # never fork jax/TPU state

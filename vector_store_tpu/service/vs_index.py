@@ -96,10 +96,17 @@ class VsIndexActor:
 
         is_local = not metadata.partitioning.is_global
         if engine_kind == "auto":
-            # exact blocked-MXU scan is both faster AND recall-1.0 up to
-            # multi-million-vector scale on TPU; the graph engine is opt-in
-            # (VECTOR_STORE_ENGINE=graph) until its recall on clustered
-            # data matches the flat path at large N
+            # global indexes get the graph engine (sub-linear beam search,
+            # validated at 1M+ with background refinement); local
+            # (per-partition) indexes stay on the exact flat scan with
+            # partition masks — their partitions are small (the reference's
+            # 1k local reserve increments) and the graph engine doesn't do
+            # per-query partition restriction
+            engine_kind = "flat" if is_local else "graph"
+        elif engine_kind == "graph" and is_local:
+            # documented engine-choice policy: graph never serves local
+            # indexes (its search() rejects per-query partitions, which
+            # would 500 every filtered query)
             engine_kind = "flat"
         self.engine_kind = engine_kind
         if engine_kind.startswith("sim"):
@@ -283,13 +290,22 @@ class VsIndexActor:
                     await asyncio.sleep(0)
                     continue
 
-            # idle: wait for work
+            # idle: wait for work. Clear-then-recheck: work may have arrived
+            # during the maintain() executor hop above (the event would then
+            # be cleared without ever being consumed — lost wakeup).
             self._modify_event.clear()
+            if self._modify_queue or not self._search_queue.empty():
+                continue
             getter = asyncio.ensure_future(self._search_queue.get())
             waiter = asyncio.ensure_future(self._modify_event.wait())
-            done, pending = await asyncio.wait(
-                [getter, waiter], return_when=asyncio.FIRST_COMPLETED
-            )
+            try:
+                done, pending = await asyncio.wait(
+                    [getter, waiter], return_when=asyncio.FIRST_COMPLETED
+                )
+            except asyncio.CancelledError:
+                getter.cancel()
+                waiter.cancel()
+                raise
             for p in pending:
                 p.cancel()
                 try:
@@ -399,6 +415,7 @@ class VsIndexActor:
         add_parts: list[int] = []
         remove_slots: list[int] = []
         seen_add: dict[int, int] = {}  # slot -> position in add arrays
+        rm_before_add: set[int] = set()  # slots whose old value must go away
 
         for op in ops:
             if isinstance(op, AddVector):
@@ -434,14 +451,23 @@ class VsIndexActor:
                 remove_slots.append(slot)
             elif isinstance(op, RemoveBeforeAddValue):
                 # the following AddVector overwrites the same slot with a new
-                # epoch; the overwrite itself invalidates the old entry, so
-                # this is a no-op device-side unless no add follows
+                # epoch, which itself invalidates the old entry — but the add
+                # may be dropped (memory gate, wrong dims), so remember the
+                # slot and issue an explicit remove if no add landed for it
+                rm_before_add.add(op.primary_id.slot)
                 continue
             elif isinstance(op, RemovePartition):
                 continue  # device partition mask handles emptiness naturally
             elif isinstance(op, AddDocument):
                 logger.warning("AddDocument sent to a VS index; ignoring")
 
+        # RemoveBeforeAddValue whose paired add did NOT land (dropped by the
+        # memory gate or validation): the old-epoch vector would otherwise
+        # stay searchable — remove it explicitly
+        orphaned = rm_before_add - {
+            add_slots[p] for p in seen_add.values() if add_slots[p] >= 0
+        }
+        remove_slots.extend(orphaned)
         if remove_slots:
             self.engine.remove_batch(np.asarray(remove_slots, dtype=np.int64))
         live = [i for i, s in enumerate(add_slots) if s >= 0]
