@@ -5,17 +5,27 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Method: build a 1M x 128-d index on the real TPU chip (BF16 storage — the
 reference's equal-memory quantized configuration), verify recall@10 >= 0.95
 against exact f32 ground truth on held-out queries, then measure sustained
-query throughput at batch 512. The serving engine is the exact blocked-MXU
-flat path (recall 1.0 by construction; quantization is the only recall
-loss), which is the TPU-native sweet spot at 1M scale; the graph engine
-covers larger corpora.
+query throughput at batch 2048. The serving engine is the fused Pallas
+scan (ops/pallas_scan.py): distance tiles reduced in VMEM, ~7 ms of device
+compute per 2048-query batch at 1M (~295k QPS compute-side). End-to-end
+throughput here is dominated by this environment's TPU-relay device->host
+result pulls (30-100 ms fixed cost per transfer, fluctuating by the
+minute); results are pulled for groups of in-flight batches in one
+aggregated transfer to amortize it. The JSON reports both the end-to-end
+number (the headline) and the compute-side rate.
+
+Data: synthetic clustered Gaussians shaped like SIFT-1M (1M x 128d, 256
+clusters); ground truth is exact f32 brute force on the same data. (No
+real SIFT fbin files ship in this environment; benchkit loads them when
+present.)
 
 vs_baseline: the reference publishes no absolute numbers (BASELINE.md), so
 the denominator is a 30k QPS estimate for the Rust/USearch sidecar on the
 reference's canonical r7i.xlarge deployment at this recall point — the
 ">= 10x QPS/chip vs the Rust CPU baseline" goal maps to vs_baseline >= 10.
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (512), BENCH_ITERS (20).
+Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (2048), BENCH_ITERS
+(48), BENCH_AGG (8 batches per aggregated pull).
 """
 
 import json
@@ -36,12 +46,13 @@ def main() -> None:
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    iters = int(os.environ.get("BENCH_ITERS", 48))
+    agg = int(os.environ.get("BENCH_AGG", 8))
     d = 128
     k = 10
     rng = np.random.default_rng(42)
 
-    # SIFT-like data: clustered, positive-ish components
+    # SIFT-1M-shaped synthetic data: 256 clusters in 128d
     centers = rng.normal(size=(256, d)).astype(np.float32) * 4
     assign = rng.integers(0, 256, size=n)
     t_ingest = time.time()
@@ -51,7 +62,6 @@ def main() -> None:
         quantization=Quantization.BF16,
         initial_capacity=n,
         block_rows=131072,
-        approx=True,
     )
     chunk = 250_000
     held_out = None
@@ -64,16 +74,12 @@ def main() -> None:
         )
         all_vecs[lo:hi] = vecs
         if held_out is None:
-            # 512 queries: keeps the result pull comfortably above the TPU
-            # relay's slow small-transfer threshold and tightens the recall
-            # estimate
             held_out = vecs[:512] + 0.1 * rng.normal(size=(512, d)).astype(np.float32)
         index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs)
     ingest_s = time.time() - t_ingest
     build_rate = n / ingest_s
 
     # recall gate vs exact f32 ground truth (host numpy, blocked)
-    gt_sets = []
     q2 = (held_out**2).sum(-1)
     best_d = np.full((held_out.shape[0], 0), np.inf, dtype=np.float32)
     best_i = np.zeros((held_out.shape[0], 0), dtype=np.int64)
@@ -101,24 +107,43 @@ def main() -> None:
         )
     )
 
-    # throughput: pipelined two-deep, as the serving actor runs it (the
-    # next batch's kernel executes while the previous result pull is in
-    # flight)
     queries = centers[rng.integers(0, 256, size=batch)] + rng.normal(
         size=(batch, d)
     ).astype(np.float32)
-    index.search(queries, k)  # warm
-    lat = []
+    index.search(queries, k)  # warm all shapes
+
+    # compute-side rate: queue reps, block on the last result only
+    import jax
+
+    reps = 24
     t0 = time.time()
-    prev = None
-    for _ in range(iters):
-        t1 = time.time()
-        pend = index.search_begin(queries, k)
-        if prev is not None:
-            index.search_collect(prev)
-        prev = pend
-        lat.append(time.time() - t1)
-    index.search_collect(prev)
+    pends = [index.search_begin(queries, k) for _ in range(reps)]
+    jax.block_until_ready(pends[-1].packed)
+    compute_qps = batch * reps / (time.time() - t0)
+    for p in pends:
+        index.search_collect(p)  # drain
+
+    # end-to-end: pipelined begins + aggregated result pulls
+    lat: list[float] = []
+    window_qps: list[float] = []
+    t0 = time.time()
+    pend: list = []
+    starts: list[float] = []
+    w0 = time.time()
+    for i in range(iters):
+        pend.append(index.search_begin(queries, k))
+        starts.append(time.time())
+        if len(pend) >= agg:
+            index.collect_many(pend)
+            now = time.time()
+            lat.extend(now - s for s in starts)
+            window_qps.append(batch * len(pend) / (now - w0))
+            pend, starts = [], []
+            w0 = time.time()
+    if pend:
+        index.collect_many(pend)
+        now = time.time()
+        lat.extend(now - s for s in starts)
     total = time.time() - t0
     qps = batch * iters / total
     p50_ms = float(np.percentile(lat, 50) * 1e3)
@@ -130,11 +155,19 @@ def main() -> None:
         "vs_baseline": round(qps / CPU_BASELINE_QPS, 3),
         "recall_at_10": round(recall, 4),
         "recall_gate_passed": bool(recall >= 0.95),
-        "p50_batch_latency_ms": round(p50_ms, 2),
+        "p50_query_latency_ms": round(p50_ms, 2),
+        "compute_qps": round(compute_qps, 1),
+        "window_qps_median": round(float(np.median(window_qps)), 1)
+        if window_qps
+        else None,
         "build_vectors_per_sec": round(build_rate, 0),
         "n_vectors": n,
         "batch": batch,
-        "engine": "flat-bf16-approx",
+        "agg_pull_batches": agg,
+        "engine": "flat-pallas-fused-bf16"
+        if index.use_pallas
+        else "flat-xla-bf16",
+        "data": "synthetic clustered gaussians (SIFT-1M shape), exact f32 ground truth",
     }
     print(json.dumps(result))
 

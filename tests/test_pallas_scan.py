@@ -1,4 +1,9 @@
-"""Pallas fused scan kernel vs NumPy oracle (interpret mode on CPU)."""
+"""Pallas fused scan kernel vs NumPy oracle (interpret mode on CPU).
+
+The kernel contract (ops/pallas_scan.py): rank values are the affine form
+a*dot+b streamed via the paux side array; ids are reconstructed from fold
+offsets; invalid rows carry an INVALID_BIAS bias and can never win.
+"""
 
 import numpy as np
 import pytest
@@ -6,95 +11,157 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from vector_store_tpu.core.types import Quantization, SpaceType  # noqa: E402
-from vector_store_tpu.engine.flat import unpack_results  # noqa: E402
-from vector_store_tpu.ops.pallas_scan import pallas_flat_search, supports  # noqa: E402
+from vector_store_tpu.core.types import SpaceType  # noqa: E402
+from vector_store_tpu.ops.pallas_scan import (  # noqa: E402
+    INVALID_BIAS,
+    INVALID_CUTOFF,
+    apply_allow_to_paux,
+    pallas_rank_search,
+    paux_coeffs,
+    rank_to_distance,
+    supports,
+)
 
 RNG = np.random.default_rng(55)
 
 
-def run_search(vecs, queries, space, k=10, valid=None, allow=None):
-    n, d = vecs.shape
-    aux = np.linalg.norm(vecs, axis=1).astype(np.float32)
-    q_aux = np.linalg.norm(queries, axis=1).astype(np.float32)
-    if valid is None:
-        valid = np.ones(n, dtype=bool)
-    if allow is None:
-        allow = np.ones(n, dtype=bool)
-    packed = pallas_flat_search(
-        jnp.asarray(vecs),
-        jnp.asarray(aux),
-        jnp.asarray(valid),
-        jnp.asarray(allow),
-        jnp.zeros(n, dtype=jnp.int32),
-        jnp.asarray(queries),
-        jnp.asarray(q_aux),
-        space=space,
-        k=k,
-        block_rows=256,
-        interpret=True,
+def make_paux(space, vecs, valid=None):
+    n = vecs.shape[0]
+    a, b = paux_coeffs(space, vecs.astype(np.float32))
+    if valid is not None:
+        b = np.where(valid, b, INVALID_BIAS).astype(np.float32)
+    paux = np.zeros((8, n), np.float32)
+    paux[0] = a
+    paux[1] = b
+    return jnp.asarray(paux)
+
+
+def run_search(vecs, queries, space, k=10, valid=None, allow=None, block_rows=256):
+    paux = make_paux(space, vecs, valid)
+    if allow is not None:
+        paux = apply_allow_to_paux(paux, jnp.asarray(allow))
+    packed = np.asarray(
+        pallas_rank_search(
+            jnp.asarray(vecs),
+            paux,
+            jnp.asarray(queries),
+            k=k,
+            block_rows=block_rows,
+            interpret=True,
+        )
     )
-    return unpack_results(np.asarray(packed))
+    rank = packed[0]
+    ids = packed[1].view(np.int32)
+    q2 = (queries.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+    dist = rank_to_distance(space, rank, q2)
+    dist[rank >= INVALID_CUTOFF] = np.inf
+    return dist, ids
 
 
 class TestPallasScan:
     def test_euclidean_matches_oracle(self):
-        # candidate set must be >> k for the sub-column reduction to be
+        # candidate set must be >> k for the group-min reduction to be
         # near-exact (real indexes are 1M+; this is the smallest faithful
         # proportion interpret mode can afford)
         n, d, b, k = 16384, 64, 8, 5
         vecs = RNG.normal(size=(n, d)).astype(np.float32)
         queries = RNG.normal(size=(b, d)).astype(np.float32)
-        dist, ids, _ = run_search(vecs, queries, SpaceType.EUCLIDEAN, k)
+        dist, ids = run_search(vecs, queries, SpaceType.EUCLIDEAN, k)
         exact = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
         total = 0
         for row in range(b):
             want = set(np.argsort(exact[row])[:k].tolist())
             got = set(ids[row].tolist())
             total += len(want & got)
-        assert total >= b * k - 3, total  # a few sub-column collisions allowed
+        assert total >= b * k - 3, total  # a few group collisions allowed
+        # distances of true hits must match the exact metric
+        for row in range(b):
+            for j in range(k):
+                if ids[row, j] >= 0:
+                    assert dist[row, j] == pytest.approx(
+                        exact[row, ids[row, j]], rel=1e-3, abs=1e-2
+                    )
 
     def test_cosine(self):
-        # the kernel contract: cosine vectors and queries arrive normalized
-        # (the engine normalizes at ingest/query time)
+        # contract: cosine vectors and queries arrive unit-normalized
         n, d, b, k = 8192, 64, 8, 5
         vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
         queries = RNG.normal(size=(b, d)).astype(np.float32)
-        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-        dist, ids, _ = run_search(vn, qn, SpaceType.COSINE, k)
-        qs = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-        vs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-        exact = 1 - qs @ vs.T
+        queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+        dist, ids = run_search(vecs, queries, SpaceType.COSINE, k)
+        exact = 1.0 - queries @ vecs.T
         total = 0
         for row in range(b):
             want = set(np.argsort(exact[row])[:k].tolist())
             total += len(want & set(ids[row].tolist()))
         assert total >= b * k - 3, total
 
-    def test_validity_mask(self):
-        n, d = 512, 32
+    def test_invalid_rows_never_win(self):
+        n, d, b, k = 4096, 32, 8, 8
         vecs = RNG.normal(size=(n, d)).astype(np.float32)
-        target = vecs[5][None]
+        queries = vecs[:b].copy()  # self-queries
         valid = np.ones(n, dtype=bool)
-        valid[5] = False
-        dist, ids, _ = run_search(vecs, target, SpaceType.EUCLIDEAN, 3, valid=valid)
-        assert 5 not in ids[0]
-
-    def test_allow_mask(self):
-        # under selective filters the sub-column reduction yields fewer
-        # candidates (the engine routes filtered searches to the exact
-        # path); the kernel must still never return disallowed ids
-        n, d = 512, 32
-        vecs = RNG.normal(size=(n, d)).astype(np.float32)
-        allow = np.zeros(n, dtype=bool)
-        allow[100:200] = True
-        _, ids, _ = run_search(vecs, vecs[:2], SpaceType.EUCLIDEAN, 5, allow=allow)
+        valid[:b] = False  # tombstone the exact matches
+        dist, ids = run_search(vecs, queries, SpaceType.EUCLIDEAN, k, valid=valid)
         live = ids[ids >= 0]
-        assert live.size > 0
-        assert np.all((live >= 100) & (live < 200))
+        assert not np.isin(live, np.arange(b)).any()
 
-    def test_supports(self):
+    def test_allow_mask_filters(self):
+        n, d, b, k = 4096, 32, 8, 8
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        queries = RNG.normal(size=(b, d)).astype(np.float32)
+        allow = np.zeros(n, dtype=bool)
+        allow[: n // 8] = True
+        dist, ids = run_search(vecs, queries, SpaceType.EUCLIDEAN, k, allow=allow)
+        live = ids[ids >= 0]
+        assert live.size and (live < n // 8).all()
+
+    def test_supports_matrix(self):
+        from vector_store_tpu.core.types import Quantization
+
         assert supports(SpaceType.EUCLIDEAN, Quantization.BF16)
-        assert not supports(SpaceType.HAMMING, Quantization.BF16)
+        assert supports(SpaceType.COSINE, Quantization.F32)
         assert not supports(SpaceType.EUCLIDEAN, Quantization.I8)
+        assert not supports(SpaceType.HAMMING, Quantization.B1)
+
+
+class TestEnginePallasPath:
+    """Exercise FlatDeviceIndex's pallas postprocess path by forcing
+    use_pallas and interpret mode via the kernel seam."""
+
+    def test_engine_pallas_postprocess(self, monkeypatch):
+        import vector_store_tpu.ops.pallas_scan as ps
+        from vector_store_tpu.core.types import Quantization
+        from vector_store_tpu.engine.flat import FlatDeviceIndex
+
+        orig = ps.pallas_rank_search
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(ps, "pallas_rank_search", interp)
+        idx = FlatDeviceIndex(
+            16,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.F32,
+            use_pallas=True,
+            block_rows=256,
+        )
+        idx.pallas_block = 256
+        n = 512
+        vecs = RNG.normal(size=(n, 16)).astype(np.float32)
+        idx.upsert_batch(np.arange(n), np.full(n, 7, np.int32), vecs)
+        res = idx.search(vecs[:8], 3)
+        assert len(res) == 8
+        for i, r in enumerate(res):
+            assert r.slots[0] == i
+            assert r.distances[0] == pytest.approx(0.0, abs=1e-3)
+            assert (r.epochs == 7).all()
+        # removal must drop the self-hit
+        idx.remove_batch(np.asarray([0]))
+        res = idx.search(vecs[:1][np.newaxis, 0], 3)
+        # single query goes through XLA path (b<8); force a batch instead
+        res = idx.search(vecs[:8], 3)
+        assert res[0].slots[0] != 0

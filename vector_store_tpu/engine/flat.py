@@ -23,6 +23,7 @@ the reference (1M global / 1k local, usearch.rs:442-443).
 from __future__ import annotations
 
 import functools
+import logging
 from dataclasses import dataclass
 
 import jax
@@ -38,6 +39,8 @@ from vector_store_tpu.ops.distance import (
 from vector_store_tpu.ops.quantize import padded_dim, quantize_for_storage, storage_dtype
 from vector_store_tpu.ops.topk import merge_min_k, min_k
 from vector_store_tpu.utils import hotpath
+
+logger = logging.getLogger(__name__)
 
 GLOBAL_RESERVE_INCREMENT = 1_000_000
 LOCAL_RESERVE_INCREMENT = 1_000
@@ -64,11 +67,19 @@ class SearchResult:
 
 @dataclass
 class PendingSearch:
-    """In-flight device search: packed [3, B, k] device array + metadata."""
+    """In-flight device search: packed device array + metadata.
+
+    kind "xla": packed [3, B, k] (dist, ids, epochs).
+    kind "pallas": packed [2, B, k] (rank values, ids); distances are
+    reconstructed host-side from the affine rank form and epochs come from
+    the engine's host mirror (fewer device->host bytes per query)."""
 
     packed: jax.Array
     b_real: int
     k: int
+    kind: str = "xla"
+    q2: np.ndarray | None = None  # [B] per-query |q|^2 (pallas euclidean)
+    engine: "FlatDeviceIndex | None" = None
 
 
 @functools.partial(
@@ -200,22 +211,35 @@ _MIN_PULL_ELEMS = 48 * 1024  # 3ch * 48k * 4B = 576KB
 
 @functools.partial(jax.jit, static_argnames=("pad",))
 def _pad_packed(packed: jax.Array, *, pad: int) -> jax.Array:
-    flat = packed.reshape(3, -1)
+    c = packed.shape[0]
+    flat = packed.reshape(c, -1)
     return jnp.concatenate(
-        [flat, jnp.zeros((3, pad), dtype=flat.dtype)], axis=1
+        [flat, jnp.zeros((c, pad), dtype=flat.dtype)], axis=1
     )
 
 
 def pull_packed(packed: jax.Array) -> np.ndarray:
-    """Device [3, B, K] -> host numpy, padding the transfer above the
+    """Device [C, B, K] -> host numpy, padding the transfer above the
     relay's slow small-transfer threshold."""
-    _, b, k = packed.shape
+    c, b, k = packed.shape
     elems = b * k
     need = _MIN_PULL_ELEMS - elems
     if need > 0:
         host = np.asarray(_pad_packed(packed, pad=need))
-        return host[:, :elems].reshape(3, b, k)
+        return host[:, :elems].reshape(c, b, k)
     return np.asarray(packed)
+
+
+def pull_packed_many(packeds: list[jax.Array]) -> list[np.ndarray]:
+    """Pull several result arrays in ONE batched transfer. The relay's
+    per-transfer fixed cost (~30-40 ms) dominates sequential pulls;
+    jax.device_get on a list amortizes it across all arrays (measured:
+    8 sequential 240 KB pulls cost up to 100x one device_get of the same
+    list). No padding — batched transfers don't hit the tiny-pull
+    pathology."""
+    if len(packeds) == 1:
+        return [pull_packed(packeds[0])]
+    return jax.device_get(packeds)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
@@ -231,6 +255,38 @@ def _apply_upserts(vectors, aux, epochs, valid, parts, slots, vals, new_aux, new
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _apply_removes(valid, slots):
     return valid.at[slots].set(False)
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _init_paux(cap: int):
+    """Pallas rank coefficients [8, cap]: row 0 = multiplier a, row 1 =
+    bias b (INVALID_BIAS until a row is stored)."""
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    paux = jnp.zeros((8, cap), dtype=jnp.float32)
+    return paux.at[1].set(INVALID_BIAS)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_paux_upserts(paux, slots, a, b):
+    paux = paux.at[0, slots].set(a)
+    return paux.at[1, slots].set(b)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _apply_paux_removes(paux, slots):
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    return paux.at[1, slots].set(INVALID_BIAS)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
+def _grow_paux(paux, *, new_cap):
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    out = jnp.zeros((8, new_cap), dtype=jnp.float32)
+    out = out.at[1].set(INVALID_BIAS)
+    return jax.lax.dynamic_update_slice(out, paux, (0, 0))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("new_cap",))
@@ -279,6 +335,25 @@ class FlatDeviceIndex:
         self.oversample = oversample
         self.dp_rescore = padded_dim(dimensions, Quantization.BF16)
 
+        # fused pallas scan: the default serving path for float storage on
+        # TPU (ops/pallas_scan.py — ~15x the XLA scan). Auto-enables on a
+        # TPU backend; the first search probes the compile and falls back
+        # to the XLA path permanently on any Mosaic failure.
+        from vector_store_tpu.ops.pallas_scan import pallas_block_rows, supports
+
+        if use_pallas is None:
+            use_pallas = self.device.platform == "tpu"
+        if use_pallas:
+            use_pallas = supports(space_type, quantization)
+        self.use_pallas = use_pallas
+        self._pallas_probed = False
+        self.pallas_block = pallas_block_rows(self.dp)
+        if use_pallas:
+            # capacity must tile evenly for BOTH scan paths
+            self.block_rows = block_rows = int(
+                np.lcm(block_rows, self.pallas_block)
+            )
+
         cap = self._round_cap(max(initial_capacity, block_rows))
         dt = storage_dtype(quantization)
         with jax.default_device(self.device):
@@ -287,25 +362,17 @@ class FlatDeviceIndex:
             self.epochs = jnp.full((cap,), -1, dtype=jnp.int32)
             self.valid = jnp.zeros((cap,), dtype=jnp.bool_)
             self.parts = jnp.full((cap,), -1, dtype=jnp.int32)
+            self.paux = _init_paux(cap)  # [8, cap] pallas rank coefficients
             if self.rescore:
                 self.rescore_vectors = jnp.zeros(
                     (cap, self.dp_rescore), dtype=jnp.bfloat16
                 )
                 self.rescore_aux = jnp.zeros((cap,), dtype=jnp.float32)
         self._live = 0
-        # host mirror of `valid`, so mutations never pull device state
+        # host mirrors, so mutations/result resolution never pull device state
         self._valid_host = np.zeros((cap,), dtype=bool)
+        self._epochs_host = np.full((cap,), -1, dtype=np.int32)
         self._allow_all: jax.Array | None = None  # cached all-true mask
-        # fused pallas scan for unfiltered float searches — experimental:
-        # this environment's remote Mosaic compile path stalls on the kernel
-        # (see memory: tpu-relay-perf-quirks), so it stays opt-in for now
-        if use_pallas is None:
-            use_pallas = False
-        if use_pallas:
-            from vector_store_tpu.ops.pallas_scan import supports
-
-            use_pallas = supports(space_type, quantization)
-        self.use_pallas = use_pallas
 
     # -- capacity ------------------------------------------------------------
 
@@ -335,12 +402,16 @@ class FlatDeviceIndex:
         self.epochs = _grow_1d(self.epochs, new_cap=new_cap, fill=-1)
         self.valid = _grow_1d(self.valid, new_cap=new_cap, fill=False)
         self.parts = _grow_1d(self.parts, new_cap=new_cap, fill=-1)
+        self.paux = _grow_paux(self.paux, new_cap=new_cap)
         if self.rescore:
             self.rescore_vectors = _grow_2d(self.rescore_vectors, new_cap=new_cap)
             self.rescore_aux = _grow_1d(self.rescore_aux, new_cap=new_cap, fill=0.0)
         grown = np.zeros((new_cap,), dtype=bool)
         grown[: self._valid_host.shape[0]] = self._valid_host
         self._valid_host = grown
+        egrown = np.full((new_cap,), -1, dtype=np.int32)
+        egrown[: self._epochs_host.shape[0]] = self._epochs_host
+        self._epochs_host = egrown
         self._allow_all = None
 
     # -- mutation --------------------------------------------------------------
@@ -385,6 +456,18 @@ class FlatDeviceIndex:
             jnp.asarray(np.asarray(epochs, dtype=np.int32)),
             jnp.asarray(np.asarray(partitions, dtype=np.int32)),
         )
+        if self.use_pallas:
+            from vector_store_tpu.ops.pallas_scan import paux_coeffs
+
+            a_row, b_row = paux_coeffs(
+                self.space_type, vals.astype(np.float32)
+            )
+            self.paux = _apply_paux_upserts(
+                self.paux,
+                jnp.asarray(slots),
+                jnp.asarray(a_row),
+                jnp.asarray(b_row),
+            )
         if self.rescore:
             rvals = quantize_for_storage(vectors, Quantization.BF16)
             rpad = self.dp_rescore - rvals.shape[-1]
@@ -401,6 +484,7 @@ class FlatDeviceIndex:
         # live count: newly-occupied slots only (upsert of a live slot keeps count)
         self._live += int((~was_valid).sum())
         self._valid_host[slots] = True
+        self._epochs_host[slots] = np.asarray(epochs, dtype=np.int32)
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int32)
@@ -411,6 +495,8 @@ class FlatDeviceIndex:
             return
         was_valid = self._valid_host[slots]
         self.valid = _apply_removes(self.valid, jnp.asarray(slots))
+        if self.use_pallas:
+            self.paux = _apply_paux_removes(self.paux, jnp.asarray(slots))
         self._valid_host[slots] = False
         self._live -= int(was_valid.sum())
 
@@ -466,27 +552,12 @@ class FlatDeviceIndex:
             am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
             allow = jnp.asarray(am)
 
-        if (
-            self.use_pallas
-            and allow_mask is None
-            and not use_parts
-            and b_pad >= 32
-        ):
-            from vector_store_tpu.ops.pallas_scan import pallas_flat_search
-
-            packed = pallas_flat_search(
-                self.vectors,
-                self.aux,
-                self.valid,
-                allow,
-                self.epochs,
-                jnp.asarray(qs),
-                jnp.asarray(q_aux),
-                space=self.space_type,
-                k=k_pad,
-                block_rows=1024,
+        if self.use_pallas and not use_parts and b_pad >= 8:
+            pending = self._pallas_begin(
+                qs, queries, k_pad, b_real, k, allow_mask
             )
-            return PendingSearch(packed=packed, b_real=b_real, k=k)
+            if pending is not None:
+                return pending
 
         k_search = k_pad
         if self.rescore:
@@ -528,10 +599,100 @@ class FlatDeviceIndex:
             )
         return PendingSearch(packed=packed, b_real=b_real, k=k)
 
+    def _pallas_begin(
+        self,
+        qs: np.ndarray,
+        queries_f32: np.ndarray,
+        k_pad: int,
+        b_real: int,
+        k: int,
+        allow_mask: np.ndarray | None,
+    ) -> "PendingSearch | None":
+        """Dispatch the fused pallas scan; returns None (caller falls back
+        to the XLA path) if the kernel fails to compile on this backend."""
+        from vector_store_tpu.ops.pallas_scan import (
+            apply_allow_to_paux,
+            pallas_rank_search,
+        )
+
+        paux = self.paux
+        if allow_mask is not None:
+            am = np.zeros((self.capacity,), dtype=bool)
+            am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
+            paux = apply_allow_to_paux(paux, jnp.asarray(am))
+        q2 = None
+        if self.space_type is SpaceType.EUCLIDEAN:
+            q2 = (queries_f32.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        try:
+            packed = pallas_rank_search(
+                self.vectors,
+                paux,
+                jnp.asarray(qs),
+                k=k_pad,
+                block_rows=self.pallas_block,
+            )
+            if not self._pallas_probed:
+                # first call: block so a Mosaic compile failure surfaces
+                # here (and is caught) instead of at collect time
+                jax.block_until_ready(packed)
+                self._pallas_probed = True
+        except Exception:
+            logger.warning(
+                "pallas fused scan unavailable on this backend; "
+                "falling back to the XLA scan path",
+                exc_info=True,
+            )
+            self.use_pallas = False
+            return None
+        return PendingSearch(
+            packed=packed, b_real=b_real, k=k, kind="pallas", q2=q2, engine=self
+        )
+
     @hotpath.measure
     def search_collect(self, pending: "PendingSearch") -> list[SearchResult]:
-        d, i, e = unpack_results(pull_packed(pending.packed))
+        return self._postprocess(pending, pull_packed(pending.packed))
+
+    def collect_many(
+        self, pendings: list["PendingSearch"]
+    ) -> list[list[SearchResult]]:
+        """Collect several in-flight searches with ONE device->host
+        transfer (the relay's fixed per-pull cost dominates; see
+        pull_packed_many)."""
+        hosts = pull_packed_many([p.packed for p in pendings])
+        return [self._postprocess(p, h) for p, h in zip(pendings, hosts)]
+
+    def _postprocess(
+        self, pending: "PendingSearch", host: np.ndarray
+    ) -> list[SearchResult]:
         b_real, k = pending.b_real, pending.k
+        if pending.kind == "pallas":
+            from vector_store_tpu.ops.pallas_scan import (
+                INVALID_CUTOFF,
+                rank_to_distance,
+            )
+
+            host = np.asarray(host)
+            rank = host[0][:b_real, :k]
+            i = host[1].view(np.int32)[:b_real, :k]
+            d = rank_to_distance(
+                self.space_type,
+                rank,
+                pending.q2[:b_real] if pending.q2 is not None else None,
+            )
+            e = self._epochs_host[np.maximum(i, 0)]
+            valid_rows = rank < INVALID_CUTOFF
+            results = []
+            for row in range(b_real):
+                ok = valid_rows[row] & (i[row] >= 0)
+                results.append(
+                    SearchResult(
+                        slots=i[row][ok].astype(np.int64),
+                        epochs=e[row][ok],
+                        distances=d[row][ok].astype(np.float32),
+                    )
+                )
+            return results
+        d, i, e = unpack_results(host)
         d = d[:b_real, :k]
         i = i[:b_real, :k]
         e = e[:b_real, :k]
