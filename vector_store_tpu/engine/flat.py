@@ -45,7 +45,7 @@ logger = logging.getLogger(__name__)
 GLOBAL_RESERVE_INCREMENT = 1_000_000
 LOCAL_RESERVE_INCREMENT = 1_000
 
-_BATCH_BUCKETS = (1, 8, 32, 128, 512)
+_BATCH_BUCKETS = (1, 8, 32, 128, 512, 2048)
 _K_BUCKETS = (1, 16, 64, 256, 1024)
 
 

@@ -30,6 +30,7 @@ which is the same simplification CAGRA makes on GPUs.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
@@ -44,9 +45,24 @@ from vector_store_tpu.engine.flat import (
     _BATCH_BUCKETS,
     _K_BUCKETS,
     _pack_results,
+    PendingSearch,
     pull_packed,
+    pull_packed_many,
     unpack_results,
 )
+
+
+@dataclass
+class GraphPendingSearch:
+    """In-flight graph search: dispatched beam-search results plus the
+    exact delta-buffer scan, pulled together at collect time."""
+
+    graph_packed: jax.Array | None
+    delta_pending: PendingSearch | None
+    b_real: int
+    k: int
+    engine: "GraphDeviceIndex"
+    delta_host: np.ndarray | None = None
 from vector_store_tpu.ops.distance import (
     pairwise_distance,
     prepare_queries,
@@ -802,6 +818,21 @@ class GraphDeviceIndex:
         mirroring the reference's 1k local reserve increments), so the graph
         engine rejects `partitions`.
         """
+        return self.search_collect(
+            self.search_begin(queries, k, partitions, allow_mask, expansion)
+        )
+
+    def search_begin(
+        self,
+        queries: np.ndarray,
+        k: int,
+        partitions: np.ndarray | None = None,
+        allow_mask: np.ndarray | None = None,
+        expansion: int | None = None,
+    ) -> "GraphPendingSearch":
+        """Dispatch the beam-search kernel (and the exact delta-buffer scan)
+        without waiting; pair with search_collect / collect_many so result
+        pulls can aggregate across batches."""
         if partitions is not None:
             raise ValueError("GraphDeviceIndex does not support per-query partitions")
         self._sync_capacity()
@@ -809,7 +840,7 @@ class GraphDeviceIndex:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b_real = queries.shape[0]
 
-        graph_results: list[SearchResult] | None = None
+        graph_packed = None
         if self._graph_nodes > 0:
             b_pad = _bucket(b_real, _BATCH_BUCKETS)
             k_pad = _bucket(k, _K_BUCKETS)
@@ -831,7 +862,7 @@ class GraphDeviceIndex:
                 filtered = True
                 # per-query partition masks are handled by the flat path for
                 # local indexes; graph engine serves global indexes
-            packed = _graph_beam_search(
+            graph_packed = _graph_beam_search(
                 store.vectors,
                 store.aux,
                 store.epochs,
@@ -848,7 +879,61 @@ class GraphDeviceIndex:
                 iters=ef,
                 filtered=filtered,
             )
-            d, i, e = unpack_results(pull_packed(packed))
+
+        delta_pending = None
+        if self._delta_slots:
+            dm = np.zeros((store.capacity,), dtype=bool)
+            dm[np.asarray(self._delta_slots, dtype=np.int64)] = True
+            if allow_mask is not None:
+                dm[: allow_mask.shape[0]] &= allow_mask[: store.capacity]
+            delta_pending = store.search_begin(
+                queries, k, partitions=partitions, allow_mask=dm
+            )
+
+        return GraphPendingSearch(
+            graph_packed=graph_packed,
+            delta_pending=delta_pending,
+            b_real=b_real,
+            k=k,
+            engine=self,
+        )
+
+    def search_collect(self, pending: "GraphPendingSearch") -> list[SearchResult]:
+        host = (
+            pull_packed(pending.graph_packed)
+            if pending.graph_packed is not None
+            else None
+        )
+        return self._postprocess(pending, host)
+
+    def collect_many(
+        self, pendings: list["GraphPendingSearch"]
+    ) -> list[list[SearchResult]]:
+        """One aggregated device->host transfer for all in-flight batches
+        (beam results + their delta-scan results)."""
+        arrays = []
+        for p in pendings:
+            if p.graph_packed is not None:
+                arrays.append(p.graph_packed)
+            if p.delta_pending is not None:
+                arrays.append(p.delta_pending.packed)
+        hosts = pull_packed_many(arrays) if arrays else []
+        it = iter(hosts)
+        out = []
+        for p in pendings:
+            g_host = next(it) if p.graph_packed is not None else None
+            if p.delta_pending is not None:
+                p.delta_host = np.asarray(next(it))
+            out.append(self._postprocess(p, g_host))
+        return out
+
+    def _postprocess(
+        self, pending: "GraphPendingSearch", g_host: np.ndarray | None
+    ) -> list[SearchResult]:
+        b_real, k = pending.b_real, pending.k
+        graph_results: list[SearchResult] | None = None
+        if g_host is not None:
+            d, i, e = unpack_results(np.asarray(g_host))
             d = d[:b_real, :k]
             i = i[:b_real, :k]
             e = e[:b_real, :k]
@@ -864,14 +949,13 @@ class GraphDeviceIndex:
                 )
 
         delta_results: list[SearchResult] | None = None
-        if self._delta_slots:
-            dm = np.zeros((store.capacity,), dtype=bool)
-            dm[np.asarray(self._delta_slots, dtype=np.int64)] = True
-            if allow_mask is not None:
-                dm[: allow_mask.shape[0]] &= allow_mask[: store.capacity]
-            delta_results = store.search(
-                queries, k, partitions=partitions, allow_mask=dm
-            )
+        if pending.delta_pending is not None:
+            if pending.delta_host is not None:
+                delta_results = self.store._postprocess(
+                    pending.delta_pending, pending.delta_host
+                )
+            else:
+                delta_results = self.store.search_collect(pending.delta_pending)
 
         if graph_results is None and delta_results is None:
             return [

@@ -147,14 +147,15 @@ class _AnnBatcher:
 class Frontend:
     def __init__(self, ipc: IpcClient, batch_ipc: bool | None = None) -> None:
         self.ipc = ipc
-        # IPC-level coalescing is opt-in (VECTOR_STORE_FRONTEND_BATCH=1):
-        # under heavy TPU load it produced sporadic 500s that don't
-        # reproduce on CPU — the per-request path is the proven default
-        # until that's root-caused (round 2)
+        # IPC-level coalescing is the default (VECTOR_STORE_FRONTEND_BATCH=0
+        # to disable). The round-1 "sporadic 500s under TPU load" were the
+        # owner's per-batch result pulls hitting the relay's pathological
+        # sequential-pull mode and timing out; the actor now aggregates
+        # pulls (engine.collect_many), which removed the stalls.
         import os
 
         if batch_ipc is None:
-            batch_ipc = os.environ.get("VECTOR_STORE_FRONTEND_BATCH", "") == "1"
+            batch_ipc = os.environ.get("VECTOR_STORE_FRONTEND_BATCH", "1") != "0"
         self.batch_ipc = batch_ipc
         self.batcher = _AnnBatcher(ipc) if batch_ipc else None
 

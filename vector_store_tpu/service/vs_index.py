@@ -53,7 +53,7 @@ from vector_store_tpu.table import (
 
 logger = logging.getLogger(__name__)
 
-MAX_SEARCH_BATCH = 512
+MAX_SEARCH_BATCH = 2048
 MAX_MODIFY_BATCH = 8192
 MERGE_BATCH = 4096
 OVERSAMPLE_STEPS = (4, 16, 64)
@@ -96,13 +96,15 @@ class VsIndexActor:
 
         is_local = not metadata.partitioning.is_global
         if engine_kind == "auto":
-            # global indexes get the graph engine (sub-linear beam search,
-            # validated at 1M+ with background refinement); local
-            # (per-partition) indexes stay on the exact flat scan with
-            # partition masks — their partitions are small (the reference's
-            # 1k local reserve increments) and the graph engine doesn't do
-            # per-query partition restriction
-            engine_kind = "flat" if is_local else "graph"
+            # MEASURED policy (round 2, v5e): the fused-Pallas exact scan is
+            # MXU-bound (~7 ms per 2048-query batch at 1M x 128d) while
+            # lockstep graph beam search is HBM-gather-bound (~540 MB/iter
+            # at that batch) AND pays a large incremental build cost — the
+            # flat engine wins on both build and serve up to tens of
+            # millions of vectors, i.e. past single-chip HBM capacity. The
+            # graph engine (ENGINE=graph) exists for parity and for the
+            # sharded beyond-HBM regime.
+            engine_kind = "flat"
         elif engine_kind == "graph" and is_local:
             # documented engine-choice policy: graph never serves local
             # indexes (its search() rejects per-query partitions, which
@@ -159,6 +161,11 @@ class VsIndexActor:
         self._task: asyncio.Task | None = None
         self._stopped = False
         self._dropped_adds = 0
+        # begin/collect pipeline (engines exposing search_begin):
+        # in-flight (batch, pending) pairs awaiting one aggregated pull
+        self._inflight_collects: list[tuple[list[_SearchRequest], object]] = []
+        self._collector: asyncio.Task | None = None
+        self._pipelined = hasattr(self.engine, "search_begin")
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -239,12 +246,14 @@ class VsIndexActor:
         return await fut
 
     async def _run(self) -> None:
-        """Scheduling loop. Searches are pipelined two-deep: while batch N's
-        device->host result pull is in flight in one worker thread, batch
-        N+1's kernel already executes on the device from another — the pull
-        latency (the dominant fixed cost through the TPU relay) hides behind
-        the next batch's compute. Mutations wait for the pipeline to drain
-        (the reference's exclusive modify permits become this scheduling)."""
+        """Scheduling loop. Searches are pipelined: kernel dispatches
+        (search_begin, ~ms) happen as batches arrive, while a single
+        collector task pulls ALL finished batches in one aggregated
+        device->host transfer (engine.collect_many — the relay's fixed
+        per-pull cost made per-batch pulls the bottleneck). Mutations wait
+        for the pipeline to drain (the reference's exclusive modify permits
+        become this scheduling). Engines without search_begin (simulator,
+        opensearch) run the legacy one-executor-call-per-batch path."""
         loop = asyncio.get_running_loop()
         inflight: set[asyncio.Future] = set()
 
@@ -262,14 +271,69 @@ class VsIndexActor:
             fut.add_done_callback(_done)
             inflight.add(fut)
 
+        def launch_pipelined(batch: list[_SearchRequest]) -> asyncio.Future:
+            fut = loop.run_in_executor(None, self._begin_batch, batch)
+
+            def _done(f: asyncio.Future, batch=batch) -> None:
+                inflight.discard(f)
+                if f.cancelled():
+                    return
+                exc = f.exception()
+                if exc is not None:
+                    for req in batch:
+                        if not req.future.done():
+                            req.future.set_exception(exc)
+                    return
+                pending = f.result()
+                if pending is not None:
+                    self._inflight_collects.append((batch, pending))
+                    if self._collector is None or self._collector.done():
+                        self._collector = loop.create_task(self._collect_loop())
+
+            fut.add_done_callback(_done)
+            inflight.add(fut)
+            return fut
+
         while not self._stopped:
-            # 1) searches first (biased recv), up to 2 batches in flight
-            if not self._search_queue.empty() and len(inflight) < 2:
-                launch(self._drain_searches())
-                continue
+            # 1) searches first (biased recv)
+            if not self._search_queue.empty():
+                if self._pipelined:
+                    if len(inflight) + len(self._inflight_collects) < 4:
+                        # the relay serializes transfers: while a result
+                        # pull is in flight, a begin would queue behind it
+                        # anyway — spend that time coalescing arrivals into
+                        # a bigger device batch (fewer pulls per query)
+                        if (
+                            self._collector is not None
+                            and not self._collector.done()
+                            and self._search_queue.qsize() < MAX_SEARCH_BATCH // 2
+                        ):
+                            await asyncio.sleep(0.002)
+                            continue  # re-check: collector done or queue grown
+                        await launch_pipelined(self._drain_searches())
+                        continue
+                elif len(inflight) < 2:
+                    launch(self._drain_searches())
+                    continue
 
             if inflight:
                 await asyncio.wait(inflight, return_when=asyncio.FIRST_COMPLETED)
+                continue
+            if self._collector is not None and not self._collector.done():
+                # a collect pull is in flight; new searches may still arrive
+                getter = asyncio.ensure_future(self._search_queue.get())
+                done, _ = await asyncio.wait(
+                    [getter, self._collector], return_when=asyncio.FIRST_COMPLETED
+                )
+                if getter in done:
+                    req = getter.result()
+                    self._search_queue.put_nowait(req)
+                else:
+                    getter.cancel()
+                    try:
+                        await getter
+                    except (asyncio.CancelledError, Exception):
+                        pass
                 continue
 
             # 2) modifications (pipeline drained)
@@ -314,7 +378,11 @@ class VsIndexActor:
                     pass
             if getter in done:
                 req = getter.result()
-                launch([req] + self._drain_searches())
+                batch = [req] + self._drain_searches()
+                if self._pipelined:
+                    await launch_pipelined(batch)
+                else:
+                    launch(batch)
 
     def _drain_searches(self) -> list[_SearchRequest]:
         batch: list[_SearchRequest] = []
@@ -324,6 +392,95 @@ class VsIndexActor:
             except asyncio.QueueEmpty:
                 break
         return batch
+
+    # -- pipelined begin/collect path -----------------------------------------
+
+    async def _collect_loop(self) -> None:
+        """Drains in-flight searches with aggregated result pulls until none
+        remain. One instance runs at a time."""
+        loop = asyncio.get_running_loop()
+        while self._inflight_collects and not self._stopped:
+            items = self._inflight_collects
+            self._inflight_collects = []
+            try:
+                await loop.run_in_executor(None, self._collect_batches, items)
+            except Exception as exc:
+                for batch, _ in items:
+                    for req in batch:
+                        if not req.future.done():
+                            loop.call_soon(
+                                lambda r=req, e=exc: r.future.set_exception(e)
+                                if not r.future.done()
+                                else None
+                            )
+
+    # executed in a worker thread
+    @hotpath.measure
+    def _begin_batch(self, batch: list[_SearchRequest]):
+        """Dispatch one device search for the batch (no waiting)."""
+        if not batch:
+            return None
+        k = max(r.limit * r.oversample for r in batch)
+        k = min(k, max(self.engine.size, 1))
+        queries = np.stack([r.vector for r in batch])
+        partitions = None
+        if self.is_local:
+            partitions = np.asarray(
+                [r.partition.slot if r.partition else -1 for r in batch],
+                dtype=np.int32,
+            )
+        return self.engine.search_begin(queries, k, partitions=partitions)
+
+    # executed in a worker thread
+    @hotpath.measure
+    def _collect_batches(self, items) -> None:
+        """One aggregated pull for every in-flight batch, then resolve.
+        Requests whose post-filtered results come up short are requeued
+        with a larger oversample factor (next device batch) instead of
+        blocking this one."""
+        pendings = [p for _, p in items]
+        all_results = self.engine.collect_many(pendings)
+        finished: list[tuple[_SearchRequest, list]] = []
+        requeue: list[_SearchRequest] = []
+        loop = None
+        for (batch, pending), results in zip(items, all_results):
+            k_used = max(r.limit * r.oversample for r in batch)
+            for req, res in zip(batch, results):
+                loop = loop or req.future.get_loop()
+                resolved = self._resolve(req, res)
+                exhausted = (
+                    res.slots.size >= self.engine.size
+                    or k_used >= self.engine.size
+                )
+                if len(resolved) >= req.limit or exhausted:
+                    finished.append((req, resolved[: req.limit]))
+                elif req.oversample >= OVERSAMPLE_STEPS[-1]:
+                    self._finish_last(req)
+                else:
+                    # grow the oversample factor and try in a later batch
+                    for step in OVERSAMPLE_STEPS:
+                        if step > req.oversample:
+                            req.oversample = step
+                            break
+                    requeue.append(req)
+        if loop is not None and (finished or requeue):
+            # ONE loop wakeup for the whole collect (per-request
+            # call_soon_threadsafe was a measurable cost at 1k+ QPS)
+            loop.call_soon_threadsafe(self._finish_many, finished, requeue)
+
+    def _finish_many(
+        self,
+        finished: list[tuple[_SearchRequest, list]],
+        requeue: list[_SearchRequest],
+    ) -> None:
+        for req, result in finished:
+            if not req.future.done():
+                req.future.set_result(result)
+        for req in requeue:
+            if not req.future.done():
+                self._search_queue.put_nowait(req)
+        if requeue:
+            self._modify_event.set()  # wake the scheduler if idle
 
     # executed in a worker thread
     @hotpath.measure
