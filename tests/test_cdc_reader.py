@@ -144,6 +144,126 @@ class TestCdcReader:
         await asyncio.sleep(0)  # the poll loop already ran several times
         assert len(items) == 1
 
+    async def test_stream_generation_aware_reads(self):
+        """When the cluster exposes CDC generations, the reader must issue
+        per-stream single-partition queries (no ALLOW FILTERING) across ALL
+        generations active in the window (db_cdc/actor.rs:439-488)."""
+        import datetime as dt
+
+        md = make_vs_metadata(dimensions=2, primary_key_columns=("pk",))
+        now = time.time()
+        # gen1 active until now-300, gen2 from now-300 on; the reader's
+        # 10-minute checkpoint window overlaps both
+        gen1 = dt.datetime.fromtimestamp(now - 86400, tz=dt.timezone.utc)
+        gen2 = dt.datetime.fromtimestamp(now - 300, tz=dt.timezone.utc)
+        s1, s2, s3 = b"\x01" * 16, b"\x02" * 16, b"\x03" * 16
+        t = timeuuid_now()
+        queried_streams: list[bytes] = []
+
+        def handler(cql, values, paging):
+            if "cdc_generation_timestamps" in cql:
+                return CannedResult(
+                    columns=[FakeColumn("time", ct.T_TIMESTAMP)],
+                    rows=[(gen2,), (gen1,)],
+                )
+            if "cdc_streams_descriptions_v2" in cql:
+                # values[0] is the encoded timestamp param
+                millis = struct.unpack("!q", values[0])[0]
+                streams = [s1, s2] if abs(millis / 1e3 - gen1.timestamp()) < 1 else [s3]
+                return CannedResult(
+                    columns=[
+                        FakeColumn("streams", ct.T_SET, sub_type_id=ct.T_BLOB)
+                    ],
+                    rows=[(streams,)],
+                )
+            if "_scylla_cdc_log" in cql:
+                assert "ALLOW FILTERING" not in cql, cql
+                assert 'cdc$stream_id' in cql, cql
+                sid = values[0]
+                queried_streams.append(sid)
+                if sid == s3:
+                    return CannedResult(
+                        columns=[
+                            FakeColumn("cdc$time", ct.T_TIMEUUID),
+                            FakeColumn("cdc$operation", ct.T_TINYINT),
+                            FakeColumn("pk", ct.T_INT),
+                        ],
+                        rows=[(t, CDC_OP_INSERT, 42)],
+                    )
+                return CannedResult(
+                    columns=[
+                        FakeColumn("cdc$time", ct.T_TIMEUUID),
+                        FakeColumn("cdc$operation", ct.T_TINYINT),
+                        FakeColumn("pk", ct.T_INT),
+                    ],
+                    rows=[],
+                )
+            if "SELECT" in cql and "tbl" in cql:
+                return CannedResult(
+                    columns=[
+                        FakeColumn("emb", ct.T_VECTOR, vector_dim=2),
+                        FakeColumn("wt", ct.T_BIGINT),
+                    ],
+                    rows=[([3.0, 4.0], 1_000_000)],
+                )
+            return None
+
+        server = FakeCqlServer(handler)
+        await server.start()
+        session = CqlSession(f"127.0.0.1:{server.port}")
+        session.start()
+        db = ScyllaDb(
+            session, cdc_fine_safety_interval=0.0, cdc_fine_sleep_interval=0.05
+        )
+        feed: asyncio.Queue = asyncio.Queue()
+        pair = CdcReaderPair(db, md, feed)
+        loop = asyncio.get_running_loop()
+        task = loop.create_task(pair._reader("fine", 0.0, 0.05))
+        try:
+            row, marker = await asyncio.wait_for(feed.get(), 10)
+            assert row.primary_key.values() == (42,)
+            assert row.operation.kind == "upsert"
+            # the 10-min checkpoint window overlaps both generations: all
+            # three streams must have been queried individually
+            assert {bytes(s) for s in queried_streams} == {s1, s2, s3}
+            # and no full-scan fallback was used for the log table
+            assert not any(
+                "ALLOW FILTERING" in q for q in server.queries if "_scylla_cdc_log" in q
+            )
+        finally:
+            pair._stopped = True
+            task.cancel()
+            try:
+                await task
+            except (asyncio.CancelledError, Exception):
+                pass
+            await session.stop()
+            await server.stop()
+
+    async def test_dedup_survives_generation_rotation(self):
+        """The bounded two-generation dedup must still reject a duplicate
+        arriving right after a rotation (the old wholesale clear() forgot
+        everything)."""
+        md = make_vs_metadata(dimensions=2, primary_key_columns=("pk",))
+        feed: asyncio.Queue = asyncio.Queue()
+        pair = CdcReaderPair.__new__(CdcReaderPair)
+        pair._dedup_cur = set()
+        pair._dedup_prev = set()
+        keys = [
+            (i.to_bytes(4, "big"), i, 2)
+            for i in range(CdcReaderPair.DEDUP_GENERATION + 1)
+        ]
+        for k in keys:
+            assert k not in pair._dedup_cur and k not in pair._dedup_prev
+            pair._dedup_cur.add(k)
+            if len(pair._dedup_cur) > CdcReaderPair.DEDUP_GENERATION:
+                pair._dedup_prev = pair._dedup_cur
+                pair._dedup_cur = set()
+        # immediately after rotation: every previously-seen key still caught
+        assert all(
+            (k in pair._dedup_cur or k in pair._dedup_prev) for k in keys[-10:]
+        )
+
     async def test_preimage_skipped(self):
         from vector_store_tpu.db.scylla import CDC_OP_PRE_IMAGE
 

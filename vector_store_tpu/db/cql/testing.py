@@ -145,6 +145,19 @@ class FakeCqlServer:
         self._next_id = 0
         self.port = 0
         self.queries: list[str] = []
+        # fault-injection knobs (validator reconnect.rs / firewall parity)
+        self.refuse_connections = False  # close new connections immediately
+        self.connections_accepted = 0
+        self._writers: set[asyncio.StreamWriter] = set()
+
+    def drop_all_connections(self) -> None:
+        """Sever every live connection (the validator's firewall cut)."""
+        for w in list(self._writers):
+            try:
+                w.close()
+            except Exception:
+                pass
+        self._writers.clear()
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(self._client, "127.0.0.1", 0)
@@ -156,6 +169,11 @@ class FakeCqlServer:
             await self._server.wait_closed()
 
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        if self.refuse_connections:
+            writer.close()
+            return
+        self.connections_accepted += 1
+        self._writers.add(writer)
         authed = self.require_auth is None
         try:
             while True:
@@ -234,6 +252,7 @@ class FakeCqlServer:
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
         finally:
+            self._writers.discard(writer)
             writer.close()
 
     @staticmethod

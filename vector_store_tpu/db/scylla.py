@@ -13,6 +13,7 @@ system_schema tables instead of driver-internal cluster state.
 from __future__ import annotations
 
 import asyncio
+import datetime
 import json
 import logging
 import struct
@@ -621,9 +622,20 @@ class CdcReaderPair:
     """Two readers per index (db_cdc/actor.rs:44-50): 'wide' favors
     consistency (long safety interval), 'fine' favors latency. Both poll the
     CDC log table, classify operations, dedup, and re-read the current base
-    row for upserts (read-after-CDC, consumer.rs:60-122)."""
+    row for upserts (read-after-CDC, consumer.rs:60-122).
+
+    Stream-generation aware (db_cdc/actor.rs:439-488 via scylla-cdc): the
+    reader discovers stream ids from system_distributed.cdc_generation_
+    timestamps / cdc_streams_descriptions_v2 and issues single-partition
+    reads per stream ("cdc$stream_id" = ? AND "cdc$time" range) with
+    bounded concurrency. Only when the generation tables are absent (e.g.
+    a minimal fake backend) does it fall back to one ALLOW FILTERING scan
+    per window."""
 
     CHECKPOINT_OFFSET = 600.0  # start from now - 10 min (db_cdc/actor.rs:42)
+    GEN_REFRESH = 10.0  # re-read stream topology at most this often
+    STREAM_CONCURRENCY = 16  # parallel per-stream reads per window
+    DEDUP_GENERATION = 50_000  # entries per dedup generation (two kept)
 
     def __init__(self, db: ScyllaDb, metadata: IndexMetadata, feed: asyncio.Queue) -> None:
         self.db = db
@@ -631,7 +643,13 @@ class CdcReaderPair:
         self.feed = feed
         self._tasks: list[asyncio.Task] = []
         self._stopped = False
-        self._dedup: set = set()
+        # two-generation dedup: membership checked in both, inserts go to
+        # cur; rotation keeps the previous generation so a duplicate right
+        # after rotation is still caught (no wholesale forgetting)
+        self._dedup_cur: set = set()
+        self._dedup_prev: set = set()
+        self._gen_cache: list[tuple[float, list[bytes]]] | None = None
+        self._gen_cache_at = 0.0
         md = metadata
         self._columns = (
             [md.target_column]
@@ -709,18 +727,93 @@ class CdcReaderPair:
         if up:
             up.set(0)
 
+    async def _get_generations(self) -> list[tuple[float, list[bytes]]]:
+        """CDC stream topology: [(generation_start_seconds, [stream_id])],
+        sorted ascending. Empty when the cluster doesn't expose the
+        generation tables (fallback to the scan path)."""
+        now = time.time()
+        if self._gen_cache is not None and now - self._gen_cache_at < self.GEN_REFRESH:
+            return self._gen_cache
+        gens: list[tuple[float, list[bytes]]] = []
+        try:
+            rs = await self.db.session.query(
+                "SELECT time FROM system_distributed.cdc_generation_timestamps "
+                "WHERE key = 'timestamps'"
+            )
+            times = sorted(
+                row[0].timestamp() for row in rs.rows if row[0] is not None
+            )
+            for t in times:
+                rs2 = await self.db.session.execute_prepared(
+                    "SELECT streams FROM "
+                    "system_distributed.cdc_streams_descriptions_v2 WHERE time = ?",
+                    [datetime.datetime.fromtimestamp(t, tz=datetime.timezone.utc)],
+                )
+                streams: list[bytes] = []
+                for row in rs2.rows:
+                    if row[0]:
+                        streams.extend(bytes(s) for s in row[0])
+                if streams:
+                    gens.append((t, streams))
+        except Exception as e:
+            logger.debug("cdc generation discovery unavailable: %s", e)
+            gens = []
+        self._gen_cache = gens
+        self._gen_cache_at = now
+        return gens
+
+    def _streams_for_window(
+        self, gens: list[tuple[float, list[bytes]]], start: float, end: float
+    ) -> list[bytes]:
+        """Stream ids of every generation active anywhere in [start, end):
+        generation i covers [t_i, t_{i+1})."""
+        out: list[bytes] = []
+        for i, (t, streams) in enumerate(gens):
+            nxt = gens[i + 1][0] if i + 1 < len(gens) else float("inf")
+            if t < end and nxt > start:
+                out.extend(streams)
+        return out
+
     async def _poll_window(self, start: float, end: float) -> None:
         md = self.metadata
         start_uuid = _min_timeuuid(start)
         end_uuid = _min_timeuuid(end)
         pk_cols = ", ".join(quote_ident(c) for c in md.primary_key_columns)
-        q = (
-            f'SELECT "cdc$time", "cdc$operation", {pk_cols} '
-            f"FROM {quote_ident(md.keyspace_name)}.{quote_ident(self._log_table)} "
-            f'WHERE "cdc$time" > ? AND "cdc$time" < ? ALLOW FILTERING'
-        )
-        rs = await self.db.session.execute_prepared(q, [start_uuid, end_uuid])
-        for row in rs.rows:
+        log = f"{quote_ident(md.keyspace_name)}.{quote_ident(self._log_table)}"
+
+        gens = await self._get_generations()
+        rows: list[tuple] = []
+        if gens:
+            # per-stream single-partition reads, bounded fan-out
+            q = (
+                f'SELECT "cdc$time", "cdc$operation", {pk_cols} FROM {log} '
+                f'WHERE "cdc$stream_id" = ? AND "cdc$time" > ? AND "cdc$time" < ?'
+            )
+            sem = asyncio.Semaphore(self.STREAM_CONCURRENCY)
+
+            async def read_stream(sid: bytes):
+                async with sem:
+                    rs = await self.db.session.execute_prepared(
+                        q, [sid, start_uuid, end_uuid]
+                    )
+                    return rs.rows
+
+            for chunk in await asyncio.gather(
+                *(read_stream(s) for s in self._streams_for_window(gens, start, end))
+            ):
+                rows.extend(chunk)
+            # CDC log clustering order only holds per stream; restore global
+            # time order so LWW sees changes in sequence
+            rows.sort(key=lambda r: r[0].time if r[0] is not None else 0)
+        else:
+            q = (
+                f'SELECT "cdc$time", "cdc$operation", {pk_cols} FROM {log} '
+                f'WHERE "cdc$time" > ? AND "cdc$time" < ? ALLOW FILTERING'
+            )
+            rs = await self.db.session.execute_prepared(q, [start_uuid, end_uuid])
+            rows = list(rs.rows)
+
+        for row in rows:
             cdc_time, op = row[0], row[1]
             pk_values = row[2:]
             if any(v is None for v in pk_values):
@@ -736,11 +829,12 @@ class CdcReaderPair:
                 continue  # range deletes skipped (consumer.rs:186-201)
             pk = PrimaryKey.from_values(pk_values)
             dedup_key = (pk.data, cdc_time, op)
-            if dedup_key in self._dedup:
+            if dedup_key in self._dedup_cur or dedup_key in self._dedup_prev:
                 continue
-            self._dedup.add(dedup_key)
-            if len(self._dedup) > 100_000:
-                self._dedup.clear()
+            self._dedup_cur.add(dedup_key)
+            if len(self._dedup_cur) > self.DEDUP_GENERATION:
+                self._dedup_prev = self._dedup_cur
+                self._dedup_cur = set()
             ts = _timeuuid_timestamp(cdc_time)
             change_seconds = ts.as_seconds()
             if op in (CDC_OP_ROW_DELETE, CDC_OP_PARTITION_DELETE):
