@@ -112,3 +112,71 @@ class TestBenchkit:
         finally:
             await server.close()
             await service.stop()
+
+
+class TestSearchCql:
+    async def test_search_cql_harness(self):
+        """search-cql parity (crates/benchmark/src/main.rs:169-206): the
+        driver issues 'ORDER BY ... ANN OF ? LIMIT k' prepared statements
+        and measures QPS/recall."""
+        from vector_store_tpu.benchkit.harness import search_cql
+        from vector_store_tpu.db.cql import types as ct
+        from vector_store_tpu.db.cql.testing import (
+            CannedResult,
+            FakeColumn,
+            FakeCqlServer,
+        )
+
+        def handler(cql, values, paging):
+            assert "ANN OF" in cql and "LIMIT 3" in cql, cql
+            return CannedResult(
+                columns=[FakeColumn("pk", ct.T_INT)],
+                rows=[(1,), (2,), (3,)],
+            )
+
+        server = FakeCqlServer(handler)
+        await server.start()
+        try:
+            queries = RNG.normal(size=(8, 4)).astype(np.float32)
+            gt = np.asarray([[1, 2, 3]] * 8)
+            res = await search_cql(
+                f"127.0.0.1:{server.port}",
+                "ks",
+                "tbl",
+                "emb",
+                "pk",
+                queries,
+                gt,
+                k=3,
+                concurrency=4,
+            )
+            assert res["queries"] == 8
+            assert res["recall_at_k"] == 1.0
+            assert res["qps"] > 0
+        finally:
+            await server.stop()
+
+
+class TestSelectivitySuite:
+    async def test_selectivity_buckets_smoke(self, monkeypatch):
+        """The bucketed filtered benchmark runs end-to-end and reports
+        QPS/recall per selectivity bucket (main.rs:45-49,188-190)."""
+        import asyncio as _asyncio
+
+        monkeypatch.setenv("SUITE_N", "2000")
+        monkeypatch.setenv("SUITE_D", "8")
+        monkeypatch.setenv("SUITE_QUERIES", "8")
+        monkeypatch.setenv("SUITE_CONCURRENCY", "8")
+        from vector_store_tpu.benchkit import suite
+
+        # suite.selectivity() calls asyncio.run; run it in a thread so the
+        # test's own loop isn't disturbed
+        out = await _asyncio.get_running_loop().run_in_executor(
+            None, suite.selectivity
+        )
+        assert out["buckets"], out
+        for frac, stats in out["buckets"].items():
+            assert stats["qps"] > 0
+            assert 0.0 <= stats["recall_at_k"] <= 1.0
+        # the widest bucket must recall well (exact engine + post-filter)
+        assert out["buckets"]["0.5"]["recall_at_k"] >= 0.9, out

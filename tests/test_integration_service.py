@@ -326,6 +326,64 @@ class TestMetrics:
             await client.close()
             await service.stop()
 
+    async def test_metrics_protobuf_negotiation(self):
+        """Accept: application/vnd.google.protobuf -> varint-delimited
+        MetricFamily stream (httproutes.rs:577-613)."""
+        db = simple_db(n=5, dims=4)
+        service, client = await start_service(db)
+        try:
+            await wait_serving(client, "ks", "idx")
+            await client.post(
+                "/api/v1/indexes/ks/idx/ann", json={"vector": [0.0] * 4}
+            )
+            resp = await client.get(
+                "/metrics",
+                headers={
+                    "Accept": "application/vnd.google.protobuf; "
+                    "proto=io.prometheus.client.MetricFamily; encoding=delimited"
+                },
+            )
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(
+                "application/vnd.google.protobuf"
+            )
+            body = await resp.read()
+            # walk the varint-delimited stream and pull family names
+            # (field 1, wire type 2 is always the first field emitted)
+            names = []
+            i = 0
+            while i < len(body):
+                msg_len, i = _read_varint(body, i)
+                msg = body[i : i + msg_len]
+                i += msg_len
+                assert msg[0] == (1 << 3) | 2  # field 1, length-delimited
+                name_len, j = _read_varint(msg, 1)
+                names.append(msg[j : j + name_len].decode())
+            assert "request_latency_seconds" in names
+            assert "index_size" in names
+            # text format still served without the Accept header
+            resp = await client.get("/metrics")
+            assert "text/plain" in resp.headers["Content-Type"]
+        finally:
+            await client.close()
+            await service.stop()
+
+    async def test_swagger_ui_page(self):
+        """/swagger-ui serves the interactive docs page
+        (httproutes.rs:160-166)."""
+        db = simple_db(n=5, dims=4)
+        service, client = await start_service(db)
+        try:
+            resp = await client.get("/swagger-ui/")
+            assert resp.status == 200
+            html = await resp.text()
+            assert "/api-docs/openapi.json" in html
+            resp = await client.get("/swagger-ui", allow_redirects=False)
+            assert resp.status == 302
+        finally:
+            await client.close()
+            await service.stop()
+
     async def test_internals_counters(self):
         db = simple_db(n=5, dims=4)
         service, client = await start_service(db)
@@ -456,3 +514,15 @@ class TestFtsIntegration:
         finally:
             await client.close()
             await service.stop()
+
+
+def _read_varint(buf: bytes, i: int) -> tuple[int, int]:
+    shift = 0
+    out = 0
+    while True:
+        b = buf[i]
+        i += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, i
+        shift += 7

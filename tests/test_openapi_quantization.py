@@ -96,6 +96,54 @@ async def test_quantization_modes_over_http(quant):
         await service.stop()
 
 
+async def test_hbm_budget_drops_adds():
+    """Device-HBM accounting: engines register their device-array footprint
+    with the governor, and an index outgrowing the per-chip budget flips
+    the governor to Cannot BEFORE the device OOMs (memory.rs:23-25 in
+    spirit, applied to the actual binding resource on this architecture)."""
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    vecs = RNG.normal(size=(10, 8)).astype(np.float32)
+    rows = [vector_row((i,), vecs[i].tolist(), 100) for i in range(10)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=8), scan=rows))
+    service = await build_service(
+        db, Config(monitor_indexes_interval=0.05, engine_kind="flat")
+    )
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        deadline = asyncio.get_event_loop().time() + 15
+        while True:
+            resp = await client.get("/api/v1/indexes/ks/idx/status")
+            if resp.status == 200 and (await resp.json())["count"] == 10:
+                break
+            assert asyncio.get_event_loop().time() < deadline
+            await asyncio.sleep(0.05)
+
+        # the engine registered at creation and reports real device bytes
+        used = service.memory.device_bytes_used()
+        assert used > 0
+        # shrink the device budget below what's already resident
+        service.memory._task.cancel()
+        service.memory.device_limit = used // 2
+        assert service.memory.check() is False
+
+        dbi = db.db_indexes[("ks", "idx")]
+        await dbi.push_cdc(vector_row((100,), [9.0] * 8, 200))
+        entry = service.indexes.get_vs(("ks", "idx"))
+        deadline = asyncio.get_event_loop().time() + 10
+        while entry.actor._dropped_adds == 0:
+            assert asyncio.get_event_loop().time() < deadline
+            await asyncio.sleep(0.05)
+
+        # raising the budget relieves pressure
+        service.memory.device_limit = used * 10
+        assert service.memory.check() is True
+    finally:
+        await client.close()
+        await service.stop()
+
+
 async def test_memory_limit_drops_adds():
     """When the governor reports Cannot, new vectors are dropped rather
     than indexed (memory_limit.rs / usearch.rs:1156-1177 parity)."""

@@ -71,6 +71,64 @@ async def search_http(
     return out
 
 
+async def search_cql(
+    uri: str,
+    keyspace: str,
+    table: str,
+    column: str,
+    pk_column: str,
+    queries: np.ndarray,
+    ground_truth: np.ndarray | None,
+    k: int,
+    concurrency: int,
+    username: str | None = None,
+    password: str | None = None,
+) -> dict:
+    """Drive ANN through the CQL path (reference search-cql,
+    crates/benchmark/src/main.rs:169-206): `SELECT pk FROM ks.tbl ORDER BY
+    col ANN OF ? LIMIT k` against the cluster coordinator, which routes to
+    the vector store."""
+    from vector_store_tpu.db.cql.session import CqlSession
+    from vector_store_tpu.db.scylla import quote_ident
+
+    session = CqlSession(uri, username=username, password=password)
+    session.start()
+    q = (
+        f"SELECT {quote_ident(pk_column)} "
+        f"FROM {quote_ident(keyspace)}.{quote_ident(table)} "
+        f"ORDER BY {quote_ident(column)} ANN OF ? LIMIT {int(k)}"
+    )
+    latencies: list[float] = []
+    returned: list[list] = [None] * len(queries)  # type: ignore[list-item]
+    sem = asyncio.Semaphore(concurrency)
+
+    async def one(i: int) -> None:
+        async with sem:
+            t0 = time.perf_counter()
+            rs = await session.execute_prepared(q, [list(map(float, queries[i]))])
+            latencies.append(time.perf_counter() - t0)
+            returned[i] = [row[0] for row in rs.rows]
+
+    try:
+        t_start = time.time()
+        await asyncio.gather(*(one(i) for i in range(len(queries))))
+        wall = time.time() - t_start
+    finally:
+        await session.stop()
+
+    lat = np.asarray(latencies)
+    out = {
+        "queries": len(queries),
+        "qps": len(queries) / wall,
+        "p50_ms": float(np.percentile(lat, 50) * 1e3),
+        "p95_ms": float(np.percentile(lat, 95) * 1e3),
+        "p99_ms": float(np.percentile(lat, 99) * 1e3),
+    }
+    if ground_truth is not None:
+        out["recall_at_k"] = recall_at_k(returned, ground_truth, k)
+    return out
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(prog="vector-search-benchmark")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -86,6 +144,22 @@ def main() -> None:
     p.add_argument("--limit-queries", type=int)
     p.add_argument("--pk-column", default="pk")
 
+    c = sub.add_parser(
+        "search-cql", help="drive ANN via CQL 'ORDER BY ... ANN OF', measure QPS/latency/recall"
+    )
+    c.add_argument("--uri", default="127.0.0.1:9042")
+    c.add_argument("--keyspace", required=True)
+    c.add_argument("--table", required=True)
+    c.add_argument("--column", default="emb")
+    c.add_argument("--pk-column", default="pk")
+    c.add_argument("--queries", required=True, help=".fbin query file")
+    c.add_argument("--ground-truth", help=".ibin ground truth file")
+    c.add_argument("--k", type=int, default=10)
+    c.add_argument("--concurrency", type=int, default=64)
+    c.add_argument("--limit-queries", type=int)
+    c.add_argument("--username")
+    c.add_argument("--password")
+
     args = parser.parse_args()
     if args.command == "search-http":
         queries = load_fbin(args.queries, count=args.limit_queries)
@@ -100,6 +174,25 @@ def main() -> None:
                 args.k,
                 args.concurrency,
                 pk_column=args.pk_column,
+            )
+        )
+        print(json.dumps(result))
+    elif args.command == "search-cql":
+        queries = load_fbin(args.queries, count=args.limit_queries)
+        gt = load_ibin(args.ground_truth) if args.ground_truth else None
+        result = asyncio.run(
+            search_cql(
+                args.uri,
+                args.keyspace,
+                args.table,
+                args.column,
+                args.pk_column,
+                queries,
+                gt,
+                args.k,
+                args.concurrency,
+                username=args.username,
+                password=args.password,
             )
         )
         print(json.dumps(result))

@@ -179,12 +179,130 @@ def saturation() -> dict:
     }
 
 
+def selectivity() -> dict:
+    """Filtered-search QPS/recall over selectivity buckets 50% -> 0.1%
+    (reference crates/benchmark/src/main.rs:45-49,188-190). Exercises the
+    oversample+retry loop whose cost scales inversely with selectivity:
+    each row carries one filtering value; bucket b restricts to the rows
+    whose value == b, matching a fraction of the corpus."""
+    import asyncio
+
+    from vector_store_tpu.benchkit.harness import SELECTIVITY_BUCKETS, search_http
+
+    n = int(os.environ.get("SUITE_N", 100_000))
+    d = int(os.environ.get("SUITE_D", 64))
+    k = 10
+    n_queries = int(os.environ.get("SUITE_QUERIES", 128))
+    concurrency = int(os.environ.get("SUITE_CONCURRENCY", 64))
+    rng = np.random.default_rng(9)
+    vecs = _data(n, d, rng)
+
+    # assign each row to the narrowest bucket it samples into, so bucket b
+    # matches ~fraction b of rows: labels chosen by cumulative thresholds
+    labels = np.full(n, -1, dtype=np.int64)
+    u = rng.random(n)
+    acc = 0.0
+    for bi, frac in enumerate(SELECTIVITY_BUCKETS):
+        labels[(u >= acc) & (u < acc + frac)] = bi
+        acc += frac
+
+    async def run() -> dict:
+        from aiohttp.test_utils import TestServer
+
+        from vector_store_tpu.db.fake import (
+            FakeDb,
+            FakeIndex,
+            FakeTable,
+            make_vs_metadata,
+            vector_row,
+        )
+        from vector_store_tpu.run import build_service
+        from vector_store_tpu.service.config import Config
+        from vector_store_tpu.service.node_state import IndexStatus, NodeStatus
+
+        db = FakeDb()
+        db.add_table(FakeTable("ks", "tbl", ("pk",)))
+        rows = [
+            vector_row(
+                (i,), vecs[i].tolist(), 100, filtering=[(100, int(labels[i]))]
+            )
+            for i in range(n)
+        ]
+        db.add_index(
+            FakeIndex(
+                metadata=make_vs_metadata(
+                    dimensions=d, filtering_columns=("bucket",)
+                ),
+                scan=rows,
+            )
+        )
+        service = await build_service(db, Config(monitor_indexes_interval=0.1))
+        http = TestServer(service.app)
+        await http.start_server()
+        try:
+            while service.node_state.get_status() is not NodeStatus.SERVING:
+                await asyncio.sleep(0.1)
+            entry = service.indexes.get_vs(("ks", "idx"))
+            while (
+                entry.status is not IndexStatus.SERVING
+                or await entry.actor.count() < n
+            ):
+                service.engine.update_entries()
+                await asyncio.sleep(0.2)
+
+            url = f"http://127.0.0.1:{http.port}"
+            queries = _data(n_queries, d, rng)
+            out: dict = {"config": "filtered selectivity buckets", "n": n, "buckets": {}}
+            for bi, frac in enumerate(SELECTIVITY_BUCKETS):
+                allowed = np.flatnonzero(labels == bi)
+                if allowed.size == 0:
+                    continue
+                # exact filtered ground truth (cosine — the index metric)
+                sub = vecs[allowed]
+                qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+                sn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                d2 = 1.0 - qn @ sn.T
+                kk = min(k, allowed.size)
+                top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                gt = allowed[top]
+
+                def filt(i, b=bi):
+                    return {
+                        "restrictions": [{"type": "==", "lhs": "bucket", "rhs": b}],
+                        "allow_filtering": True,
+                    }
+
+                res = await search_http(
+                    url,
+                    "ks",
+                    "idx",
+                    queries,
+                    gt,
+                    kk,
+                    concurrency,
+                    filter_template=filt,
+                )
+                out["buckets"][f"{frac:g}"] = {
+                    "qps": round(res["qps"], 1),
+                    "p50_ms": round(res["p50_ms"], 2),
+                    "recall_at_k": round(res["recall_at_k"], 4),
+                    "matching_rows": int(allowed.size),
+                }
+            return out
+        finally:
+            await http.close()
+            await service.stop()
+
+    return asyncio.run(run())
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "cosine-sweep"
     fn = {
         "cosine-sweep": cosine_sweep,
         "quantized-highdim": quantized_highdim,
         "saturation": saturation,
+        "selectivity": selectivity,
     }[cmd]
     print(json.dumps(fn()))
 

@@ -385,6 +385,17 @@ class FlatDeviceIndex:
         """Number of live vectors."""
         return self._live
 
+    @property
+    def device_bytes(self) -> int:
+        """HBM footprint of this index's device arrays (for the memory
+        governor — the relay backend exposes no memory_stats)."""
+        cap = self.capacity
+        per_row = self.vectors.dtype.itemsize * self.dp + 4 + 4 + 1 + 4  # aux/epochs/valid/parts
+        total = cap * per_row + 8 * 4 * cap  # + paux [8, cap] f32
+        if self.rescore:
+            total += cap * (2 * self.dp_rescore + 4)
+        return total
+
     def _round_cap(self, n: int) -> int:
         b = self.block_rows
         return ((n + b - 1) // b) * b

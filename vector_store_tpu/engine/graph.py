@@ -322,6 +322,11 @@ class GraphDeviceIndex:
         return len(self._delta_slots)
 
     @property
+    def device_bytes(self) -> int:
+        """HBM footprint: the vector store plus the adjacency matrix."""
+        return self.store.device_bytes + self.adjacency.shape[0] * self.degree * 4
+
+    @property
     def graph_nodes(self) -> int:
         return self._graph_nodes
 

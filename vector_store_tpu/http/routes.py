@@ -572,8 +572,22 @@ async def get_status(request: web.Request) -> web.Response:
     return _json(node_status_http(st.node_state.get_status()))
 
 
+_METRICS_PB_CONTENT_TYPE = (
+    "application/vnd.google.protobuf; "
+    "proto=io.prometheus.client.MetricFamily; encoding=delimited"
+)
+
+
 async def get_metrics(request: web.Request) -> web.Response:
+    """Prometheus exposition with content negotiation: protobuf when the
+    scraper asks for it, text otherwise (httproutes.rs:577-613)."""
     st = _state(request)
+    accept = request.headers.get("Accept", "")
+    if "application/vnd.google.protobuf" in accept:
+        body = st.metrics.expose_protobuf()
+        return web.Response(
+            body=body, headers={"Content-Type": _METRICS_PB_CONTENT_TYPE}
+        )
     text = st.metrics.expose_text()
     return web.Response(text=text, content_type="text/plain", charset="utf-8")
 
@@ -619,6 +633,16 @@ async def get_openapi(request: web.Request) -> web.Response:
     return _json(openapi_doc())
 
 
+async def get_swagger_ui(request: web.Request) -> web.Response:
+    from vector_store_tpu.http.swagger_ui import PAGE
+
+    return web.Response(text=PAGE, content_type="text/html", charset="utf-8")
+
+
+async def redirect_swagger_ui(request: web.Request) -> web.Response:
+    raise web.HTTPFound("/swagger-ui/")
+
+
 def build_app(state: AppState) -> web.Application:
     app = web.Application(client_max_size=64 * 1024 * 1024)
     app["state"] = state
@@ -638,4 +662,6 @@ def build_app(state: AppState) -> web.Application:
     )
     app.router.add_get("/api/internals/hotpath", get_internal_hotpath)
     app.router.add_get("/api-docs/openapi.json", get_openapi)
+    app.router.add_get("/swagger-ui", redirect_swagger_ui)
+    app.router.add_get("/swagger-ui/", get_swagger_ui)
     return app

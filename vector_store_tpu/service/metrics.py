@@ -228,3 +228,87 @@ class Metrics:
         for vec in self._all:
             vec.expose(out)
         return "\n".join(out) + "\n"
+
+    def expose_protobuf(self) -> bytes:
+        """Prometheus protobuf exposition: a stream of varint-length-
+        delimited io.prometheus.client.MetricFamily messages
+        (httproutes.rs:577-613 negotiates the same format). Hand-rolled
+        encoder — the wire format is stable and tiny."""
+        for fn in list(self._refreshers):
+            try:
+                fn()
+            except Exception:
+                pass
+        out = bytearray()
+        for vec in self._all:
+            fam = _pb_metric_family(vec)
+            out += _pb_varint(len(fam))
+            out += fam
+        return bytes(out)
+
+
+# -- minimal protobuf wire encoding (io.prometheus.client) --------------------
+
+_PB_TYPE = {"counter": 0, "gauge": 1, "histogram": 4}
+
+
+def _pb_varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_tag(field: int, wire: int) -> bytes:
+    return _pb_varint((field << 3) | wire)
+
+
+def _pb_str(field: int, s: str) -> bytes:
+    b = s.encode("utf-8")
+    return _pb_tag(field, 2) + _pb_varint(len(b)) + b
+
+
+def _pb_msg(field: int, payload: bytes) -> bytes:
+    return _pb_tag(field, 2) + _pb_varint(len(payload)) + payload
+
+
+def _pb_double(field: int, v: float) -> bytes:
+    import struct
+
+    return _pb_tag(field, 1) + struct.pack("<d", float(v))
+
+
+def _pb_uint64(field: int, v: int) -> bytes:
+    return _pb_tag(field, 0) + _pb_varint(int(v))
+
+
+def _pb_enum(field: int, v: int) -> bytes:
+    return _pb_tag(field, 0) + _pb_varint(v)
+
+
+def _pb_metric_family(vec: "_Vec") -> bytes:
+    body = _pb_str(1, vec.name) + _pb_str(2, vec.help)
+    body += _pb_enum(3, _PB_TYPE[vec.kind])
+    with vec._lock:
+        children = sorted(vec.children.items())
+    for key, child in children:
+        metric = b""
+        for name, value in zip(vec.labels, key):
+            metric += _pb_msg(1, _pb_str(1, name) + _pb_str(2, value))
+        if vec.kind == "gauge":
+            metric += _pb_msg(2, _pb_double(1, child.value))
+        elif vec.kind == "counter":
+            metric += _pb_msg(3, _pb_double(1, child.value))
+        else:  # histogram
+            hist = _pb_uint64(1, child.total) + _pb_double(2, child.sum)
+            for b, c in zip(child.buckets, child.counts):
+                hist += _pb_msg(3, _pb_uint64(1, c) + _pb_double(2, b))
+            hist += _pb_msg(3, _pb_uint64(1, child.total) + _pb_double(2, float("inf")))
+            metric += _pb_msg(7, hist)
+        body += _pb_msg(4, metric)
+    return body

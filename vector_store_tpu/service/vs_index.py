@@ -155,6 +155,13 @@ class VsIndexActor:
             )
         self.is_local = is_local
 
+        if (
+            self.memory is not None
+            and hasattr(self.memory, "register_engine")
+            and hasattr(self.engine, "device_bytes")
+        ):
+            self.memory.register_engine(self.engine)
+
         self._search_queue: deque_t = asyncio.Queue()
         self._modify_queue: list[Operation] = []
         self._modify_event = asyncio.Event()
@@ -512,14 +519,24 @@ class VsIndexActor:
             self._finish_last(req)
 
     def _finish_last(self, req: _SearchRequest) -> None:
-        k = min(max(self.engine.size, 1), req.limit * OVERSAMPLE_STEPS[-1] * 4)
+        """Oversample steps exhausted: escalate k geometrically until the
+        post-filter yields `limit` rows or the whole index has been
+        considered — low-selectivity filters (0.1% buckets in the
+        reference's benchmark) genuinely need k ~ limit/selectivity."""
         partitions = None
         if self.is_local:
             partitions = np.asarray(
                 [req.partition.slot if req.partition else -1], dtype=np.int32
             )
-        res = self.engine.search(req.vector[None, :], k, partitions=partitions)[0]
-        self._finish(req, self._resolve(req, res)[: req.limit])
+        size = max(self.engine.size, 1)
+        k = min(size, req.limit * OVERSAMPLE_STEPS[-1] * 4)
+        while True:
+            res = self.engine.search(req.vector[None, :], k, partitions=partitions)[0]
+            resolved = self._resolve(req, res)
+            if len(resolved) >= req.limit or k >= size or res.slots.size >= size:
+                self._finish(req, resolved[: req.limit])
+                return
+            k = min(size, k * 4)
 
     def _resolve(self, req: _SearchRequest, res) -> list[tuple[PrimaryKey, Distance]]:
         """Slot/epoch hits -> (PrimaryKey, Distance), dropping stale epochs
