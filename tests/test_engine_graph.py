@@ -165,3 +165,60 @@ def test_refine_improves_or_keeps_recall():
     assert after >= before - 0.02, (before, after)
     # graph membership unchanged
     assert idx.graph_nodes == 1200
+
+
+class TestBulkBuild:
+    def test_bulk_build_matches_incremental_quality(self):
+        """bulk_build (exact-kNN + global prune + one reverse pass) must
+        produce a searchable graph with recall comparable to incremental
+        merges."""
+        import numpy as np
+
+        from vector_store_tpu.core.types import Quantization, SpaceType
+        from vector_store_tpu.engine import GraphDeviceIndex
+
+        rng = np.random.default_rng(5)
+        n, d, k = 6000, 16, 10
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+
+        g = GraphDeviceIndex(
+            d, space_type=SpaceType.EUCLIDEAN, quantization=Quantization.F32,
+            connectivity=8, expansion_add=32, expansion_search=64,
+        )
+        g.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        merged = g.bulk_build()
+        assert merged == n
+        assert g.graph_nodes == n
+        assert g.delta_count == 0
+
+        queries = vecs[:64] + 0.05 * rng.normal(size=(64, d)).astype(np.float32)
+        d2 = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+        gt = np.argsort(d2, axis=1)[:, :k]
+        res = g.search(queries, k, expansion=128)
+        recall = np.mean([
+            len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+            for i, r in enumerate(res)
+        ])
+        assert recall >= 0.9, recall
+
+    def test_merge_delta_auto_bulk(self, monkeypatch):
+        """An empty graph with a large backlog takes the bulk path."""
+        import numpy as np
+
+        from vector_store_tpu.core.types import Quantization, SpaceType
+        from vector_store_tpu.engine import GraphDeviceIndex
+
+        monkeypatch.setattr(GraphDeviceIndex, "BULK_BUILD_THRESHOLD", 1000)
+        rng = np.random.default_rng(6)
+        n, d = 1500, 8
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        g = GraphDeviceIndex(
+            d, space_type=SpaceType.COSINE, quantization=Quantization.F32,
+            connectivity=8, expansion_add=32,
+        )
+        g.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        merged = g.merge_delta(128)  # small max_batch must not fragment bulk
+        assert merged == n
+        assert g.graph_nodes == n
+        res = g.search(vecs[:4], 3)
+        assert res[0].slots[0] == 0

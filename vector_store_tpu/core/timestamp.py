@@ -98,6 +98,19 @@ class Timestamped(Generic[T]):
         return Timestamped(timestamp, None)
 
     @property
+    def packed(self) -> int:
+        """The raw 64-bit representation (tombstone MSB | ticks) — the
+        dense row-cache stores exactly this per cell (vec_chunks.rs)."""
+        return self._packed
+
+    @staticmethod
+    def from_packed(packed: int, value: Optional[T] = None) -> "Timestamped[T]":
+        out: Timestamped[T] = Timestamped.__new__(Timestamped)
+        out._packed = packed
+        out._value = value if (packed & _DELETED_FLAG) == 0 else None
+        return out
+
+    @property
     def is_valid(self) -> bool:
         return (self._packed & _DELETED_FLAG) == 0
 
@@ -127,3 +140,6 @@ class Timestamped(Generic[T]):
         if self.is_tombstone:
             return f"Timestamped(tombstone @ {self.timestamp.ticks})"
         return f"Timestamped({self._value!r} @ {self.timestamp.ticks})"
+
+
+TOMBSTONE_MIN_PACKED = _DELETED_FLAG  # tombstone at Timestamp.MIN

@@ -69,6 +69,7 @@ from vector_store_tpu.ops.distance import (
     query_block_distance,
 )
 from vector_store_tpu.ops.topk import merge_min_k, min_k
+from vector_store_tpu.utils import hotpath
 
 DEFAULT_ENTRIES = 32
 
@@ -185,6 +186,25 @@ def _graph_beam_search(
     return _pack_results(res_d, res_i, res_e)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "space", "quant"))
+def _intra_batch_topk(
+    vecs: jax.Array,  # [n, Dp] storage dtype
+    aux: jax.Array,  # [n]
+    *,
+    k: int,
+    space: SpaceType,
+    quant: Quantization,
+):
+    """Each batch row's k nearest peers (diagonal excluded), on device."""
+    n = vecs.shape[0]
+    d = pairwise_distance(vecs, vecs, space, quant, aux, aux)
+    d = d + jnp.where(
+        jnp.eye(n, dtype=jnp.bool_), jnp.float32(jnp.inf), jnp.float32(0)
+    )
+    nd, pos = jax.lax.top_k(-d, k)
+    return -nd, pos
+
+
 @functools.partial(jax.jit, static_argnames=("m", "alpha", "space", "quant"))
 def _alpha_prune(
     cand_i: jax.Array,  # [B, C] candidate ids sorted by distance asc, -1 pad
@@ -283,6 +303,7 @@ class GraphDeviceIndex:
         )
         self.space_type = space_type
         self.quantization = quantization
+        self.dimensions = dimensions
         self.connectivity = connectivity
         self.degree = 2 * connectivity  # like HNSW level-0 (2*M)
         self.expansion_add = expansion_add
@@ -300,6 +321,7 @@ class GraphDeviceIndex:
         self._rng = np.random.default_rng(0xC0FFEE)
         self._graph_nodes = 0
         self._graph_slots: list[int] = []  # all merged slots (for random edges)
+        self._members = np.zeros(cap, dtype=bool)  # merged-node mask
         self._refine_cursor: int | None = None  # in-progress refinement pass
         self._last_refined_nodes = 0
         # delta buffer: host staging (numpy); searched exactly via the store's
@@ -443,6 +465,7 @@ class GraphDeviceIndex:
         self._entries_seen = 0
         self._graph_nodes = 0
         self._graph_slots = []
+        self._members[:] = False
         self._refine_cursor = None
         self._last_refined_nodes = 0
         # re-stage live nodes (delta order preserved for determinism)
@@ -457,12 +480,139 @@ class GraphDeviceIndex:
 
     # -- delta merge (graph construction) -----------------------------------
 
+    BULK_BUILD_THRESHOLD = 65536  # empty graph + this many pending -> bulk
+
+    @hotpath.measure
+    def bulk_build(self, efc: int | None = None) -> int:
+        """Build the graph for ALL pending delta vectors in three global
+        passes instead of per-batch incremental merges:
+
+        1. exact kNN for every node via the store's fused MXU scan
+           (compute-bound: ~7 ms per 2048 queries at 1M),
+        2. batched on-device alpha-prune of every neighborhood,
+        3. ONE global vectorized reverse-edge pass.
+
+        Incremental merges pay a reverse-edge repair per batch (~20 s per
+        8192 at 100k nodes, dominated by touched-target re-prunes); the
+        bulk path pays it once. This is the CAGRA construction shape:
+        exact kNN graph + prune, which both builds faster AND yields better
+        candidates than insertion-order beam searches. Use at bootstrap;
+        steady-state streaming uses merge_delta.
+        """
+        if not self._delta_slots:
+            return 0
+        self._sync_capacity()
+        slots = np.asarray(self._delta_slots, dtype=np.int64)
+        n = len(slots)
+        store = self.store
+        # kNN candidates capped for pull volume: [N, k'] id+dist pulls are
+        # the relay bottleneck; alpha-prune keeps <= degree edges anyway
+        efc = efc or min(self.expansion_add, 63)
+        mask = np.zeros(store.capacity, dtype=bool)
+        mask[slots] = True
+
+        slots_j = jnp.asarray(slots)
+        host_vec, host_aux = jax.device_get(
+            (store.vectors[slots_j], store.aux[slots_j])
+        )
+        queries = self._dequant(np.asarray(host_vec))
+
+        # pass 1: exact kNN among all nodes being built (+1 for self-hit)
+        step = 2048
+        pendings = []
+        for lo in range(0, n, step):
+            pendings.append(
+                (lo, store.search_begin(queries[lo : lo + step], efc + 1, allow_mask=mask))
+            )
+        cand_i = np.full((n, efc + 1), -1, dtype=np.int64)
+        cand_d = np.full((n, efc + 1), np.inf, dtype=np.float32)
+        group = 16  # batches per aggregated pull
+        for glo in range(0, len(pendings), group):
+            batch = pendings[glo : glo + group]
+            for (lo, _), results in zip(
+                batch, store.collect_many([p for _, p in batch])
+            ):
+                for r, res in enumerate(results):
+                    m = min(len(res.slots), efc + 1)
+                    cand_i[lo + r, :m] = res.slots[:m]
+                    cand_d[lo + r, :m] = res.distances[:m]
+        # strip self-hits
+        self_mask = cand_i == slots[:, None]
+        cand_d[self_mask] = np.inf
+        cand_i[self_mask] = -1
+        order = np.argsort(cand_d, axis=1, kind="stable")
+        cand_i = np.take_along_axis(cand_i, order, axis=1)[:, :efc]
+        cand_d = np.take_along_axis(cand_d, order, axis=1)[:, :efc]
+        cand_i[~np.isfinite(cand_d)] = -1
+
+        # pass 2: alpha-prune every neighborhood on device, batched pulls
+        sel_i = np.empty((n, self.degree), dtype=np.int32)
+        sel_d = np.empty((n, self.degree), dtype=np.float32)
+        out_devs = []
+        for lo in range(0, n, 8192):
+            hi = min(lo + 8192, n)
+            n_real = hi - lo
+            n_pad = _bucket(n_real, _BATCH_BUCKETS)
+            ci = np.full((n_pad, efc), -1, dtype=np.int64)
+            cd = np.full((n_pad, efc), np.inf, dtype=np.float32)
+            ci[:n_real] = cand_i[lo:hi]
+            cd[:n_real] = cand_d[lo:hi]
+            ci_j = jnp.asarray(ci.astype(np.int32))
+            csafe = jnp.maximum(ci_j, 0)
+            oi, od = _alpha_prune(
+                ci_j,
+                jnp.asarray(cd),
+                store.vectors[csafe],
+                store.aux[csafe],
+                m=self.degree,
+                alpha=self.alpha,
+                space=self.space_type,
+                quant=self.quantization,
+            )
+            out_devs.append((lo, hi, oi, od))
+        hosts = jax.device_get(
+            [x for _, _, oi, od in out_devs for x in (oi, od)]
+        )
+        for idx, (lo, hi, _, _) in enumerate(out_devs):
+            sel_i[lo:hi] = hosts[2 * idx][: hi - lo]
+            sel_d[lo:hi] = hosts[2 * idx + 1][: hi - lo]
+
+        self.adjacency = _scatter_rows(
+            self.adjacency, slots_j, jnp.asarray(sel_i)
+        )
+        # graph bookkeeping must precede the reverse pass (it reads members)
+        self._delta_slots = []
+        self._delta_set = set()
+        self._graph_nodes += n
+        self._graph_slots.extend(int(s) for s in slots)
+        self._members[slots] = True
+        half = self.n_entries // 2
+        for s in slots:
+            self._entries_seen += 1
+            if len(self._entries) < self.n_entries:
+                self._entries.append(int(s))
+            else:
+                j = int(self._rng.integers(0, self._entries_seen))
+                if half <= j < self.n_entries:
+                    self._entries[j] = int(s)
+
+        # pass 3: one global reverse-edge pass
+        self._apply_reverse_edges(slots, sel_i, sel_d)
+        return n
+
+    @hotpath.measure
     def merge_delta(self, max_batch: int = 4096) -> int:
         """Wire up to max_batch pending delta vectors into the graph.
         Returns the number merged. Call repeatedly (e.g. between query
         batches) until it returns 0 to drain."""
         if not self._delta_slots:
             return 0
+        # empty graph + large backlog: build in global passes instead
+        if (
+            self._graph_nodes == 0
+            and len(self._delta_slots) >= self.BULK_BUILD_THRESHOLD
+        ):
+            return self.bulk_build()
         # upsert_batch may have grown store capacity past adjacency's row
         # count; JAX silently drops out-of-bounds scatters, which would leave
         # merged nodes edgeless (and unreachable) without an error.
@@ -472,8 +622,10 @@ class GraphDeviceIndex:
         slots = np.asarray(batch, dtype=np.int64)
 
         store = self.store
-        host_vec = np.asarray(store.vectors[jnp.asarray(slots)])  # [n, Dp] storage
-        host_aux = np.asarray(store.aux[jnp.asarray(slots)])
+        slots_j = jnp.asarray(slots)
+        host_vec, host_aux = jax.device_get(
+            (store.vectors[slots_j], store.aux[slots_j])
+        )  # [n, Dp] storage dtype + [n] aux, one batched pull
 
         if self._graph_nodes == 0:
             self._bootstrap(slots, host_vec, host_aux)
@@ -484,6 +636,7 @@ class GraphDeviceIndex:
         self._delta_set -= set(batch)
         self._graph_nodes += n
         self._graph_slots.extend(int(s) for s in batch)
+        self._members[slots] = True
         # entry points: the oldest half stays pinned (oldest nodes acquire
         # the densest in-link sets through reverse passes and anchor small
         # graphs), the younger half is a reservoir sample over everything
@@ -517,6 +670,57 @@ class GraphDeviceIndex:
             rows[:] = -1
         self.adjacency = _scatter_rows(self.adjacency, jnp.asarray(slots), jnp.asarray(rows))
 
+    def _dequant(self, storage_vecs: np.ndarray) -> np.ndarray:
+        """Storage representation -> f32 query vectors that re-quantize to
+        the identical storage rows (so exact-scan candidate distances match
+        storage-level distances)."""
+        if self.quantization is Quantization.I8:
+            from vector_store_tpu.ops.quantize import I8_SCALE
+
+            return storage_vecs.astype(np.float32) / I8_SCALE
+        if self.quantization is Quantization.B1:
+            from vector_store_tpu.ops.quantize import unpack_b1
+
+            return unpack_b1(
+                storage_vecs.view(np.uint8), self.dimensions
+            ).astype(np.float32)
+        return storage_vecs.astype(np.float32)
+
+    @hotpath.measure
+    def _candidate_search(
+        self, vecs: np.ndarray, efc: int, n_pad: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Construction candidates: EXACT top-efc among already-merged
+        nodes via the store's MXU scan. TPU-first design decision: the
+        fused flat scan is MXU-bound (~7 ms per 2048 queries at 1M) while
+        lockstep beam-search insertion is HBM-gather-bound (~70 s per 8192
+        at 50k nodes, measured) — exact kNN construction is ~100x faster
+        here AND yields strictly better candidates (CAGRA builds from
+        exact kNN for the same reason). Returns ([n_pad, efc] ids, dists),
+        -1/inf padded."""
+        store = self.store
+        members = self._members[: store.capacity]
+        cand_i = np.full((n_pad, efc), -1, dtype=np.int32)
+        cand_d = np.full((n_pad, efc), np.inf, dtype=np.float32)
+        n_real = len(vecs)
+        # chunk queries so the pallas tile VMEM stays bounded
+        step = 2048
+        pendings = []
+        for lo in range(0, n_real, step):
+            hi = min(lo + step, n_real)
+            pendings.append(
+                (lo, store.search_begin(vecs[lo:hi], efc, allow_mask=members))
+            )
+        for (lo, _), results in zip(
+            pendings, store.collect_many([p for _, p in pendings])
+        ):
+            for r, res in enumerate(results):
+                m = min(len(res.slots), efc)
+                cand_i[lo + r, :m] = res.slots[:m]
+                cand_d[lo + r, :m] = res.distances[:m]
+        return cand_i, cand_d
+
+    @hotpath.measure
     def _insert_into_graph(
         self,
         slots: np.ndarray,
@@ -534,28 +738,11 @@ class GraphDeviceIndex:
         if n_pad != n_real:
             vecs = np.pad(vecs, [(0, n_pad - n_real), (0, 0)])
             aux = np.pad(aux, [(0, n_pad - n_real)])
-        # 1. search graph for candidates (unfiltered, generous beam)
-        all_allow = jnp.ones((store.capacity,), dtype=jnp.bool_)
-        packed = _graph_beam_search(
-            store.vectors,
-            store.aux,
-            store.epochs,
-            jnp.ones((store.capacity,), dtype=jnp.bool_),  # candidates may be tombstoned; edges still useful
-            all_allow,
-            self.adjacency,
-            self._entries_array(),
-            jnp.asarray(vecs),
-            jnp.asarray(aux),
-            space=self.space_type,
-            quant=self.quantization,
-            k=efc,
-            beam_width=efc,
-            iters=efc,
-            filtered=False,
+        # 1. exact MXU-scan candidates among merged nodes (see
+        # _candidate_search for why this replaced beam-search insertion)
+        cand_i, cand_d = self._candidate_search(
+            self._dequant(vecs[:n_real]), efc, n_pad
         )
-        d_np, i_np, _ = unpack_results(pull_packed(packed))
-        cand_i = np.array(i_np)  # [n_pad, efc]
-        cand_d = np.array(d_np)
 
         if include_current:
             # refinement: the node itself is in the graph — drop self-hits
@@ -593,29 +780,25 @@ class GraphDeviceIndex:
             cand_i[~np.isfinite(cand_d)] = -1
 
         # 1b. intra-batch candidates: batch members are not yet in the graph
-        # so beam search cannot find them; add each node's nearest batch
-        # peers as extra candidates (keeps clusters inserted together
-        # self-connected).
+        # so the candidate scan cannot find them; add each node's nearest
+        # batch peers as extra candidates (keeps clusters inserted together
+        # self-connected). Top-k runs ON DEVICE: pulling the full [n, n]
+        # distance matrix cost ~270 MB per merge through the relay.
         if n_real > 1 and not include_current:
             kb = min(16, n_real - 1)
-            bd = np.array(
-                pairwise_distance(
-                    jnp.asarray(vecs[:n_real]),
-                    jnp.asarray(vecs[:n_real]),
-                    self.space_type,
-                    self.quantization,
-                    jnp.asarray(aux[:n_real]),
-                    jnp.asarray(aux[:n_real]),
-                )
+            pd, pp = _intra_batch_topk(
+                jnp.asarray(vecs[:n_real]),
+                jnp.asarray(aux[:n_real]),
+                k=kb,
+                space=self.space_type,
+                quant=self.quantization,
             )
-            np.fill_diagonal(bd, np.inf)
-            peer_pos = np.argsort(bd, axis=1, kind="stable")[:, :kb]
+            peer_pos, peer_d = jax.device_get((pp, pd))
             peer_i = slots[peer_pos].astype(np.int32)  # [n_real, kb]
-            peer_d = np.take_along_axis(bd, peer_pos, axis=1).astype(np.float32)
             ext_i = np.full((cand_i.shape[0], kb), -1, dtype=cand_i.dtype)
             ext_d = np.full((cand_i.shape[0], kb), np.inf, dtype=np.float32)
             ext_i[:n_real] = peer_i
-            ext_d[:n_real] = peer_d
+            ext_d[:n_real] = peer_d.astype(np.float32)
             cand_i = np.concatenate([cand_i, ext_i], axis=1)
             cand_d = np.concatenate([cand_d, ext_d], axis=1)
             order = np.argsort(cand_d, axis=1, kind="stable")
@@ -638,8 +821,9 @@ class GraphDeviceIndex:
             space=self.space_type,
             quant=self.quantization,
         )
-        sel_i = np.array(sel_i)[:n_real]  # [n, deg] (writable copies)
-        sel_d = np.array(sel_d)[:n_real]
+        sel_i, sel_d = jax.device_get((sel_i, sel_d))  # one batched pull
+        sel_i = np.array(sel_i[:n_real])  # writable host copies
+        sel_d = np.array(sel_d[:n_real])
 
         # 3. forward edges + a couple of random long-range edges per node
         # (small-world shortcuts: clustered data otherwise yields purely
@@ -672,6 +856,7 @@ class GraphDeviceIndex:
         # 4. reverse edges, host-side vectorized merge
         self._apply_reverse_edges(slots, sel_i, sel_d)
 
+    @hotpath.measure
     def _apply_reverse_edges(
         self, slots: np.ndarray, sel_i: np.ndarray, sel_d: np.ndarray
     ) -> None:
@@ -686,35 +871,38 @@ class GraphDeviceIndex:
 
         uniq, inv = np.unique(tgt, return_inverse=True)
         u = uniq.size
-        # up to R incoming edges considered per target this round
+        # up to R incoming edges considered per target this round —
+        # vectorized grouping (the per-edge python loop cost seconds per
+        # merge at deg x 8192 edges)
         r = 8
+        order = np.lexsort((dist, inv))  # by target, then distance asc
+        inv_sorted = inv[order]
+        group_start = np.zeros(u, dtype=np.int64)
+        first = np.ones(len(inv_sorted), dtype=bool)
+        first[1:] = inv_sorted[1:] != inv_sorted[:-1]
+        group_start[inv_sorted[first]] = np.flatnonzero(first)
+        pos = np.arange(len(inv_sorted)) - group_start[inv_sorted]
+        keep = pos < r
         incoming_i = np.full((u, r), -1, dtype=np.int64)
         incoming_d = np.full((u, r), np.inf, dtype=np.float32)
-        order = np.argsort(dist, kind="stable")  # closest first keeps best
-        pos_in_group = np.zeros(u, dtype=np.int64)
-        for e in order:
-            g = inv[e]
-            p = pos_in_group[g]
-            if p < r:
-                incoming_i[g, p] = src[e]
-                incoming_d[g, p] = dist[e]
-                pos_in_group[g] = p + 1
+        incoming_i[inv_sorted[keep], pos[keep]] = src[order][keep]
+        incoming_d[inv_sorted[keep], pos[keep]] = dist[order][keep]
 
-        # current rows of the targets
-        cur_rows = np.asarray(self.adjacency[jnp.asarray(uniq)])  # [U, deg]
-        # distances of current edges: d(target, neighbor) — recompute on
-        # device in one gather+contraction
+        # current rows of the targets + their distances: one device round
+        # (gather + contraction), one batched pull
         store = self.store
-        tvec = store.vectors[jnp.asarray(uniq)]
-        taux = store.aux[jnp.asarray(uniq)]
-        safe = jnp.maximum(jnp.asarray(cur_rows), 0)
+        uniq_j = jnp.asarray(uniq)
+        rows_dev = self.adjacency[uniq_j]  # [U, deg]
+        tvec = store.vectors[uniq_j]
+        taux = store.aux[uniq_j]
+        safe = jnp.maximum(rows_dev, 0)
         nvec = store.vectors[safe]
         naux = store.aux[safe]
-        cur_d = np.array(
-            query_block_distance(
-                tvec, nvec, self.space_type, self.quantization, taux, naux
-            )
+        cur_d_dev = query_block_distance(
+            tvec, nvec, self.space_type, self.quantization, taux, naux
         )
+        cur_rows, cur_d = jax.device_get((rows_dev, cur_d_dev))
+        cur_d = np.array(cur_d)
         cur_d[cur_rows < 0] = np.inf
 
         # candidate sets: current edges + incoming back-links
@@ -742,6 +930,7 @@ class GraphDeviceIndex:
         u_total = uniq.size
         chunk = 4096
         new_rows = np.empty((u_total, self.degree), dtype=np.int32)
+        out_devs = []  # dispatch all chunks, pull once (relay fixed cost)
         for lo in range(0, u_total, chunk):
             hi = min(lo + chunk, u_total)
             n_real = hi - lo
@@ -764,7 +953,14 @@ class GraphDeviceIndex:
                 space=self.space_type,
                 quant=self.quantization,
             )
-            new_rows[lo:hi] = np.asarray(out_i)[:n_real]
+            out_devs.append((lo, hi, out_i))
+        for (lo, hi, host) in (
+            (lo, hi, h)
+            for (lo, hi, _), h in zip(
+                out_devs, jax.device_get([o for _, _, o in out_devs])
+            )
+        ):
+            new_rows[lo:hi] = host[: hi - lo]
 
         # In-degree guarantee: every inserted node must receive at least one
         # back-link from its nearest graph neighbor, or saturated target
@@ -805,6 +1001,10 @@ class GraphDeviceIndex:
             self.adjacency = jax.lax.dynamic_update_slice(
                 self.adjacency, old, (0, 0)
             )
+        if len(self._members) < cap:
+            grown = np.zeros(cap, dtype=bool)
+            grown[: len(self._members)] = self._members
+            self._members = grown
 
     # -- search ----------------------------------------------------------------
 

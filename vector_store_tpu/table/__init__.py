@@ -24,7 +24,13 @@ from typing import Iterable, Optional
 from vector_store_tpu.core.filters import Restriction, RestrictionKind
 from vector_store_tpu.core.ids import IndexId, IndexIdGenerator, PartitionId, PrimaryId, next_epoch
 from vector_store_tpu.core.keys import PartitionKey, PrimaryKey
-from vector_store_tpu.core.timestamp import Timestamp, Timestamped
+import numpy as np
+
+from vector_store_tpu.core.timestamp import (
+    TOMBSTONE_MIN_PACKED,
+    Timestamp,
+    Timestamped,
+)
 from vector_store_tpu.core.types import (
     ColumnName,
     DbIndexedValue,
@@ -210,8 +216,14 @@ class _IndexData:
 
 
 class _Index:
-    """Per-index slot state: epoch + per-target-column value timestamps
-    (table/mod.rs:290-299)."""
+    """Per-index slot state: epoch + per-target-column value timestamps.
+
+    Dense storage (table/vec_chunks.rs / chunk_timestamps.rs parity): one
+    int32 epoch + target_count packed uint64 timestamps per row in numpy
+    arrays — ~(4 + 8n) bytes/row instead of a Python list of Timestamped
+    objects per cell (which costs ~170 bytes/row and GC pressure at
+    millions of rows). Timestamped views materialize transiently on read.
+    """
 
     def __init__(
         self,
@@ -224,25 +236,80 @@ class _Index:
         self.data = data
         self.filtering_columns = filtering_columns
         self.target_count = target_count
-        # per primary slot: epoch int, or None when slot unused
-        self.epochs: list[int | None] = []
-        # per primary slot: list of Timestamped[None] per target column
-        self.value_ts: list[list[Timestamped] | None] = []
+        # per primary slot: epoch (>=0), -1 when slot unused
+        self.epochs = np.full(0, -1, dtype=np.int32)
+        # per primary slot x target: packed (tombstone MSB | ticks)
+        self.value_ts = np.full((0, target_count), TOMBSTONE_MIN_PACKED, dtype=np.uint64)
 
     def resize_primary_ids(self, new_size: int) -> None:
         if len(self.epochs) < new_size:
-            grow = new_size - len(self.epochs)
-            self.epochs.extend([None] * grow)
-            self.value_ts.extend([None] * grow)
+            cap = max(new_size, 2 * len(self.epochs))  # geometric growth
+            epochs = np.full(cap, -1, dtype=np.int32)
+            epochs[: len(self.epochs)] = self.epochs
+            self.epochs = epochs
+            vts = np.full(
+                (cap, self.target_count), TOMBSTONE_MIN_PACKED, dtype=np.uint64
+            )
+            vts[: self.value_ts.shape[0]] = self.value_ts
+            self.value_ts = vts
         self.data.resize_primary_ids(new_size)
 
     def slot_state(self, slot: int) -> tuple[int, list[Timestamped]]:
-        if self.epochs[slot] is None:
+        epoch = int(self.epochs[slot])
+        if epoch < 0:
+            epoch = 0
             self.epochs[slot] = 0
-            self.value_ts[slot] = [
-                Timestamped.tombstone(Timestamp.MIN) for _ in range(self.target_count)
-            ]
-        return self.epochs[slot], self.value_ts[slot]  # type: ignore[return-value]
+            self.value_ts[slot, :] = TOMBSTONE_MIN_PACKED
+        ts = [
+            Timestamped.from_packed(int(p), ()) for p in self.value_ts[slot]
+        ]
+        return epoch, ts
+
+    def set_slot(self, slot: int, epoch: int, timestamps: list[Timestamped]) -> None:
+        self.epochs[slot] = epoch
+        for j, tv in enumerate(timestamps[: self.target_count]):
+            self.value_ts[slot, j] = np.uint64(tv.packed)
+
+
+class DenseColumn:
+    """Dense LWW filtering-column storage (column_vec.rs / vec_chunks.rs
+    parity): packed uint64 write-timestamps in a numpy array + one Python
+    object slot per row, instead of a Timestamped wrapper per cell.
+    ~16 bytes/row fixed overhead at millions of rows."""
+
+    __slots__ = ("ts", "values")
+
+    def __init__(self, size: int) -> None:
+        self.ts = np.full(size, TOMBSTONE_MIN_PACKED, dtype=np.uint64)
+        self.values: list = [None] * size
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def resize(self, new_size: int) -> None:
+        if new_size <= len(self.values):
+            return
+        cap = max(new_size, 2 * len(self.values))
+        ts = np.full(cap, TOMBSTONE_MIN_PACKED, dtype=np.uint64)
+        ts[: len(self.ts)] = self.ts
+        self.ts = ts
+        self.values.extend([None] * (cap - len(self.values)))
+
+    def value(self, slot: int):
+        """Current value; None when tombstoned."""
+        if int(self.ts[slot]) & (1 << 63):
+            return None
+        return self.values[slot]
+
+    def timestamp_ticks(self, slot: int) -> int:
+        return int(self.ts[slot]) & ((1 << 63) - 1)
+
+    def update(self, slot: int, ts: Timestamp, value) -> None:
+        """LWW: strictly newer wins (column_vec.rs:38-47)."""
+        if ts.ticks > self.timestamp_ticks(slot):
+            tv = Timestamped(ts, value)
+            self.ts[slot] = np.uint64(tv.packed)
+            self.values[slot] = value
 
 
 @dataclass
@@ -289,8 +356,8 @@ class Table:
         self._next_primary_slot = 0
         self.primary_keys: list[PrimaryKey | None] = []
 
-        # regular (non-pk) columns: name -> per-slot list of Timestamped
-        self.columns: dict[ColumnName, list[Timestamped]] = {}
+        # regular (non-pk) columns: name -> dense LWW column
+        self.columns: dict[ColumnName, DenseColumn] = {}
 
         self._id_gen = IndexIdGenerator()
         self.index_ids: dict[IndexKey, IndexId] = {}
@@ -319,9 +386,7 @@ class Table:
         index.resize_primary_ids(size)
         for col in list(data.nonpk_partition_key_columns) + list(metadata.filtering_columns):
             if col not in self.primary_key_columns:
-                self.columns.setdefault(
-                    col, [Timestamped.tombstone(Timestamp.MIN) for _ in range(size)]
-                )
+                self.columns.setdefault(col, DenseColumn(size))
 
     # -- id plumbing -----------------------------------------------------------
 
@@ -334,10 +399,8 @@ class Table:
             self.free_primary_ids.append(PrimaryId.new(slot, 0))
         self._next_primary_slot = end
         self.primary_keys.extend([None] * (end - len(self.primary_keys)))
-        for col, vec in self.columns.items():
-            vec.extend(
-                Timestamped.tombstone(Timestamp.MIN) for _ in range(end - len(vec))
-            )
+        for vec in self.columns.values():
+            vec.resize(end)
         for index in self.indexes.values():
             index.resize_primary_ids(end)
 
@@ -365,7 +428,7 @@ class Table:
         vec = self.columns.get(column)
         if vec is None or primary_id.slot >= len(vec):
             return None
-        return vec[primary_id.slot].value
+        return vec.value(primary_id.slot)
 
     def _update_columns(
         self,
@@ -379,10 +442,7 @@ class Table:
             vec = self.columns.get(name)
             if vec is None:
                 raise KeyError(f"Column {name} not found in table columns")
-            new = Timestamped(ts, value) if value is not None else Timestamped.tombstone(ts)
-            # LWW guard: strictly newer wins (column_vec.rs:38-47)
-            if new.timestamp > vec[primary_id.slot].timestamp:
-                vec[primary_id.slot] = new
+            vec.update(primary_id.slot, ts, value)
 
     # -- modify (TableModify parity, table/mod.rs:1006-1119) -------------------
 
@@ -499,8 +559,7 @@ class Table:
         new_epoch = next_epoch(cur_epoch)
         new_primary_id = primary_id.with_epoch(new_epoch)
 
-        index.epochs[primary_id.slot] = new_epoch
-        index.value_ts[primary_id.slot] = list(timestamps)
+        index.set_slot(primary_id.slot, new_epoch, timestamps)
 
         if work == "none":
             return operations
@@ -616,8 +675,8 @@ class Table:
         index = self.indexes.get(partition_id.index_id)
         if index is None or primary_id.slot >= len(index.epochs):
             return False
-        epoch = index.epochs[primary_id.slot]
-        return epoch is not None and epoch == primary_id.epoch
+        epoch = int(index.epochs[primary_id.slot])
+        return epoch >= 0 and epoch == primary_id.epoch
 
     def partition_id(
         self,
