@@ -52,6 +52,17 @@ from vector_store_tpu.engine.flat import (
 )
 
 
+from vector_store_tpu.ops.distance import (
+    pairwise_distance,
+    prepare_queries,
+    query_block_distance,
+)
+from vector_store_tpu.ops.topk import merge_min_k, min_k
+from vector_store_tpu.utils import hotpath
+
+DEFAULT_ENTRIES = 32
+
+
 @dataclass
 class GraphPendingSearch:
     """In-flight graph search: dispatched beam-search results plus the
@@ -63,15 +74,6 @@ class GraphPendingSearch:
     k: int
     engine: "GraphDeviceIndex"
     delta_host: np.ndarray | None = None
-from vector_store_tpu.ops.distance import (
-    pairwise_distance,
-    prepare_queries,
-    query_block_distance,
-)
-from vector_store_tpu.ops.topk import merge_min_k, min_k
-from vector_store_tpu.utils import hotpath
-
-DEFAULT_ENTRIES = 32
 
 
 @functools.partial(
@@ -888,21 +890,35 @@ class GraphDeviceIndex:
         incoming_i[inv_sorted[keep], pos[keep]] = src[order][keep]
         incoming_d[inv_sorted[keep], pos[keep]] = dist[order][keep]
 
-        # current rows of the targets + their distances: one device round
-        # (gather + contraction), one batched pull
+        # current rows of the targets + their distances: chunked device
+        # rounds (a single gather over ALL touched targets is [U, deg, Dp]
+        # — multiple GB of HBM when a global pass touches most of the
+        # graph), then one batched pull
         store = self.store
-        uniq_j = jnp.asarray(uniq)
-        rows_dev = self.adjacency[uniq_j]  # [U, deg]
-        tvec = store.vectors[uniq_j]
-        taux = store.aux[uniq_j]
-        safe = jnp.maximum(rows_dev, 0)
-        nvec = store.vectors[safe]
-        naux = store.aux[safe]
-        cur_d_dev = query_block_distance(
-            tvec, nvec, self.space_type, self.quantization, taux, naux
-        )
-        cur_rows, cur_d = jax.device_get((rows_dev, cur_d_dev))
-        cur_d = np.array(cur_d)
+        cur_rows = np.empty((u, self.degree), dtype=np.int32)
+        cur_d = np.empty((u, self.degree), dtype=np.float32)
+        devs = []
+        step = 65536
+        for lo in range(0, u, step):
+            uniq_j = jnp.asarray(uniq[lo : lo + step])
+            rows_dev = self.adjacency[uniq_j]  # [u', deg]
+            tvec = store.vectors[uniq_j]
+            taux = store.aux[uniq_j]
+            safe = jnp.maximum(rows_dev, 0)
+            cur_d_dev = query_block_distance(
+                tvec,
+                store.vectors[safe],
+                self.space_type,
+                self.quantization,
+                taux,
+                store.aux[safe],
+            )
+            devs.append((lo, rows_dev, cur_d_dev))
+        hosts = jax.device_get([x for _, r, d in devs for x in (r, d)])
+        for idx, (lo, _, _) in enumerate(devs):
+            r_h = hosts[2 * idx]
+            cur_rows[lo : lo + len(r_h)] = r_h
+            cur_d[lo : lo + len(r_h)] = hosts[2 * idx + 1]
         cur_d[cur_rows < 0] = np.inf
 
         # candidate sets: current edges + incoming back-links
