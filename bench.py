@@ -5,14 +5,22 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Method: build a 1M x 128-d index on the real TPU chip (BF16 storage — the
 reference's equal-memory quantized configuration), verify recall@10 >= 0.95
 against exact f32 ground truth on held-out queries, then measure sustained
-query throughput at batch 2048. The serving engine is the fused Pallas
-scan (ops/pallas_scan.py): distance tiles reduced in VMEM, ~7 ms of device
-compute per 2048-query batch at 1M (~295k QPS compute-side). End-to-end
-throughput here is dominated by this environment's TPU-relay device->host
-result pulls (30-100 ms fixed cost per transfer, fluctuating by the
-minute); results are pulled for groups of in-flight batches in one
-aggregated transfer to amortize it. The JSON reports both the end-to-end
-number (the headline) and the compute-side rate.
+query throughput at batch 2048. The serving engine is the IVF index
+(engine/ivf.py): device k-means clusters the rows, then each query batch
+scans only its nprobe probed clusters with the grouped fused Pallas kernel
+(~nprobe/nlist of the data; BENCH_ENGINE=flat opts back into the exact
+fused scan). nprobe is walked up automatically until the recall gate
+holds.
+
+Transport: the build environment reaches the chip through a relay whose
+host<->device bandwidth fluctuates minute-to-minute (2-96 MB/s, 30-100 ms
+fixed cost per transfer). The serving loop minimizes bytes per query —
+queries ship as int8 + per-row scale (128 B/query), results return as
+[B, k] int32 ids in one stacked transfer per window of BENCH_AGG batches
+(40 B/query), with exact f32 distances recomputed host-side — and a
+collector thread overlaps each window's result pull with the next
+window's dispatch. The JSON reports both the end-to-end number (the
+headline) and the compute-side rate.
 
 Data: synthetic clustered Gaussians shaped like SIFT-1M (1M x 128d, 256
 clusters); ground truth is exact f32 brute force on the same data. (No
@@ -25,7 +33,8 @@ reference's canonical r7i.xlarge deployment at this recall point — the
 ">= 10x QPS/chip vs the Rust CPU baseline" goal maps to vs_baseline >= 10.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (2048), BENCH_ITERS
-(48), BENCH_AGG (8 batches per aggregated pull).
+(96), BENCH_AGG (16 batches per aggregated pull), BENCH_ENGINE (ivf|flat),
+BENCH_NPROBE (32).
 """
 
 import json
@@ -43,11 +52,13 @@ CPU_BASELINE_QPS = 30_000.0
 def main() -> None:
     from vector_store_tpu.core.types import Quantization, SpaceType
     from vector_store_tpu.engine import FlatDeviceIndex
+    from vector_store_tpu.engine.ivf import IvfDeviceIndex
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 2048))
-    iters = int(os.environ.get("BENCH_ITERS", 48))
-    agg = int(os.environ.get("BENCH_AGG", 8))
+    iters = int(os.environ.get("BENCH_ITERS", 96))
+    agg = int(os.environ.get("BENCH_AGG", 16))
+    engine_kind = os.environ.get("BENCH_ENGINE", "ivf")
     d = 128
     k = 10
     rng = np.random.default_rng(42)
@@ -56,13 +67,22 @@ def main() -> None:
     centers = rng.normal(size=(256, d)).astype(np.float32) * 4
     assign = rng.integers(0, 256, size=n)
     t_ingest = time.time()
-    index = FlatDeviceIndex(
-        d,
-        space_type=SpaceType.EUCLIDEAN,
-        quantization=Quantization.BF16,
-        initial_capacity=n,
-        block_rows=131072,
-    )
+    if engine_kind == "ivf":
+        index = IvfDeviceIndex(
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.BF16,
+            initial_capacity=n,
+            nprobe=int(os.environ.get("BENCH_NPROBE", 32)),
+        )
+    else:
+        index = FlatDeviceIndex(
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.BF16,
+            initial_capacity=n,
+            block_rows=131072,
+        )
     chunk = 250_000
     held_out = None
     all_vecs = np.empty((n, d), dtype=np.float32)
@@ -77,7 +97,11 @@ def main() -> None:
             held_out = vecs[:512] + 0.1 * rng.normal(size=(512, d)).astype(np.float32)
         index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs)
     ingest_s = time.time() - t_ingest
-    build_rate = n / ingest_s
+    t_cluster = time.time()
+    if hasattr(index, "maintain"):
+        index.maintain()  # k-means + cluster-major relayout (device-side)
+    cluster_s = time.time() - t_cluster
+    build_rate = n / (ingest_s + cluster_s)
 
     # recall gate vs exact f32 ground truth (host numpy, blocked)
     q2 = (held_out**2).sum(-1)
@@ -97,15 +121,26 @@ def main() -> None:
         best_i = np.concatenate([best_i, idx_top + lo], axis=1)
     order = np.argsort(best_d, axis=1)[:, :k]
     gt_ids = np.take_along_axis(best_i, order, axis=1)
-    got = index.search(held_out, k)
-    recall = float(
-        np.mean(
-            [
-                len(set(res.slots) & set(gt_ids[row])) / k
-                for row, res in enumerate(got)
-            ]
+    def calc_recall(got) -> float:
+        return float(
+            np.mean(
+                [
+                    len(set(res.slots) & set(gt_ids[row])) / k
+                    for row, res in enumerate(got)
+                ]
+            )
         )
-    )
+
+    recall = calc_recall(index.search(held_out, k))
+    # IVF: walk nprobe up until the recall gate holds (the reference's
+    # ef_search knob plays the same recall/throughput role)
+    while (
+        recall < 0.95
+        and hasattr(index, "nprobe")
+        and index.nprobe < min(max(index.nlist, 1), 256)
+    ):
+        index.nprobe = min(index.nprobe * 2, 256)
+        recall = calc_recall(index.search(held_out, k))
 
     queries = centers[rng.integers(0, 256, size=batch)] + rng.normal(
         size=(batch, d)
@@ -123,9 +158,37 @@ def main() -> None:
     for p in pends:
         index.search_collect(p)  # drain
 
-    # end-to-end: pipelined begins + aggregated result pulls
+    # end-to-end: pipelined begins + aggregated result pulls, with a
+    # collector thread so window i's device->host pull overlaps window
+    # i+1's dispatch/compute (the relay serializes neither direction
+    # against device compute)
+    import queue as _queue
+    import threading
+
     lat: list[float] = []
     window_qps: list[float] = []
+    windows: _queue.Queue = _queue.Queue(maxsize=2)
+    fail: list[BaseException] = []
+
+    def collector() -> None:
+        while True:
+            item = windows.get()
+            if item is None:
+                return
+            if fail:  # keep draining so the producer never blocks
+                continue
+            pends, starts, w0 = item
+            try:
+                index.collect_many(pends)
+            except BaseException as exc:  # surface in the main thread
+                fail.append(exc)
+                continue
+            now = time.time()
+            lat.extend(now - s for s in starts)
+            window_qps.append(batch * len(pends) / (now - w0))
+
+    th = threading.Thread(target=collector, daemon=True)
+    th.start()
     t0 = time.time()
     pend: list = []
     starts: list[float] = []
@@ -134,16 +197,15 @@ def main() -> None:
         pend.append(index.search_begin(queries, k))
         starts.append(time.time())
         if len(pend) >= agg:
-            index.collect_many(pend)
-            now = time.time()
-            lat.extend(now - s for s in starts)
-            window_qps.append(batch * len(pend) / (now - w0))
+            windows.put((pend, starts, w0))
             pend, starts = [], []
             w0 = time.time()
     if pend:
-        index.collect_many(pend)
-        now = time.time()
-        lat.extend(now - s for s in starts)
+        windows.put((pend, starts, w0))
+    windows.put(None)
+    th.join()
+    if fail:
+        raise fail[0]
     total = time.time() - t0
     qps = batch * iters / total
     p50_ms = float(np.percentile(lat, 50) * 1e3)
@@ -161,12 +223,20 @@ def main() -> None:
         if window_qps
         else None,
         "build_vectors_per_sec": round(build_rate, 0),
+        "ingest_seconds": round(ingest_s, 1),
+        "cluster_seconds": round(cluster_s, 1),
         "n_vectors": n,
         "batch": batch,
         "agg_pull_batches": agg,
-        "engine": "flat-pallas-fused-bf16"
-        if index.use_pallas
-        else "flat-xla-bf16",
+        "engine": (
+            f"ivf-bf16 nlist={index.nlist} nprobe={index.nprobe}"
+            if engine_kind == "ivf" and getattr(index, "main_vecs", None) is not None
+            else "flat-pallas-fused-bf16"
+            if getattr(index, "use_pallas", False)
+            else f"{engine_kind}-delta-scan-bf16"
+        ),
+        "query_uplink": "int8" if getattr(index, "query_i8", False) else "bf16",
+        "result_pull": "ids-only-int32",
         "data": "synthetic clustered gaussians (SIFT-1M shape), exact f32 ground truth",
     }
     print(json.dumps(result))

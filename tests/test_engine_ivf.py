@@ -1,0 +1,266 @@
+"""IVF engine: grouped-scan recall vs exact oracle, delta/main lifecycle,
+epoch propagation, slot translation (interpret mode on CPU).
+
+The engine contract matches FlatDeviceIndex's: slot-addressed upserts and
+removals, ids-only result pulls, exact f32 distances recomputed host-side.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from vector_store_tpu.core.types import Quantization, SpaceType  # noqa: E402
+
+RNG = np.random.default_rng(77)
+
+
+@pytest.fixture
+def interp_pallas(monkeypatch):
+    """Force the flat engine's pallas kernel into interpret mode (the IVF
+    delta region runs through it)."""
+    import vector_store_tpu.ops.pallas_scan as ps
+
+    orig = ps.pallas_rank_search
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ps, "pallas_rank_search", interp)
+
+
+def make_index(d=32, space=SpaceType.EUCLIDEAN, **kw):
+    from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+    kw.setdefault("min_build", 1024)
+    kw.setdefault("kmeans_block", 1024)
+    kw.setdefault("nprobe", 16)
+    kw.setdefault("kmeans_iters", 4)
+    return IvfDeviceIndex(
+        d,
+        space_type=space,
+        quantization=Quantization.F32,
+        initial_capacity=4096,
+        interpret=True,
+        query_i8=False,
+        **kw,
+    )
+
+
+def clustered(n, d, n_clusters=64, seed=1):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 4
+    assign = rng.integers(0, n_clusters, size=n)
+    return (
+        centers[assign] + rng.normal(size=(n, d)).astype(np.float32),
+        centers,
+    )
+
+
+def exact_topk(queries, vecs, k, space):
+    if space is SpaceType.EUCLIDEAN:
+        d = ((queries[:, None, :] - vecs[None, :, :]) ** 2).sum(-1)
+    else:
+        qn = queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+        vn = vecs / np.linalg.norm(vecs, axis=-1, keepdims=True)
+        d = 1.0 - qn @ vn.T
+    return np.argsort(d, axis=1)[:, :k]
+
+
+class TestIvfBuildAndSearch:
+    def test_recall_after_build(self, interp_pallas):
+        n, d, b, k = 4096, 32, 32, 10
+        vecs, centers = clustered(n, d)
+        idx = make_index(d)
+        idx.upsert_batch(np.arange(n), np.full(n, 5, np.int32), vecs)
+        assert idx.main_vecs is None
+        assert idx.maintain() is True
+        assert idx.main_vecs is not None
+        assert idx.nlist >= 64 or idx.nlist == 64
+        queries = vecs[RNG.integers(0, n, size=b)] + 0.05 * RNG.normal(
+            size=(b, d)
+        ).astype(np.float32)
+        res = idx.search(queries, k)
+        gt = exact_topk(queries, vecs, k, SpaceType.EUCLIDEAN)
+        hits = sum(
+            len(set(r.slots.tolist()) & set(gt[i].tolist()))
+            for i, r in enumerate(res)
+        )
+        recall = hits / (b * k)
+        assert recall >= 0.85, recall
+        for r in res:
+            assert (r.epochs == 5).all()
+            assert (np.diff(r.distances) >= -1e-6).all()
+
+    def test_delegate_before_build(self, interp_pallas):
+        n, d, b, k = 512, 32, 16, 5
+        vecs, _ = clustered(n, d)
+        idx = make_index(d, min_build=10**9)
+        idx.upsert_batch(np.arange(n) * 3, np.full(n, 2, np.int32), vecs)
+        assert idx.maintain() is False  # below min_build
+        res = idx.search(vecs[:b], k)
+        for i, r in enumerate(res):
+            assert r.slots[0] == i * 3  # slot translation delta pos -> slot
+            assert r.distances[0] == pytest.approx(0.0, abs=1e-3)
+            assert (r.epochs == 2).all()
+
+    def test_cosine_space(self, interp_pallas):
+        n, d, b, k = 2048, 32, 16, 5
+        vecs, _ = clustered(n, d)
+        idx = make_index(d, space=SpaceType.COSINE)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.maintain()
+        queries = vecs[:b]
+        res = idx.search(queries, k)
+        gt = exact_topk(queries, vecs, k, SpaceType.COSINE)
+        hits = sum(
+            len(set(r.slots.tolist()) & set(gt[i].tolist()))
+            for i, r in enumerate(res)
+        )
+        assert hits / (b * k) >= 0.8
+        for r in res:
+            assert (r.distances >= -1e-6).all() and (r.distances <= 2.0).all()
+
+
+class TestIvfLifecycle:
+    def _built(self, n=2048, d=32):
+        vecs, _ = clustered(n, d)
+        idx = make_index(d)
+        idx.upsert_batch(np.arange(n), np.ones(n, np.int32), vecs)
+        assert idx.maintain()
+        return idx, vecs
+
+    def test_upsert_after_build_lands_in_delta(self, interp_pallas):
+        idx, vecs = self._built()
+        n, d = vecs.shape
+        new = RNG.normal(size=(8, d)).astype(np.float32) * 20 + 100
+        idx.upsert_batch(
+            np.arange(n, n + 8), np.full(8, 9, np.int32), new
+        )
+        assert idx.size == n + 8
+        res = idx.search(new, 3)
+        for i, r in enumerate(res):
+            assert r.slots[0] == n + i
+            assert r.epochs[0] == 9
+            assert r.distances[0] == pytest.approx(0.0, abs=1e-2)
+
+    def test_remove_from_main_and_delta(self, interp_pallas):
+        idx, vecs = self._built()
+        n, d = vecs.shape
+        # remove a main-resident slot
+        assert idx._region[7] == 1  # _MAIN
+        idx.remove_batch(np.asarray([7]))
+        res = idx.search(vecs[7:8].repeat(8, axis=0), 5)
+        assert not any(7 in r.slots for r in res)
+        # add to delta, then remove
+        new = np.full((1, d), 55.0, np.float32)
+        idx.upsert_batch(np.asarray([n]), np.asarray([1]), new)
+        idx.remove_batch(np.asarray([n]))
+        res = idx.search(new.repeat(8, axis=0), 5)
+        assert not any(n in r.slots for r in res)
+        assert idx.size == vecs.shape[0] - 1
+
+    def test_upsert_main_slot_moves_to_delta(self, interp_pallas):
+        idx, vecs = self._built()
+        d = vecs.shape[1]
+        new = np.full((1, d), -40.0, np.float32)
+        idx.upsert_batch(np.asarray([3]), np.asarray([8]), new)
+        assert idx._region[3] == 2  # _DELTA
+        res = idx.search(new.repeat(8, axis=0), 3)[0]
+        assert res.slots[0] == 3
+        assert res.epochs[0] == 8
+        # the OLD vector at slot 3 must not be findable anymore
+        res_old = idx.search(vecs[3:4].repeat(8, axis=0), 5)
+        for r in res_old:
+            if 3 in r.slots:
+                j = list(r.slots).index(3)
+                # it's the new value's distance, not the old one's
+                assert r.distances[j] > 1.0
+
+    def test_incremental_rebuild_merges_delta(self, interp_pallas):
+        idx, vecs = self._built()
+        n, d = vecs.shape
+        extra, _ = clustered(1200, d, seed=9)
+        idx.upsert_batch(
+            np.arange(n, n + 1200), np.zeros(1200, np.int32), extra
+        )
+        assert idx.maintain() is True  # delta > 20% of live
+        assert int((idx._region == 2).sum()) <= 16  # only spill remains
+        res = idx.search(extra[:8], 3)
+        for i, r in enumerate(res):
+            assert r.slots[0] == n + i
+
+    def test_allow_mask(self, interp_pallas):
+        idx, vecs = self._built()
+        allow = np.zeros((idx.capacity,), dtype=bool)
+        allow[:100] = True
+        res = idx.search(vecs[:8], 10, allow_mask=allow)
+        for r in res:
+            assert r.slots.size and (r.slots < 100).all()
+
+    def test_collect_many_mixed(self, interp_pallas):
+        idx, vecs = self._built()
+        p1 = idx.search_begin(vecs[:8], 3)
+        p2 = idx.search_begin(vecs[8:16], 3)
+        out = idx.collect_many([p1, p2])
+        assert out[0][0].slots[0] == 0
+        assert out[1][0].slots[0] == 8
+
+    def test_device_bytes_and_size(self, interp_pallas):
+        idx, vecs = self._built()
+        assert idx.size == vecs.shape[0]
+        assert idx.device_bytes > 0
+
+
+class TestIvfOps:
+    def test_ivf_layout_overflow(self):
+        from vector_store_tpu.ops.ivf import ivf_layout
+
+        labels = jnp.asarray(np.array([0, 0, 0, 1, 1, 2], dtype=np.int32))
+        live = jnp.asarray(np.array([1, 1, 1, 1, 0, 1], dtype=bool))
+        pos, overflow = ivf_layout(labels, live, nlist=4, cmax=2)
+        pos = np.asarray(pos)
+        overflow = np.asarray(overflow)
+        # cluster 0 holds rows 0,1 at positions 0,1; row 2 overflows
+        assert set(pos[:2].tolist()) == {0, 1}
+        assert pos[2] == -1 and overflow[2]
+        assert pos[3] == 2  # cluster 1 first slot
+        assert pos[4] == -1 and not overflow[4]  # dead row: no spill
+        assert pos[5] == 4  # cluster 2 first slot
+
+    def test_kmeans_clusters_separate_data(self):
+        from vector_store_tpu.ops.ivf import kmeans
+
+        n, d = 1024, 16
+        half = n // 2
+        x = np.zeros((n, d), np.float32)
+        x[:half] = 10.0 + RNG.normal(size=(half, d)).astype(np.float32)
+        x[half:] = -10.0 + RNG.normal(size=(half, d)).astype(np.float32)
+        cent, labels = kmeans(
+            jnp.asarray(x),
+            jnp.ones((n,), jnp.float32),
+            nlist=2,
+            iters=5,
+            block=256,
+        )
+        labels = np.asarray(labels)
+        # the two blobs must not share a label
+        assert len(set(labels[:half].tolist())) == 1
+        assert len(set(labels[half:].tolist())) == 1
+        assert labels[0] != labels[-1]
+
+    def test_choose_geometry(self):
+        from vector_store_tpu.ops.ivf import (
+            choose_budget,
+            choose_cmax,
+            choose_nlist,
+        )
+
+        assert choose_nlist(1_000_000) == 1024
+        assert choose_nlist(1000) == 64
+        cmax = choose_cmax(1_000_000, 1024)
+        assert cmax % 256 == 0 and cmax * 1024 >= 1_000_000
+        s = choose_budget(2048, 32, 1024)
+        assert s >= 2 * (2048 * 32 // 1024) and s % 16 == 0

@@ -165,3 +165,88 @@ class TestEnginePallasPath:
         # single query goes through XLA path (b<8); force a batch instead
         res = idx.search(vecs[:8], 3)
         assert res[0].slots[0] != 0
+
+    def test_ids_only_pull_matches_rank_pull(self, monkeypatch):
+        """host_distances=True ships [B,k] int32 ids only; results must
+        match the full rank-pull path (ids, epochs, exact f32 distances)."""
+        import vector_store_tpu.ops.pallas_scan as ps
+        from vector_store_tpu.core.types import Quantization
+        from vector_store_tpu.engine.flat import FlatDeviceIndex
+
+        orig = ps.pallas_rank_search
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(ps, "pallas_rank_search", interp)
+        n, d, b, k = 512, 16, 8, 5
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        queries = RNG.normal(size=(b, d)).astype(np.float32)
+
+        results = {}
+        for host_dist in (False, True):
+            idx = FlatDeviceIndex(
+                d,
+                space_type=SpaceType.COSINE,
+                quantization=Quantization.F32,
+                use_pallas=True,
+                block_rows=256,
+                host_distances=host_dist,
+            )
+            idx.pallas_block = 256
+            idx.upsert_batch(np.arange(n), np.full(n, 3, np.int32), vecs)
+            pend = idx.search_begin(queries, k)
+            assert (pend.kind == "ids") == host_dist
+            if host_dist:
+                assert pend.packed.dtype == jnp.int32
+                assert pend.packed.shape[-1] == k
+            results[host_dist] = idx.search_collect(pend)
+
+        for ra, rb in zip(results[False], results[True]):
+            assert set(ra.slots.tolist()) == set(rb.slots.tolist())
+            assert (rb.epochs == 3).all()
+            # ids path recomputes exact f32 cosine distances host-side
+            np.testing.assert_allclose(
+                np.sort(ra.distances), np.sort(rb.distances), atol=2e-3
+            )
+            assert (np.diff(rb.distances) >= 0).all()
+
+    def test_query_i8_shipping(self, monkeypatch):
+        """i8-shipped queries must rank (almost) identically to bf16 ones;
+        the device array reaching the kernel is storage dtype."""
+        import vector_store_tpu.ops.pallas_scan as ps
+        from vector_store_tpu.core.types import Quantization
+        from vector_store_tpu.engine.flat import FlatDeviceIndex
+
+        orig = ps.pallas_rank_search
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(ps, "pallas_rank_search", interp)
+        n, d, b, k = 1024, 32, 16, 10
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        queries = vecs[:b] + 0.05 * RNG.normal(size=(b, d)).astype(np.float32)
+
+        got = {}
+        for qi8 in (False, True):
+            idx = FlatDeviceIndex(
+                d,
+                space_type=SpaceType.EUCLIDEAN,
+                quantization=Quantization.F32,
+                use_pallas=True,
+                block_rows=256,
+                host_distances=True,
+                query_i8=qi8,
+            )
+            idx.pallas_block = 256
+            assert idx.query_i8 == qi8
+            idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+            got[qi8] = idx.search(queries, k)
+        agree = 0
+        for ra, rb in zip(got[False], got[True]):
+            assert rb.slots[0] == ra.slots[0]  # nearest survives quantization
+            agree += len(set(ra.slots.tolist()) & set(rb.slots.tolist()))
+        assert agree >= b * k * 0.9, agree

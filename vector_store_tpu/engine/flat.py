@@ -72,13 +72,19 @@ class PendingSearch:
     kind "xla": packed [3, B, k] (dist, ids, epochs).
     kind "pallas": packed [2, B, k] (rank values, ids); distances are
     reconstructed host-side from the affine rank form and epochs come from
-    the engine's host mirror (fewer device->host bytes per query)."""
+    the engine's host mirror (fewer device->host bytes per query).
+    kind "ids": packed [B, k] int32 ids only — the minimum possible
+    device->host payload. Distances are recomputed exactly in f32 from the
+    engine's host vector mirror and epochs come from the host epoch mirror
+    (the reference resolves ids host-side the same way,
+    usearch.rs:1067-1154)."""
 
     packed: jax.Array
     b_real: int
     k: int
     kind: str = "xla"
     q2: np.ndarray | None = None  # [B] per-query |q|^2 (pallas euclidean)
+    q_f32: np.ndarray | None = None  # [B, D] normalized f32 queries (ids kind)
     engine: "FlatDeviceIndex | None" = None
 
 
@@ -205,29 +211,42 @@ def unpack_results(packed: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarr
 
 # The TPU relay's device->host path degrades pathologically for small
 # transfers (tiny pulls can cost 100-1000x a 512KB pull); pad every result
-# pull up to this many elements per channel.
-_MIN_PULL_ELEMS = 48 * 1024  # 3ch * 48k * 4B = 576KB
+# pull up to this many bytes.
+_MIN_PULL_BYTES = 576 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("pad",))
-def _pad_packed(packed: jax.Array, *, pad: int) -> jax.Array:
-    c = packed.shape[0]
-    flat = packed.reshape(c, -1)
-    return jnp.concatenate(
-        [flat, jnp.zeros((c, pad), dtype=flat.dtype)], axis=1
-    )
+def _flatten_pad(packed: jax.Array, *, pad: int) -> jax.Array:
+    flat = packed.reshape(-1)
+    return jnp.concatenate([flat, jnp.zeros((pad,), dtype=flat.dtype)])
 
 
 def pull_packed(packed: jax.Array) -> np.ndarray:
-    """Device [C, B, K] -> host numpy, padding the transfer above the
-    relay's slow small-transfer threshold."""
-    c, b, k = packed.shape
-    elems = b * k
-    need = _MIN_PULL_ELEMS - elems
+    """Device array (any rank) -> host numpy, padding the transfer above
+    the relay's slow small-transfer threshold."""
+    elems = int(np.prod(packed.shape))
+    itemsize = np.dtype(packed.dtype).itemsize
+    need = _MIN_PULL_BYTES // itemsize - elems
     if need > 0:
-        host = np.asarray(_pad_packed(packed, pad=need))
-        return host[:, :elems].reshape(c, b, k)
+        host = np.asarray(_flatten_pad(packed, pad=need))
+        return host[:elems].reshape(packed.shape)
     return np.asarray(packed)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _ids_only(packed: jax.Array, *, k: int) -> jax.Array:
+    """[2, B, k_pad] pallas result -> [B, k] int32 ids (minimal pull)."""
+    return jax.lax.bitcast_convert_type(packed[1], jnp.int32)[:, :k]
+
+
+@functools.partial(jax.jit, static_argnames=("dt",))
+def _dequant_queries(qi8: jax.Array, scale: jax.Array, *, dt: str) -> jax.Array:
+    """i8-shipped queries -> storage-dtype rows on device. Queries cross
+    the host->device link as int8 + one f32 scale per row (half the bytes
+    of bf16 — the uplink is the serving bottleneck on this hardware) and
+    are dequantized device-side so the scan kernels see their usual
+    storage-dtype input."""
+    return (qi8.astype(jnp.float32) * scale[:, None]).astype(dt)
 
 
 def pull_packed_many(packeds: list[jax.Array]) -> list[np.ndarray]:
@@ -317,6 +336,8 @@ class FlatDeviceIndex:
         rescore: bool | None = None,
         oversample: int = 4,
         device: jax.Device | None = None,
+        host_distances: bool | None = None,
+        query_i8: bool | None = None,
     ) -> None:
         self.dimensions = dimensions
         self.space_type = space_type
@@ -373,6 +394,30 @@ class FlatDeviceIndex:
         self._valid_host = np.zeros((cap,), dtype=bool)
         self._epochs_host = np.full((cap,), -1, dtype=np.int32)
         self._allow_all: jax.Array | None = None  # cached all-true mask
+        # ids-only result pulls: keep an f32 host mirror of the stored
+        # vectors so the device only ships [B, k] int32 winner ids and the
+        # host recomputes exact distances locally (the device->host path is
+        # the serving bottleneck on this hardware; ids are the minimum
+        # information-bearing payload). Defaults on for the pallas path.
+        if host_distances is None:
+            host_distances = self.use_pallas
+        self.host_distances = host_distances and self.use_pallas
+        self._vecs_host: np.ndarray | None = (
+            np.zeros((cap, dimensions), dtype=np.float32)
+            if self.host_distances
+            else None
+        )
+        # i8 query shipping (pallas float path only): halves the uplink
+        # bytes per query; ranking error from the ~0.4% per-component
+        # quantization is negligible next to bf16 storage rounding
+        if query_i8 is None:
+            query_i8 = self.device.platform == "tpu"
+        self.query_i8 = (
+            query_i8
+            and self.use_pallas
+            and quantization
+            in (Quantization.F32, Quantization.BF16, Quantization.F16)
+        )
 
     # -- capacity ------------------------------------------------------------
 
@@ -423,6 +468,10 @@ class FlatDeviceIndex:
         egrown = np.full((new_cap,), -1, dtype=np.int32)
         egrown[: self._epochs_host.shape[0]] = self._epochs_host
         self._epochs_host = egrown
+        if self._vecs_host is not None:
+            vgrown = np.zeros((new_cap, self.dimensions), dtype=np.float32)
+            vgrown[: self._vecs_host.shape[0]] = self._vecs_host
+            self._vecs_host = vgrown
         self._allow_all = None
 
     # -- mutation --------------------------------------------------------------
@@ -496,6 +545,8 @@ class FlatDeviceIndex:
         self._live += int((~was_valid).sum())
         self._valid_host[slots] = True
         self._epochs_host[slots] = np.asarray(epochs, dtype=np.int32)
+        if self._vecs_host is not None:
+            self._vecs_host[slots] = vectors[:, : self.dimensions]
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int32)
@@ -529,10 +580,18 @@ class FlatDeviceIndex:
         k: int,
         partitions: np.ndarray | None = None,
         allow_mask: np.ndarray | None = None,
+        raw: bool = False,
+        queries_dev: jax.Array | None = None,
     ) -> "PendingSearch":
         """Dispatch the device kernel and return a handle without waiting.
         Pipelining `search_begin` of batch N+1 before `search_collect` of
-        batch N hides the device->host pull latency behind compute."""
+        batch N hides the device->host pull latency behind compute.
+        raw=True skips the ids-only conversion so the caller gets the full
+        rank/distance device arrays (the IVF engine merges them with its
+        own candidates on device). queries_dev, if given, is an already
+        device-resident storage-dtype [b_pad, Dp] query array (avoids a
+        second uplink when the IVF engine shares one upload across its two
+        region scans)."""
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if self.space_type is SpaceType.COSINE and self.quantization not in (
             Quantization.B1,
@@ -565,7 +624,8 @@ class FlatDeviceIndex:
 
         if self.use_pallas and not use_parts and b_pad >= 8:
             pending = self._pallas_begin(
-                qs, queries, k_pad, b_real, k, allow_mask
+                qs, queries, k_pad, b_real, k, allow_mask, raw=raw,
+                queries_dev=queries_dev,
             )
             if pending is not None:
                 return pending
@@ -618,6 +678,8 @@ class FlatDeviceIndex:
         b_real: int,
         k: int,
         allow_mask: np.ndarray | None,
+        raw: bool = False,
+        queries_dev: jax.Array | None = None,
     ) -> "PendingSearch | None":
         """Dispatch the fused pallas scan; returns None (caller falls back
         to the XLA path) if the kernel fails to compile on this backend."""
@@ -634,11 +696,16 @@ class FlatDeviceIndex:
         q2 = None
         if self.space_type is SpaceType.EUCLIDEAN:
             q2 = (queries_f32.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+        qdev = (
+            queries_dev
+            if queries_dev is not None
+            else self._query_device_array(qs, queries_f32)
+        )
         try:
             packed = pallas_rank_search(
                 self.vectors,
                 paux,
-                jnp.asarray(qs),
+                qdev,
                 k=k_pad,
                 block_rows=self.pallas_block,
             )
@@ -655,8 +722,38 @@ class FlatDeviceIndex:
             )
             self.use_pallas = False
             return None
+        if not raw and self.host_distances and self._vecs_host is not None:
+            # ship ids only; distances are recomputed host-side in exact f32
+            return PendingSearch(
+                packed=_ids_only(packed, k=min(k, k_pad)),
+                b_real=b_real,
+                k=k,
+                kind="ids",
+                q_f32=queries_f32,
+                engine=self,
+            )
         return PendingSearch(
             packed=packed, b_real=b_real, k=k, kind="pallas", q2=q2, engine=self
+        )
+
+    def _query_device_array(
+        self, qs: np.ndarray, queries_f32: np.ndarray
+    ) -> jax.Array:
+        """Queries -> device storage-dtype rows, shipping int8 + scales
+        when query_i8 is enabled (half the uplink bytes)."""
+        if not self.query_i8:
+            return jnp.asarray(qs)
+        qpad = queries_f32
+        pad = self.dp - qpad.shape[-1]
+        if pad:
+            qpad = np.pad(qpad, [(0, 0), (0, pad)])
+        scale = np.maximum(np.abs(qpad).max(axis=1), 1e-20) / 127.0
+        qi8 = np.clip(
+            np.rint(qpad / scale[:, None]), -127, 127
+        ).astype(np.int8)
+        dt = np.dtype(storage_dtype(self.quantization)).name
+        return _dequant_queries(
+            jnp.asarray(qi8), jnp.asarray(scale.astype(np.float32)), dt=dt
         )
 
     @hotpath.measure
@@ -667,15 +764,60 @@ class FlatDeviceIndex:
         self, pendings: list["PendingSearch"]
     ) -> list[list[SearchResult]]:
         """Collect several in-flight searches with ONE device->host
-        transfer (the relay's fixed per-pull cost dominates; see
-        pull_packed_many)."""
-        hosts = pull_packed_many([p.packed for p in pendings])
+        transfer. The relay charges a fixed ~30-100ms per transfer and a
+        list device_get costs ~2x a single contiguous pull of the same
+        bytes (measured), so same-shaped results are stacked on device
+        first and pulled as one array."""
+        groups: dict[tuple, list[int]] = {}
+        for pos, p in enumerate(pendings):
+            groups.setdefault(
+                (p.packed.shape, str(p.packed.dtype)), []
+            ).append(pos)
+        hosts: list[np.ndarray | None] = [None] * len(pendings)
+        for members in groups.values():
+            if len(members) == 1:
+                hosts[members[0]] = pull_packed(pendings[members[0]].packed)
+            else:
+                stacked = pull_packed(
+                    jnp.stack([pendings[m].packed for m in members])
+                )
+                for j, m in enumerate(members):
+                    hosts[m] = stacked[j]
         return [self._postprocess(p, h) for p, h in zip(pendings, hosts)]
 
     def _postprocess(
         self, pending: "PendingSearch", host: np.ndarray
     ) -> list[SearchResult]:
         b_real, k = pending.b_real, pending.k
+        if pending.kind == "ids":
+            # [B, k] int32 winner ids; everything else reconstructed host-side
+            i = np.asarray(host)[:b_real]
+            safe = np.maximum(i, 0)
+            v = self._vecs_host[safe]  # [b, k, D]
+            q = pending.q_f32[:b_real, : self.dimensions]
+            if self.space_type is SpaceType.EUCLIDEAN:
+                d = ((q[:, None, :] - v) ** 2).sum(-1)
+            else:
+                dot = np.einsum("bd,bkd->bk", q, v)
+                d = 1.0 - dot
+                if self.space_type is SpaceType.COSINE:
+                    d = np.clip(d, 0.0, 2.0)
+            e = self._epochs_host[safe]
+            results = []
+            for row in range(b_real):
+                ok = i[row] >= 0
+                dr = d[row][ok].astype(np.float32)
+                # device ranked on quantized values; exact f32 recompute can
+                # perturb ties, so restore strict distance order
+                order = np.argsort(dr, kind="stable")
+                results.append(
+                    SearchResult(
+                        slots=i[row][ok][order].astype(np.int64),
+                        epochs=e[row][ok][order],
+                        distances=dr[order],
+                    )
+                )
+            return results
         if pending.kind == "pallas":
             from vector_store_tpu.ops.pallas_scan import (
                 INVALID_CUTOFF,

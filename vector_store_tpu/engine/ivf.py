@@ -1,0 +1,785 @@
+"""IVF device index: clustered main region + exact delta region.
+
+Sub-linear ANN the TPU way (see ops/ivf.py for the kernel design). The
+engine is an LSM-style pair of regions:
+
+- **main**: cluster-major storage `[nlist * cmax, Dp]` built by device
+  k-means. Searched by the grouped Pallas scan — each query scores only its
+  `nprobe` probed clusters (~nprobe/nlist of the rows).
+- **delta**: a compact FlatDeviceIndex in *position* space absorbing all
+  upserts between rebuilds; searched exactly by the fused flat scan and
+  merged with main candidates on device.
+
+`maintain()` rebuilds main (k-means + relayout, all device-side) when the
+delta grows past a fraction of the total — the same maintenance contract
+the graph engine uses, scheduled by the serving actor between query
+batches (the reference's exclusive modify permits, usearch.rs:515-623).
+
+Results leave the device as `[B, k]` int32 engine-slot ids only; exact f32
+distances are recomputed host-side from the slot-indexed host mirror and
+epochs come from the host epoch mirror (the reference resolves ids
+host-side the same way, usearch.rs:1067-1154). Stale-epoch rejection and
+RemoveValue semantics are identical to the flat engine's.
+
+Reference parity: this replaces `vs_index/usearch.rs`'s HNSW as the
+sub-linear serving engine; quantized modes with rescoring and Hamming
+stay on the flat/graph engines (factory policy in service/vs_index.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vector_store_tpu.core.types import Quantization, SpaceType
+from vector_store_tpu.engine.flat import (
+    FlatDeviceIndex,
+    PendingSearch,
+    SearchResult,
+    _bucket,
+    _BATCH_BUCKETS,
+    _K_BUCKETS,
+    pull_packed,
+)
+from vector_store_tpu.ops.ivf import (
+    choose_budget,
+    choose_cmax,
+    choose_nlist,
+    ivf_candidates,
+    ivf_layout,
+    kmeans,
+)
+from vector_store_tpu.ops.pallas_scan import INVALID_BIAS, INVALID_CUTOFF
+from vector_store_tpu.ops.quantize import padded_dim, storage_dtype
+from vector_store_tpu.utils import hotpath
+
+logger = logging.getLogger(__name__)
+
+# regions a slot can live in
+_NONE, _MAIN, _DELTA = 0, 1, 2
+
+KMEANS_BLOCK = 16384
+SUPPORTED_QUANT = (Quantization.F32, Quantization.BF16, Quantization.F16)
+SUPPORTED_SPACE = (
+    SpaceType.EUCLIDEAN,
+    SpaceType.COSINE,
+    SpaceType.DOT_PRODUCT,
+)
+
+
+def ivf_supports(space: SpaceType, quant: Quantization) -> bool:
+    return space in SUPPORTED_SPACE and quant in SUPPORTED_QUANT
+
+
+class _DelegatePending:
+    """Pending handle for searches served entirely by the delta region
+    (main not built yet): wraps the delta's own pending and translates
+    positions to engine slots at collect time."""
+
+    __slots__ = ("inner",)
+
+    def __init__(self, inner: PendingSearch) -> None:
+        self.inner = inner
+
+    @property
+    def packed(self):
+        return self.inner.packed
+
+    @property
+    def b_real(self):
+        return self.inner.b_real
+
+    @property
+    def k(self):
+        return self.inner.k
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _invalidate_positions(paux: jax.Array, pos: jax.Array) -> jax.Array:
+    return paux.at[1, pos].set(INVALID_BIAS, mode="drop")
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _clear_pos2slot(pos2slot: jax.Array, pos: jax.Array) -> jax.Array:
+    return pos2slot.at[pos].set(-1, mode="drop")
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nlist", "cmax", "euclid", "dt")
+)
+def _build_main_arrays(
+    rows: jax.Array,  # [Npad, Dp] storage dtype (gathered live rows + pads)
+    live: jax.Array,  # [Npad] bool
+    labels: jax.Array,  # [Npad] i32
+    slot_of_row: jax.Array,  # [Npad] i32 engine slot (-1 pad)
+    *,
+    nlist: int,
+    cmax: int,
+    euclid: bool,
+    dt: str,
+):
+    """Cluster-major relayout: scatter rows into [nlist*cmax, Dp] plus the
+    rank-coefficient side array and the position->slot map."""
+    npos = nlist * cmax
+    pos, overflow = ivf_layout(labels, live, nlist=nlist, cmax=cmax)
+    tgt = jnp.where(pos >= 0, pos, npos)  # oob rows dropped by mode="drop"
+    vecs = (
+        jnp.zeros((npos, rows.shape[1]), dtype=jnp.dtype(dt))
+        .at[tgt]
+        .set(rows.astype(jnp.dtype(dt)), mode="drop")
+    )
+    rf = rows.astype(jnp.float32)
+    if euclid:
+        a_row = jnp.full((rows.shape[0],), -2.0, jnp.float32)
+        b_row = jnp.sum(rf * rf, axis=-1)
+    else:
+        a_row = jnp.full((rows.shape[0],), -1.0, jnp.float32)
+        b_row = jnp.zeros((rows.shape[0],), jnp.float32)
+    paux = jnp.zeros((8, npos), jnp.float32).at[1].set(INVALID_BIAS)
+    paux = paux.at[0, tgt].set(a_row, mode="drop")
+    paux = paux.at[1, tgt].set(b_row, mode="drop")
+    pos2slot = (
+        jnp.full((npos,), -1, jnp.int32)
+        .at[tgt]
+        .set(slot_of_row, mode="drop")
+    )
+    return vecs, paux, pos2slot, pos, overflow
+
+
+@functools.partial(
+    jax.jit, static_argnames=("space_kind", "k_out", "delta_is_rank")
+)
+def _merge_regions(
+    main_packed: jax.Array,  # [2, B, Km] rank + main positions (bitcast)
+    delta_packed: jax.Array,  # [2|3, B, Kd] (rank|dist) + positions
+    q2: jax.Array,  # [B] f32 |q|^2 (euclidean; zeros otherwise)
+    main_pos2slot: jax.Array,  # [npos] i32
+    delta_pos2slot: jax.Array,  # [dcap] i32
+    *,
+    space_kind: str,  # "euclid" | "affine"  (cos/dot: d = 1 + rank)
+    k_out: int,
+    delta_is_rank: bool = True,
+) -> jax.Array:
+    """Device merge of main and delta candidates -> [B, k_out] i32 engine
+    slots. Ranks are converted to true-distance form so candidates from
+    the pallas rank path and the XLA distance path compare exactly."""
+
+    def to_dist(rank: jax.Array) -> jax.Array:
+        if space_kind == "euclid":
+            return rank + q2[:, None]
+        return 1.0 + rank
+
+    mdist = to_dist(main_packed[0])
+    mpos = jax.lax.bitcast_convert_type(main_packed[1], jnp.int32)
+    ddist = (
+        to_dist(delta_packed[0]) if delta_is_rank else delta_packed[0]
+    )
+    dpos = jax.lax.bitcast_convert_type(delta_packed[1], jnp.int32)
+    mslot = jnp.where(mpos >= 0, main_pos2slot[jnp.maximum(mpos, 0)], -1)
+    dslot = jnp.where(dpos >= 0, delta_pos2slot[jnp.maximum(dpos, 0)], -1)
+    dist = jnp.concatenate([mdist, ddist], axis=1)
+    slots = jnp.concatenate([mslot, dslot], axis=1)
+    dist = jnp.where(slots >= 0, dist, INVALID_BIAS)
+    dist = jnp.where(jnp.isfinite(dist), dist, INVALID_BIAS)
+    neg, sel = jax.lax.top_k(-dist, min(k_out, dist.shape[1]))
+    out = jnp.take_along_axis(slots, sel, axis=1)
+    return jnp.where(-neg < INVALID_CUTOFF, out, -1)
+
+
+class IvfDeviceIndex:
+    """Clustered (IVF) device index with an exact delta region."""
+
+    def __init__(
+        self,
+        dimensions: int,
+        space_type: SpaceType = SpaceType.COSINE,
+        quantization: Quantization = Quantization.BF16,
+        initial_capacity: int = 8192,
+        reserve_increment: int = 1_000_000,
+        nprobe: int = 32,
+        headroom: float = 1.6,
+        min_build: int = 65_536,
+        rebuild_fraction: float = 0.2,
+        kmeans_iters: int = 8,
+        kmeans_block: int = KMEANS_BLOCK,
+        device: jax.Device | None = None,
+        query_i8: bool | None = None,
+        interpret: bool = False,
+    ) -> None:
+        if not ivf_supports(space_type, quantization):
+            raise ValueError(
+                f"IVF engine supports float quantizations over "
+                f"euclidean/cosine/dot only, got {quantization}/{space_type}"
+            )
+        self.dimensions = dimensions
+        self.space_type = space_type
+        self.quantization = quantization
+        self.nprobe = nprobe
+        self.headroom = headroom
+        self.min_build = min_build
+        self.rebuild_fraction = rebuild_fraction
+        self.kmeans_iters = kmeans_iters
+        self.kmeans_block = kmeans_block
+        self.reserve_increment = reserve_increment
+        self.interpret = interpret
+        self.device = device or jax.devices()[0]
+        self.dp = padded_dim(dimensions, quantization)
+        self._spherical = space_type is not SpaceType.EUCLIDEAN
+
+        # delta: compact flat index in position space. raw merges need its
+        # rank-form pallas output; delegation (main empty) uses its ids path.
+        self._delta = FlatDeviceIndex(
+            dimensions,
+            space_type=space_type,
+            quantization=quantization,
+            initial_capacity=initial_capacity,
+            reserve_increment=max(131_072, initial_capacity),
+            device=self.device,
+            host_distances=True,
+            query_i8=query_i8,
+        )
+        if interpret:
+            self._delta.use_pallas = True
+            self._delta.pallas_block = 256
+            self._delta.block_rows = 256
+        self._delta_next = 0  # next free delta position (append-only)
+        dcap = self._delta.capacity
+        self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
+        with jax.default_device(self.device):
+            self._delta_pos2slot = jnp.full((dcap,), -1, jnp.int32)
+
+        # main region (absent until the first rebuild)
+        self.main_vecs: jax.Array | None = None
+        self.main_paux: jax.Array | None = None
+        self.main_pos2slot: jax.Array | None = None
+        self.centroids: jax.Array | None = None
+        self.nlist = 0
+        self.cmax = 0
+        self._main_rows = 0  # live rows in main
+
+        # slot-indexed host state
+        cap = max(initial_capacity, 1024)
+        self._region = np.zeros((cap,), dtype=np.int8)
+        self._pos = np.full((cap,), -1, dtype=np.int64)
+        self._epochs_host = np.full((cap,), -1, dtype=np.int32)
+        self._valid_host = np.zeros((cap,), dtype=bool)
+        self._vecs_host = np.zeros((cap, dimensions), dtype=np.float32)
+        self._live = 0
+        self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
+        self.query_i8 = self._delta.query_i8
+
+    # -- bookkeeping -----------------------------------------------------------
+
+    @property
+    def size(self) -> int:
+        return self._live
+
+    @property
+    def capacity(self) -> int:
+        return self._region.shape[0]
+
+    @property
+    def device_bytes(self) -> int:
+        total = self._delta.device_bytes + 4 * self._delta_pos2slot.shape[0]
+        if self.main_vecs is not None:
+            npos = self.main_vecs.shape[0]
+            total += (
+                self.main_vecs.dtype.itemsize * self.main_vecs.size
+                + 8 * 4 * npos  # paux
+                + 4 * npos  # pos2slot
+                + 4 * self.centroids.size
+            )
+        return total
+
+    def _reserve(self, max_slot: int) -> None:
+        if max_slot < self.capacity:
+            return
+        new_cap = max(max_slot + 1, self.capacity + self.reserve_increment)
+        for name, fill in (
+            ("_region", 0),
+            ("_pos", -1),
+            ("_epochs_host", -1),
+        ):
+            old = getattr(self, name)
+            grown = np.full((new_cap,), fill, dtype=old.dtype)
+            grown[: old.shape[0]] = old
+            setattr(self, name, grown)
+        vg = np.zeros((new_cap,), dtype=bool)
+        vg[: self._valid_host.shape[0]] = self._valid_host
+        self._valid_host = vg
+        hg = np.zeros((new_cap, self.dimensions), dtype=np.float32)
+        hg[: self._vecs_host.shape[0]] = self._vecs_host
+        self._vecs_host = hg
+
+    def _sync_delta_pos2slot(self) -> None:
+        """Grow the device delta pos->slot map alongside the delta index."""
+        dcap = self._delta.capacity
+        if self._delta_pos2slot_host.shape[0] < dcap:
+            grown = np.full((dcap,), -1, dtype=np.int64)
+            grown[: self._delta_pos2slot_host.shape[0]] = (
+                self._delta_pos2slot_host
+            )
+            self._delta_pos2slot_host = grown
+        if self._delta_pos2slot.shape[0] < dcap:
+            pad = dcap - self._delta_pos2slot.shape[0]
+            self._delta_pos2slot = jnp.concatenate(
+                [self._delta_pos2slot, jnp.full((pad,), -1, jnp.int32)]
+            )
+
+    # -- mutation ----------------------------------------------------------------
+
+    @hotpath.measure
+    def upsert_batch(
+        self,
+        slots: np.ndarray,
+        epochs: np.ndarray,
+        vectors: np.ndarray,
+        partitions: np.ndarray | None = None,
+    ) -> None:
+        slots = np.asarray(slots, dtype=np.int64)
+        if slots.size == 0:
+            return
+        epochs = np.asarray(epochs, dtype=np.int32)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        if self.space_type is SpaceType.COSINE:
+            norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
+            vectors = vectors / np.maximum(norms, 1e-30)
+        self._reserve(int(slots.max()))
+
+        # slots currently in main: their old rows become tombstones there
+        in_main = self._region[slots] == _MAIN
+        if in_main.any():
+            old_pos = self._pos[slots[in_main]].astype(np.int32)
+            self.main_paux = _invalidate_positions(
+                self.main_paux, jnp.asarray(old_pos)
+            )
+            self.main_pos2slot = _clear_pos2slot(
+                self.main_pos2slot, jnp.asarray(old_pos)
+            )
+            self._main_rows -= int(in_main.sum())
+
+        # delta positions: reuse for slots already in delta, append otherwise
+        dpos = np.empty((slots.size,), dtype=np.int64)
+        in_delta = self._region[slots] == _DELTA
+        dpos[in_delta] = self._pos[slots[in_delta]]
+        n_new = int((~in_delta).sum())
+        if n_new:
+            dpos[~in_delta] = self._delta_next + np.arange(n_new)
+            self._delta_next += n_new
+        self._delta.upsert_batch(dpos, epochs, vectors)
+        self._sync_delta_pos2slot()
+        self._delta_pos2slot_host[dpos] = slots
+        self._delta_pos2slot = self._delta_pos2slot.at[
+            jnp.asarray(dpos.astype(np.int32))
+        ].set(jnp.asarray(slots.astype(np.int32)))
+
+        newly_live = ~self._valid_host[slots]
+        self._live += int(newly_live.sum())
+        self._region[slots] = _DELTA
+        self._pos[slots] = dpos
+        self._valid_host[slots] = True
+        self._epochs_host[slots] = epochs
+        self._vecs_host[slots] = vectors[:, : self.dimensions]
+
+    def remove_batch(self, slots: np.ndarray) -> None:
+        slots = np.asarray(slots, dtype=np.int64)
+        slots = slots[slots < self.capacity]
+        if slots.size == 0:
+            return
+        was = self._valid_host[slots]
+        in_main = (self._region[slots] == _MAIN) & was
+        if in_main.any():
+            old_pos = self._pos[slots[in_main]].astype(np.int32)
+            self.main_paux = _invalidate_positions(
+                self.main_paux, jnp.asarray(old_pos)
+            )
+            self.main_pos2slot = _clear_pos2slot(
+                self.main_pos2slot, jnp.asarray(old_pos)
+            )
+            self._main_rows -= int(in_main.sum())
+        in_delta = (self._region[slots] == _DELTA) & was
+        if in_delta.any():
+            self._delta.remove_batch(self._pos[slots[in_delta]])
+        self._live -= int(was.sum())
+        self._region[slots] = _NONE
+        self._pos[slots] = -1
+        self._valid_host[slots] = False
+
+    # -- maintenance ---------------------------------------------------------------
+
+    def maintain(self, budget: int | None = None) -> bool:
+        """Rebuild the clustered main region when the delta has grown past
+        rebuild_fraction of the live set (or on first crossing min_build).
+        Entirely device-side except for index bookkeeping."""
+        delta_live = int(
+            (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
+        )
+        if not self._ivf_ok:
+            return False
+        if self._live < self.min_build:
+            return False
+        if self.main_vecs is not None and delta_live < max(
+            self.kmeans_block, int(self.rebuild_fraction * self._live)
+        ):
+            return False
+        try:
+            self._rebuild()
+        except Exception:
+            logger.warning(
+                "IVF grouped kernel unavailable on this backend; serving "
+                "stays on the exact delta scan",
+                exc_info=True,
+            )
+            self._ivf_ok = False
+            return False
+        return True
+
+    def _rebuild(self) -> None:
+        live_slots = np.flatnonzero(self._valid_host)
+        n_live = live_slots.size
+        if n_live == 0:
+            return
+        nlist = choose_nlist(n_live)
+        cmax = choose_cmax(n_live, nlist, self.headroom)
+        n_pad = -(-n_live // self.kmeans_block) * self.kmeans_block
+
+        # gather all live rows into one device array: main rows come from
+        # the clustered array, delta rows from the delta index
+        regions = self._region[live_slots]
+        pos = self._pos[live_slots]
+        main_npos = (
+            self.main_vecs.shape[0] if self.main_vecs is not None else 0
+        )
+        row_idx = np.where(regions == _MAIN, pos, main_npos + pos).astype(
+            np.int64
+        )
+        row_idx_pad = np.zeros((n_pad,), dtype=np.int64)
+        row_idx_pad[:n_live] = row_idx
+        live_mask = np.zeros((n_pad,), dtype=bool)
+        live_mask[:n_live] = True
+        slot_of_row = np.full((n_pad,), -1, dtype=np.int64)
+        slot_of_row[:n_live] = live_slots
+
+        if self.main_vecs is not None:
+            source = jnp.concatenate(
+                [self.main_vecs, self._delta.vectors], axis=0
+            )
+        else:
+            source = self._delta.vectors
+        rows = source[jnp.asarray(row_idx_pad)]  # [n_pad, Dp]
+        live_dev = jnp.asarray(live_mask)
+
+        centroids, labels = kmeans(
+            rows,
+            live_dev.astype(jnp.float32),
+            nlist=nlist,
+            iters=self.kmeans_iters,
+            block=self.kmeans_block,
+            spherical=self._spherical,
+        )
+        dt = np.dtype(storage_dtype(self.quantization)).name
+        vecs, paux, pos2slot, row_pos, overflow = _build_main_arrays(
+            rows,
+            live_dev,
+            labels,
+            jnp.asarray(slot_of_row.astype(np.int32)),
+            nlist=nlist,
+            cmax=cmax,
+            euclid=self.space_type is SpaceType.EUCLIDEAN,
+            dt=dt,
+        )
+        # probe once so a Mosaic failure surfaces here (maintain catches)
+        probe_q = np.zeros((8, self.dimensions), dtype=np.float32)
+        self._probe_grouped(vecs, paux, centroids, probe_q, nlist, cmax)
+
+        row_pos_h = np.asarray(row_pos)[:n_live]
+        overflow_h = np.asarray(overflow)[:n_live]
+
+        self.main_vecs = vecs
+        self.main_paux = paux
+        self.main_pos2slot = pos2slot
+        self.centroids = centroids
+        self.nlist = nlist
+        self.cmax = cmax
+
+        placed = row_pos_h >= 0
+        placed_slots = live_slots[placed]
+        self._region[placed_slots] = _MAIN
+        self._pos[placed_slots] = row_pos_h[placed]
+        self._main_rows = int(placed.sum())
+
+        # fresh delta; spill overflow rows (cluster fuller than cmax) back in
+        self._delta = FlatDeviceIndex(
+            self.dimensions,
+            space_type=self.space_type,
+            quantization=self.quantization,
+            initial_capacity=max(self.kmeans_block, 8192),
+            reserve_increment=131_072,
+            device=self.device,
+            host_distances=True,
+            query_i8=self.query_i8,
+        )
+        if self.interpret:
+            self._delta.use_pallas = True
+            self._delta.pallas_block = 256
+            self._delta.block_rows = 256
+        self._delta_next = 0
+        dcap = self._delta.capacity
+        self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
+        with jax.default_device(self.device):
+            self._delta_pos2slot = jnp.full((dcap,), -1, jnp.int32)
+        spill_slots = live_slots[overflow_h]
+        if spill_slots.size:
+            self._region[spill_slots] = _NONE
+            self._valid_host[spill_slots] = False
+            self._live -= spill_slots.size
+            self.upsert_batch(
+                spill_slots,
+                self._epochs_host[spill_slots],
+                self._vecs_host[spill_slots],
+            )
+
+    def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
+        qs = self._prep_queries(queries_f32)
+        packed = ivf_candidates(
+            vecs,
+            paux,
+            centroids,
+            qs,
+            jnp.ones((qs.shape[0],), jnp.bool_),
+            k=1,
+            nprobe=min(self.nprobe, nlist),
+            s=16,
+            cmax=cmax,
+            spherical=self._spherical,
+            interpret=self.interpret,
+        )
+        jax.block_until_ready(packed)
+
+    # -- search -----------------------------------------------------------------
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        partitions: np.ndarray | None = None,
+        allow_mask: np.ndarray | None = None,
+    ) -> list[SearchResult]:
+        return self.search_collect(
+            self.search_begin(queries, k, partitions, allow_mask)
+        )
+
+    def _prep_queries(self, queries_f32: np.ndarray) -> jax.Array:
+        """[B, D] normalized f32 -> device storage-dtype [B, Dp] rows
+        (i8-shipped when enabled)."""
+        qpad = queries_f32
+        pad = self.dp - qpad.shape[-1]
+        if pad:
+            qpad = np.pad(qpad, [(0, 0), (0, pad)])
+        if self._delta.query_i8:
+            return self._delta._query_device_array(None, qpad)
+        return jnp.asarray(
+            qpad.astype(np.dtype(storage_dtype(self.quantization)))
+        )
+
+    @hotpath.measure
+    def search_begin(
+        self,
+        queries: np.ndarray,
+        k: int,
+        partitions: np.ndarray | None = None,
+        allow_mask: np.ndarray | None = None,
+    ) -> PendingSearch:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if partitions is not None and (np.asarray(partitions) >= 0).any():
+            raise ValueError("IVF engine serves global indexes only")
+
+        delta_allow = None
+        if allow_mask is not None:
+            # delta positions index a different space: translate slot mask
+            dm = np.zeros((self._delta_pos2slot_host.shape[0],), dtype=bool)
+            src = self._delta_pos2slot_host
+            ok = src >= 0
+            idx = np.minimum(src[ok], allow_mask.shape[0] - 1)
+            dm[ok] = allow_mask[idx] & (src[ok] < allow_mask.shape[0])
+            delta_allow = dm
+
+        if self.main_vecs is None or not self._ivf_ok:
+            return _DelegatePending(
+                self._delta.search_begin(queries, k, allow_mask=delta_allow)
+            )
+
+        if self.space_type is SpaceType.COSINE:
+            norms = np.linalg.norm(queries, axis=-1, keepdims=True)
+            queries = queries / np.maximum(norms, 1e-30)
+        b_real = queries.shape[0]
+        b_pad = _bucket(b_real, _BATCH_BUCKETS)
+        if b_pad != b_real:
+            queries = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
+        k_pad = _bucket(k, _K_BUCKETS)
+
+        qs = self._prep_queries(queries)
+        q_live = np.zeros((b_pad,), dtype=bool)
+        q_live[:b_real] = True
+
+        main_paux = self.main_paux
+        if allow_mask is not None:
+            am = np.zeros((self.capacity,), dtype=bool)
+            am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
+            main_paux = _apply_allow_main(
+                main_paux, self.main_pos2slot, jnp.asarray(am)
+            )
+
+        s = choose_budget(b_pad, min(self.nprobe, self.nlist), self.nlist)
+        main_packed = ivf_candidates(
+            self.main_vecs,
+            main_paux,
+            self.centroids,
+            qs,
+            jnp.asarray(q_live),
+            k=k_pad,
+            nprobe=min(self.nprobe, self.nlist),
+            s=s,
+            cmax=self.cmax,
+            spherical=self._spherical,
+            interpret=self.interpret,
+        )
+        delta_pend = self._delta.search_begin(
+            queries[:b_real],
+            k,
+            allow_mask=delta_allow,
+            raw=True,
+            queries_dev=qs,  # share the single query upload across regions
+        )
+        q2 = np.zeros((b_pad,), dtype=np.float32)
+        if self.space_type is SpaceType.EUCLIDEAN:
+            q2 = (
+                (queries.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            )
+        ids = _merge_regions(
+            main_packed,
+            delta_pend.packed,
+            jnp.asarray(q2),
+            self.main_pos2slot,
+            self._delta_pos2slot,
+            space_kind="euclid"
+            if self.space_type is SpaceType.EUCLIDEAN
+            else "affine",
+            k_out=k,
+            delta_is_rank=delta_pend.kind == "pallas",
+        )
+        return PendingSearch(
+            packed=ids,
+            b_real=b_real,
+            k=k,
+            kind="ivf-ids",
+            q_f32=queries,
+            engine=self,
+        )
+
+    @hotpath.measure
+    def search_collect(self, pending) -> list[SearchResult]:
+        if isinstance(pending, _DelegatePending):
+            return self._translate_delta(
+                self._delta.search_collect(pending.inner)
+            )
+        return self._postprocess(pending, pull_packed(pending.packed))
+
+    def collect_many(self, pendings: list) -> list[list[SearchResult]]:
+        out: list[list[SearchResult] | None] = [None] * len(pendings)
+        delegates = [
+            (i, p) for i, p in enumerate(pendings)
+            if isinstance(p, _DelegatePending)
+        ]
+        if delegates:
+            # one aggregated pull through the delta engine for all of them
+            inner_results = self._delta.collect_many(
+                [p.inner for _, p in delegates]
+            )
+            for (i, _), res in zip(delegates, inner_results):
+                out[i] = self._translate_delta(res)
+        ids_items = [
+            (i, p) for i, p in enumerate(pendings)
+            if not isinstance(p, _DelegatePending)
+        ]
+        if ids_items:
+            groups: dict[tuple, list[int]] = {}
+            for j, (_, p) in enumerate(ids_items):
+                groups.setdefault(
+                    (p.packed.shape, str(p.packed.dtype)), []
+                ).append(j)
+            hosts: list[np.ndarray | None] = [None] * len(ids_items)
+            for members in groups.values():
+                if len(members) == 1:
+                    hosts[members[0]] = pull_packed(
+                        ids_items[members[0]][1].packed
+                    )
+                else:
+                    stacked = pull_packed(
+                        jnp.stack(
+                            [ids_items[m][1].packed for m in members]
+                        )
+                    )
+                    for jj, m in enumerate(members):
+                        hosts[m] = stacked[jj]
+            for (i, p), h in zip(ids_items, hosts):
+                out[i] = self._postprocess(p, h)
+        return out  # type: ignore[return-value]
+
+    def _translate_delta(
+        self, results: list[SearchResult]
+    ) -> list[SearchResult]:
+        """Delta-position results -> engine-slot results."""
+        mapped = []
+        for r in results:
+            slots = self._delta_pos2slot_host[r.slots]
+            ok = slots >= 0
+            mapped.append(
+                SearchResult(
+                    slots=slots[ok],
+                    epochs=r.epochs[ok],
+                    distances=r.distances[ok],
+                )
+            )
+        return mapped
+
+    def _postprocess(self, pending: PendingSearch, host: np.ndarray):
+        b_real, k = pending.b_real, pending.k
+        i = np.asarray(host)[:b_real]
+        safe = np.maximum(i, 0)
+        v = self._vecs_host[safe]
+        q = pending.q_f32[:b_real, : self.dimensions]
+        if self.space_type is SpaceType.EUCLIDEAN:
+            d = ((q[:, None, :] - v) ** 2).sum(-1)
+        else:
+            dot = np.einsum("bd,bkd->bk", q, v)
+            d = 1.0 - dot
+            if self.space_type is SpaceType.COSINE:
+                d = np.clip(d, 0.0, 2.0)
+        e = self._epochs_host[safe]
+        results = []
+        for row in range(b_real):
+            ok = i[row] >= 0
+            dr = d[row][ok].astype(np.float32)
+            order = np.argsort(dr, kind="stable")
+            results.append(
+                SearchResult(
+                    slots=i[row][ok][order].astype(np.int64),
+                    epochs=e[row][ok][order],
+                    distances=dr[order],
+                )
+            )
+        return results
+
+
+@jax.jit
+def _apply_allow_main(
+    paux: jax.Array, pos2slot: jax.Array, allow: jax.Array
+) -> jax.Array:
+    """Per-search slot filter applied to the cluster-major side array."""
+    slot_ok = (pos2slot >= 0) & allow[jnp.maximum(pos2slot, 0)]
+    return paux.at[1].set(jnp.where(slot_ok, paux[1], INVALID_BIAS))

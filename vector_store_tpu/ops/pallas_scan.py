@@ -84,9 +84,11 @@ def _fold_min(dist: jax.Array, off: jax.Array) -> tuple[jax.Array, jax.Array]:
     return dist, off
 
 
-def _make_kernel(block_rows: int):
-    chunk = min(CHUNK, block_rows)
+def _make_kernel(block_rows: int, chunk: int | None = None):
+    if chunk is None:
+        chunk = min(CHUNK, block_rows)
     nchunks = block_rows // chunk
+    assert chunk * nchunks == block_rows, (block_rows, chunk)
 
     def kern(q_ref, v_ref, aux_ref, od_ref, oo_ref):
         q = q_ref[:]

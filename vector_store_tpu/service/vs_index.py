@@ -18,10 +18,12 @@ micro-batching loop:
   kernel), growing k' until satisfied or exhausted;
 - adds are dropped when the memory governor says Cannot (usearch.rs:1156).
 
-Engine choice: global indexes get the graph engine (sub-linear search at
-scale); local (per-partition) indexes get the flat engine with partition
-masks, mirroring the reference's small per-partition sub-indexes (1k
-reserve increments).
+Engine choice: global float indexes get the IVF engine (exact flat scan
+until 65k rows, then k-means-clustered sub-linear search, engine/ivf.py);
+local (per-partition) indexes and quantized/Hamming modes get the flat
+engine with partition masks, mirroring the reference's small per-partition
+sub-indexes (1k reserve increments). ENGINE=graph opts into the lockstep
+beam-search engine for the sharded beyond-HBM regime.
 """
 
 from __future__ import annotations
@@ -95,15 +97,27 @@ class VsIndexActor:
         self.quantization = vs.quantization
 
         is_local = not metadata.partitioning.is_global
+        from vector_store_tpu.engine.ivf import ivf_supports
+
         if engine_kind == "auto":
-            # MEASURED policy (round 2, v5e): the fused-Pallas exact scan is
-            # MXU-bound (~7 ms per 2048-query batch at 1M x 128d) while
-            # lockstep graph beam search is HBM-gather-bound (~540 MB/iter
-            # at that batch) AND pays a large incremental build cost — the
-            # flat engine wins on both build and serve up to tens of
-            # millions of vectors, i.e. past single-chip HBM capacity. The
-            # graph engine (ENGINE=graph) exists for parity and for the
-            # sharded beyond-HBM regime.
+            # MEASURED policy (round 2, v5e): graph beam search is
+            # HBM-gather-bound, so sub-linear serving comes from the IVF
+            # engine instead (grouped fused scan over k-means clusters,
+            # engine/ivf.py). IVF serves exactly like flat until the index
+            # crosses its build threshold (65k rows), then clusters itself
+            # and scans ~nprobe/nlist of the data per query. Local indexes
+            # (small per-partition sub-indexes) and non-float/Hamming
+            # quantizations stay on the exact flat engine; ENGINE=graph
+            # remains the opt-in beyond-HBM path.
+            engine_kind = (
+                "ivf"
+                if not is_local
+                and ivf_supports(vs.space_type, vs.quantization)
+                else "flat"
+            )
+        elif engine_kind == "ivf" and (
+            is_local or not ivf_supports(vs.space_type, vs.quantization)
+        ):
             engine_kind = "flat"
         elif engine_kind == "graph" and is_local:
             # documented engine-choice policy: graph never serves local
@@ -145,6 +159,17 @@ class VsIndexActor:
                 connectivity=int(vs.connectivity),
                 expansion_add=int(vs.expansion_add),
                 expansion_search=int(vs.expansion_search),
+            )
+        elif engine_kind == "ivf":
+            from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+            # expansion_search plays the nprobe role: both trade recall for
+            # scanned candidates (reference ef_search default 64)
+            self.engine = IvfDeviceIndex(
+                self.dimensions,
+                space_type=vs.space_type,
+                quantization=vs.quantization,
+                nprobe=max(8, int(vs.expansion_search) // 2),
             )
         else:
             self.engine = FlatDeviceIndex(
@@ -350,9 +375,10 @@ class VsIndexActor:
                 await loop.run_in_executor(None, self._apply_ops_batch, ops)
                 continue
 
-            # 3) background graph maintenance: delta merges, then periodic
-            # incremental refinement passes (recall upkeep on clustered data)
-            if isinstance(self.engine, GraphDeviceIndex):
+            # 3) background engine maintenance (graph delta merges +
+            # refinement, IVF recluster rebuilds), scheduled only while the
+            # pipeline is idle — the reference's exclusive modify permits
+            if hasattr(self.engine, "maintain"):
                 did_work = await loop.run_in_executor(
                     None, self.engine.maintain, MERGE_BATCH
                 )
