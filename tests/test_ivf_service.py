@@ -1,0 +1,127 @@
+"""IVF engine driven through the full service: auto engine selection,
+delegation before the build threshold, a live recluster rebuild scheduled
+by the serving actor's maintenance slot, and correct answers throughout.
+
+Covers the reference's engine-default behavior (usearch is the default
+serving engine, vs_index/mod.rs:47-68) for the TPU rebuild where `auto`
+selects the IVF engine for global float indexes.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from vector_store_tpu.core.types import IndexKey
+from vector_store_tpu.db.fake import (
+    FakeDb,
+    FakeIndex,
+    FakeTable,
+    make_vs_metadata,
+    vector_row,
+)
+from vector_store_tpu.run import build_service
+from vector_store_tpu.service.config import Config
+
+RNG = np.random.default_rng(31)
+DIMS = 16
+
+
+async def _wait_serving(client, count, timeout=30.0):
+    deadline = asyncio.get_event_loop().time() + timeout
+    while True:
+        resp = await client.get("/api/v1/indexes/ks/idx/status")
+        if resp.status == 200:
+            d = await resp.json()
+            if d["status"] == "SERVING" and d["count"] == count:
+                return
+        assert asyncio.get_event_loop().time() < deadline, d
+        await asyncio.sleep(0.05)
+
+
+async def test_auto_engine_is_ivf_and_rebuild_serves(monkeypatch):
+    import vector_store_tpu.ops.pallas_scan as ps
+
+    orig = ps.pallas_rank_search
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ps, "pallas_rank_search", interp)
+
+    n = 1500
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    base = RNG.normal(size=(n, DIMS)).astype(np.float32)
+    rows = [vector_row((i,), base[i].tolist(), 100) for i in range(n)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=DIMS), scan=rows))
+    service = await build_service(db, Config(monitor_indexes_interval=0.05))
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        await _wait_serving(client, n)
+
+        entry = service.indexes.get_vs(IndexKey("ks", "idx"))
+        actor = entry.actor
+        from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+        assert isinstance(actor.engine, IvfDeviceIndex)
+        engine = actor.engine
+        # pre-build: delta delegation serves exact answers
+        assert engine.main_vecs is None
+        resp = await client.post(
+            "/api/v1/indexes/ks/idx/ann",
+            json={"vector": base[42].tolist(), "limit": 3},
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["primary_keys"]["pk"][0] == 42
+        assert body["distances"][0] == pytest.approx(0.0, abs=1e-3)
+
+        # drop the thresholds so the actor's idle maintenance reclusters;
+        # force the interpret-mode delta config the engine uses in tests
+        engine.min_build = 256
+        engine.kmeans_block = 512
+        engine.interpret = True
+        engine.nprobe = 16
+        deadline = asyncio.get_event_loop().time() + 60
+        while engine.main_vecs is None:
+            assert asyncio.get_event_loop().time() < deadline
+            actor._modify_event.set()  # nudge the scheduler
+            await asyncio.sleep(0.1)
+        assert engine.nlist >= 64
+
+        # post-build: clustered main region serves; self-query still exact
+        hits = 0
+        for q in (7, 99, 1234):
+            resp = await client.post(
+                "/api/v1/indexes/ks/idx/ann",
+                json={"vector": base[q].tolist(), "limit": 3},
+            )
+            assert resp.status == 200
+            body = await resp.json()
+            if body["primary_keys"]["pk"][0] == q:
+                hits += 1
+                assert body["distances"][0] == pytest.approx(0.0, abs=1e-3)
+        assert hits == 3
+
+        # streaming upsert after the build lands in the delta and serves
+        dbi = db.db_indexes[("ks", "idx")]
+        new_vec = (RNG.normal(size=DIMS) * 10 + 50).astype(np.float32)
+        await dbi.push_cdc(vector_row((n,), new_vec.tolist(), 200))
+        deadline = asyncio.get_event_loop().time() + 20
+        while True:
+            resp = await client.post(
+                "/api/v1/indexes/ks/idx/ann",
+                json={"vector": new_vec.tolist(), "limit": 1},
+            )
+            body = await resp.json()
+            if resp.status == 200 and body["primary_keys"]["pk"] == [n]:
+                break
+            assert asyncio.get_event_loop().time() < deadline
+            await asyncio.sleep(0.1)
+    finally:
+        await client.close()
+        await service.stop()
