@@ -69,3 +69,70 @@ class TestShardedFlat:
         dists, ids, epochs = idx.search(np.zeros((1, d), np.float32), 1)
         assert ids[0, 0] == 5
         assert epochs[0, 0] == 3
+
+
+class TestShardedIvf:
+    def test_build_and_search(self, mesh8):
+        from vector_store_tpu.parallel.ivf_sharded import ShardedIvfIndex
+
+        n, d, b, k = 4096, 32, 16, 10
+        rng = np.random.default_rng(3)
+        centers = rng.normal(size=(64, d)).astype(np.float32) * 4
+        vecs = centers[rng.integers(0, 64, size=n)] + rng.normal(
+            size=(n, d)
+        ).astype(np.float32)
+        idx = ShardedIvfIndex(
+            mesh8,
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.F32,
+            nprobe=16,
+            kmeans_iters=4,
+            interpret=True,
+        )
+        idx.upsert_batch(np.arange(n), np.full(n, 4, np.int32), vecs)
+        idx.build()
+        assert idx.nlist % mesh8.shape["model"] == 0
+        queries = vecs[rng.integers(0, n, size=b)] + 0.05 * rng.normal(
+            size=(b, d)
+        ).astype(np.float32)
+        dist, slot, epochs = idx.search(queries, k)
+        hits = 0
+        for row in range(b):
+            want = set(
+                np.argsort(((queries[row] - vecs) ** 2).sum(-1))[:k].tolist()
+            )
+            hits += len(want & set(slot[row].tolist()))
+        assert hits / (b * k) >= 0.8, hits / (b * k)
+        assert (epochs[slot >= 0] == 4).all()
+        assert (np.diff(dist, axis=1) >= -1e-5).all()
+
+    def test_post_build_upsert_and_remove(self, mesh8):
+        from vector_store_tpu.parallel.ivf_sharded import ShardedIvfIndex
+
+        n, d = 2048, 32
+        rng = np.random.default_rng(5)
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        idx = ShardedIvfIndex(
+            mesh8,
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.F32,
+            nprobe=64,
+            kmeans_iters=3,
+            interpret=True,
+        )
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        idx.build()
+        # new vector after the build -> delta, findable
+        new = np.full((1, d), 30.0, np.float32)
+        idx.upsert_batch(np.asarray([n]), np.asarray([7]), new)
+        dist, slot, epochs = idx.search(new, 3)
+        assert slot[0, 0] == n and epochs[0, 0] == 7
+        assert dist[0, 0] == pytest.approx(0.0, abs=1e-2)
+        # removal from main region
+        dist, slot, _ = idx.search(vecs[11:12], 3)
+        assert slot[0, 0] == 11
+        idx.remove_batch(np.asarray([11]))
+        dist, slot, _ = idx.search(vecs[11:12], 3)
+        assert 11 not in slot[0]

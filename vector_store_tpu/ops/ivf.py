@@ -284,6 +284,32 @@ def _grouped_scan(
     )(queries_grouped, vectors, paux)
 
 
+def ivf_probe(
+    centroids: jax.Array,  # [nlist, Dp] f32
+    queries: jax.Array,  # [B, Dp] storage dtype
+    q_live: jax.Array,  # [B] bool
+    *,
+    nprobe: int,
+    spherical: bool,
+) -> jax.Array:
+    """Rank clusters per query by centroid affinity -> [B, nprobe] i32
+    cluster ids (padding rows parked at the sentinel id nlist)."""
+    nlist = centroids.shape[0]
+    dot = jnp.dot(
+        queries.astype(jnp.bfloat16),
+        centroids.T.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if spherical:
+        cn = jnp.sqrt(jnp.sum(centroids * centroids, axis=-1))
+        aff = dot / jnp.maximum(cn, 1e-20)[None, :]
+    else:
+        c2 = jnp.sum(centroids * centroids, axis=-1)
+        aff = 2.0 * dot - c2[None, :]
+    _, probes = jax.lax.top_k(aff, nprobe)  # [B, nprobe] i32
+    return jnp.where(q_live[:, None], probes, nlist)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "nprobe", "s", "cmax", "spherical", "interpret"),
@@ -301,6 +327,7 @@ def ivf_candidates(
     cmax: int,
     spherical: bool,
     interpret: bool = False,
+    probes: jax.Array | None = None,  # [B, nprobe] precomputed (sharded path)
 ) -> jax.Array:
     """One fused device program: probe -> regroup -> grouped scan -> merge.
     Returns [2, B, k] f32: row 0 rank values (same affine form as
@@ -309,22 +336,16 @@ def ivf_candidates(
     npos, dp = vectors.shape
     nlist = npos // cmax
     b = queries.shape[0]
-    nprobe = min(nprobe, nlist)
 
     # 1) probe: rank clusters per query by centroid affinity
-    dot = jnp.dot(
-        queries.astype(jnp.bfloat16),
-        centroids.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    if spherical:
-        cn = jnp.sqrt(jnp.sum(centroids * centroids, axis=-1))
-        aff = dot / jnp.maximum(cn, 1e-20)[None, :]
+    if probes is None:
+        nprobe = min(nprobe, nlist)
+        probes = ivf_probe(
+            centroids, queries, q_live, nprobe=nprobe, spherical=spherical
+        )
     else:
-        c2 = jnp.sum(centroids * centroids, axis=-1)
-        aff = 2.0 * dot - c2[None, :]
-    _, probes = jax.lax.top_k(aff, nprobe)  # [B, nprobe] i32
-    probes = jnp.where(q_live[:, None], probes, nlist)  # park padding rows
+        # precomputed (sharded path): ids are local, sentinel >= nlist
+        nprobe = probes.shape[1]
 
     # 2) regroup pairs by cluster into per-cluster query slots
     p = b * nprobe
