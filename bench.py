@@ -50,6 +50,19 @@ CPU_BASELINE_QPS = 30_000.0
 
 
 def main() -> None:
+    import jax
+
+    # persistent XLA/Mosaic compilation cache: first-compiles through this
+    # environment's relay cost 20-120s per program shape; cached reloads
+    # are ~free, so repeat runs spend their time measuring, not compiling
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/root/.cache/jax_vst"
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from vector_store_tpu.core.types import Quantization, SpaceType
     from vector_store_tpu.engine import FlatDeviceIndex
     from vector_store_tpu.engine.ivf import IvfDeviceIndex
@@ -57,7 +70,7 @@ def main() -> None:
     n = int(os.environ.get("BENCH_N", 1_000_000))
     batch = int(os.environ.get("BENCH_BATCH", 2048))
     iters = int(os.environ.get("BENCH_ITERS", 96))
-    agg = int(os.environ.get("BENCH_AGG", 16))
+    agg = int(os.environ.get("BENCH_AGG", 8))
     engine_kind = os.environ.get("BENCH_ENGINE", "ivf")
     d = 128
     k = 10
@@ -121,7 +134,15 @@ def main() -> None:
         best_i = np.concatenate([best_i, idx_top + lo], axis=1)
     order = np.argsort(best_d, axis=1)[:, :k]
     gt_ids = np.take_along_axis(best_i, order, axis=1)
-    def calc_recall(got) -> float:
+    # gate queries padded to the serving batch so the recall sweep reuses
+    # the ONE compiled program shape the throughput loop needs (every new
+    # (batch, s) shape is a fresh Mosaic+XLA compile through the relay)
+    nq = held_out.shape[0]
+    reps_pad = max(1, -(-batch // nq))
+    gate_queries = np.tile(held_out, (reps_pad, 1))[:batch]
+
+    def calc_recall() -> float:
+        got = index.search(gate_queries, k)[:nq]
         return float(
             np.mean(
                 [
@@ -131,16 +152,16 @@ def main() -> None:
             )
         )
 
-    recall = calc_recall(index.search(held_out, k))
+    recall = calc_recall()
     # IVF: walk nprobe up until the recall gate holds (the reference's
     # ef_search knob plays the same recall/throughput role)
     while (
         recall < 0.95
         and hasattr(index, "nprobe")
-        and index.nprobe < min(max(index.nlist, 1), 256)
+        and index.nprobe < min(max(index.nlist, 1), 512)
     ):
-        index.nprobe = min(index.nprobe * 2, 256)
-        recall = calc_recall(index.search(held_out, k))
+        index.nprobe = min(index.nprobe * 2, 512)
+        recall = calc_recall()
 
     queries = centers[rng.integers(0, 256, size=batch)] + rng.normal(
         size=(batch, d)

@@ -187,7 +187,8 @@ class TestIvfLifecycle:
             np.arange(n, n + 1200), np.zeros(1200, np.int32), extra
         )
         assert idx.maintain() is True  # delta > 20% of live
-        assert int((idx._region == 2).sum()) <= 16  # only spill remains
+        # only cluster-overflow spill remains in the delta (< 2% of rows)
+        assert int((idx._region == 2).sum()) <= (n + 1200) * 0.02
         res = idx.search(extra[:8], 3)
         for i, r in enumerate(res):
             assert r.slots[0] == n + i
@@ -258,9 +259,9 @@ class TestIvfOps:
             choose_nlist,
         )
 
-        assert choose_nlist(1_000_000) == 1024
+        assert choose_nlist(1_000_000) == 2048
         assert choose_nlist(1000) == 64
-        cmax = choose_cmax(1_000_000, 1024)
-        assert cmax % 256 == 0 and cmax * 1024 >= 1_000_000
+        cmax = choose_cmax(1_000_000, 2048)
+        assert cmax % 128 == 0 and cmax * 2048 >= 1_000_000
         s = choose_budget(2048, 32, 1024)
         assert s >= 2 * (2048 * 32 // 1024) and s % 16 == 0

@@ -439,6 +439,9 @@ class IvfDeviceIndex:
         return True
 
     def _rebuild(self) -> None:
+        import time as _time
+
+        t0 = _time.time()
         live_slots = np.flatnonzero(self._valid_host)
         n_live = live_slots.size
         if n_live == 0:
@@ -473,6 +476,7 @@ class IvfDeviceIndex:
         rows = source[jnp.asarray(row_idx_pad)]  # [n_pad, Dp]
         live_dev = jnp.asarray(live_mask)
 
+        t_gather = _time.time()
         centroids, labels = kmeans(
             rows,
             live_dev.astype(jnp.float32),
@@ -481,6 +485,8 @@ class IvfDeviceIndex:
             block=self.kmeans_block,
             spherical=self._spherical,
         )
+        jax.block_until_ready(labels)
+        t_kmeans = _time.time()
         dt = np.dtype(storage_dtype(self.quantization)).name
         vecs, paux, pos2slot, row_pos, overflow = _build_main_arrays(
             rows,
@@ -495,9 +501,21 @@ class IvfDeviceIndex:
         # probe once so a Mosaic failure surfaces here (maintain catches)
         probe_q = np.zeros((8, self.dimensions), dtype=np.float32)
         self._probe_grouped(vecs, paux, centroids, probe_q, nlist, cmax)
+        t_layout = _time.time()
 
         row_pos_h = np.asarray(row_pos)[:n_live]
         overflow_h = np.asarray(overflow)[:n_live]
+        logger.info(
+            "IVF rebuild: n=%d nlist=%d cmax=%d | gather %.1fs kmeans %.1fs "
+            "layout+probe %.1fs pulls %.1fs",
+            n_live,
+            nlist,
+            cmax,
+            t_gather - t0,
+            t_kmeans - t_gather,
+            t_layout - t_kmeans,
+            _time.time() - t_layout,
+        )
 
         self.main_vecs = vecs
         self.main_paux = paux

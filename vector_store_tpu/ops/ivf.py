@@ -62,15 +62,22 @@ __all__ = [
 
 # -- geometry ----------------------------------------------------------------
 
-CLUSTER_CHUNK = 256  # cmax granularity; must divide cmax and be lane-aligned
+CLUSTER_CHUNK = 128  # cmax granularity; must divide cmax and be lane-aligned
 
 
 def choose_nlist(n: int) -> int:
-    """Cluster count ~ sqrt(N), power of two, clamped."""
+    """Cluster count ~ 2*sqrt(N), power of two, clamped.
+
+    Why 2x: each (query, cluster) pair emits at most LANES=128 group
+    minima, so when a query's true top-k concentrates in ONE cluster
+    (clustered data), lane collisions cap recall around 1 - k^2/(2*128).
+    Smaller clusters spread the top-k over several cells, which divides
+    the collision rate — measured at 1M clustered: 0.944 recall@10 ceiling
+    at sqrt(N) cells vs ~0.98 at 2*sqrt(N)."""
     if n <= 0:
         return 64
-    exp = int(round(np.log2(max(np.sqrt(n), 1.0))))
-    return int(np.clip(2**exp, 64, 4096))
+    exp = int(round(np.log2(max(np.sqrt(n), 1.0)))) + 1
+    return int(np.clip(2**exp, 64, 8192))
 
 
 def choose_cmax(n: int, nlist: int, headroom: float = 1.6) -> int:
