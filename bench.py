@@ -33,7 +33,7 @@ reference's canonical r7i.xlarge deployment at this recall point — the
 ">= 10x QPS/chip vs the Rust CPU baseline" goal maps to vs_baseline >= 10.
 
 Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (2048), BENCH_ITERS
-(96), BENCH_AGG (16 batches per aggregated pull), BENCH_ENGINE (ivf|flat),
+(96), BENCH_AGG (8 batches per aggregated pull), BENCH_ENGINE (ivf|flat),
 BENCH_NPROBE (32).
 """
 
@@ -110,11 +110,13 @@ def main() -> None:
             held_out = vecs[:512] + 0.1 * rng.normal(size=(512, d)).astype(np.float32)
         index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs)
     ingest_s = time.time() - t_ingest
+    print(f"[bench] ingest {n} rows in {ingest_s:.1f}s", file=sys.stderr, flush=True)
     t_cluster = time.time()
     if hasattr(index, "maintain"):
         index.maintain()  # k-means + cluster-major relayout (device-side)
     cluster_s = time.time() - t_cluster
     build_rate = n / (ingest_s + cluster_s)
+    print(f"[bench] cluster {cluster_s:.1f}s", file=sys.stderr, flush=True)
 
     # recall gate vs exact f32 ground truth (host numpy, blocked)
     q2 = (held_out**2).sum(-1)
@@ -153,6 +155,7 @@ def main() -> None:
         )
 
     recall = calc_recall()
+    print(f"[bench] recall {recall:.4f} at nprobe {getattr(index, 'nprobe', '-')}", file=sys.stderr, flush=True)
     # IVF: walk nprobe up until the recall gate holds (the reference's
     # ef_search knob plays the same recall/throughput role)
     while (
@@ -162,6 +165,7 @@ def main() -> None:
     ):
         index.nprobe = min(index.nprobe * 2, 512)
         recall = calc_recall()
+        print(f"[bench] recall {recall:.4f} at nprobe {index.nprobe}", file=sys.stderr, flush=True)
 
     queries = centers[rng.integers(0, 256, size=batch)] + rng.normal(
         size=(batch, d)
@@ -176,6 +180,7 @@ def main() -> None:
     pends = [index.search_begin(queries, k) for _ in range(reps)]
     jax.block_until_ready(pends[-1].packed)
     compute_qps = batch * reps / (time.time() - t0)
+    print(f"[bench] compute_qps {compute_qps:.0f}", file=sys.stderr, flush=True)
     for p in pends:
         index.search_collect(p)  # drain
 
@@ -188,7 +193,7 @@ def main() -> None:
 
     lat: list[float] = []
     window_qps: list[float] = []
-    windows: _queue.Queue = _queue.Queue(maxsize=2)
+    windows: _queue.Queue = _queue.Queue(maxsize=1)
     fail: list[BaseException] = []
 
     def collector() -> None:

@@ -666,13 +666,20 @@ class IvfDeviceIndex:
             spherical=self._spherical,
             interpret=self.interpret,
         )
-        delta_pend = self._delta.search_begin(
-            queries[:b_real],
-            k,
-            allow_mask=delta_allow,
-            raw=True,
-            queries_dev=qs,  # share the single query upload across regions
-        )
+        if self._delta.size > 0:
+            delta_pend = self._delta.search_begin(
+                queries[:b_real],
+                k,
+                allow_mask=delta_allow,
+                raw=True,
+                queries_dev=qs,  # share one query upload across regions
+            )
+            delta_packed = delta_pend.packed
+            delta_is_rank = delta_pend.kind == "pallas"
+        else:
+            # clean index (no post-rebuild upserts): skip the delta scan
+            delta_packed = _empty_candidates(b=b_pad)
+            delta_is_rank = True
         q2 = np.zeros((b_pad,), dtype=np.float32)
         if self.space_type is SpaceType.EUCLIDEAN:
             q2 = (
@@ -680,7 +687,7 @@ class IvfDeviceIndex:
             )
         ids = _merge_regions(
             main_packed,
-            delta_pend.packed,
+            delta_packed,
             jnp.asarray(q2),
             self.main_pos2slot,
             self._delta_pos2slot,
@@ -688,7 +695,7 @@ class IvfDeviceIndex:
             if self.space_type is SpaceType.EUCLIDEAN
             else "affine",
             k_out=k,
-            delta_is_rank=delta_pend.kind == "pallas",
+            delta_is_rank=delta_is_rank,
         )
         return PendingSearch(
             packed=ids,
@@ -801,3 +808,15 @@ def _apply_allow_main(
     """Per-search slot filter applied to the cluster-major side array."""
     slot_ok = (pos2slot >= 0) & allow[jnp.maximum(pos2slot, 0)]
     return paux.at[1].set(jnp.where(slot_ok, paux[1], INVALID_BIAS))
+
+
+@functools.partial(jax.jit, static_argnames=("b",))
+def _empty_candidates(*, b: int) -> jax.Array:
+    """All-invalid [2, b, 8] candidate set (stand-in for an empty delta so
+    the merge program has one shape family and the delta scan is skipped
+    entirely when no post-rebuild upserts exist)."""
+    rank = jnp.full((b, 8), INVALID_BIAS, jnp.float32)
+    ids = jax.lax.bitcast_convert_type(
+        jnp.full((b, 8), -1, jnp.int32), jnp.float32
+    )
+    return jnp.stack([rank, ids])
