@@ -101,6 +101,58 @@ def cosine_sweep() -> dict:
     }
 
 
+def ivf_sweep() -> dict:
+    """IVF engine (the serving default) recall@10 vs nprobe on angular
+    data — the config-2 sweep for the clustered engine; nprobe plays the
+    reference's ef_search role."""
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine import IvfDeviceIndex
+
+    n = int(os.environ.get("SUITE_N", 200_000))
+    d = 100
+    k = 10
+    rng = np.random.default_rng(2)
+    vecs = _data(n, d, rng)
+    queries = _data(64, d, rng)
+    gt = _gt_cosine(queries, vecs, k)
+
+    idx = IvfDeviceIndex(
+        d,
+        space_type=SpaceType.COSINE,
+        quantization=Quantization.BF16,
+        initial_capacity=n,
+        min_build=min(n, 65_536),
+    )
+    t0 = time.time()
+    step = 125_000
+    for lo in range(0, n, step):
+        hi = min(lo + step, n)
+        idx.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), vecs[lo:hi])
+    idx.maintain()
+    build_s = time.time() - t0
+
+    sweep = {}
+    for nprobe in (16, 32, 64, 128):
+        idx.nprobe = nprobe
+        idx.search(queries, k)  # warm the shape
+        t0 = time.time()
+        res = idx.search(queries, k)
+        dt = time.time() - t0
+        sweep[str(nprobe)] = {
+            "recall_at_10": round(_recall(res, gt, k), 4),
+            "batch_ms": round(dt * 1e3, 1),
+        }
+    return {
+        "config": "glove-like ivf nprobe sweep",
+        "n": n,
+        "dims": d,
+        "nlist": idx.nlist,
+        "build_seconds": round(build_s, 1),
+        "build_vectors_per_sec": round(n / build_s, 0),
+        "nprobe_sweep": sweep,
+    }
+
+
 def quantized_highdim() -> dict:
     """bf16 vs i8 recall on 1536-d embeddings (config 3)."""
     from vector_store_tpu.core.types import Quantization, SpaceType
@@ -300,6 +352,7 @@ def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "cosine-sweep"
     fn = {
         "cosine-sweep": cosine_sweep,
+        "ivf-sweep": ivf_sweep,
         "quantized-highdim": quantized_highdim,
         "saturation": saturation,
         "selectivity": selectivity,
