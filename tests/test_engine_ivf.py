@@ -106,6 +106,23 @@ class TestIvfBuildAndSearch:
             assert r.distances[0] == pytest.approx(0.0, abs=1e-3)
             assert (r.epochs == 2).all()
 
+    def test_sampled_kmeans_rebuild(self, interp_pallas):
+        """Rebuilds above the sample cap cluster on a row sample and label
+        the full set in one assignment pass; recall must hold."""
+        n, d, b, k = 4096, 32, 16, 10
+        vecs, _ = clustered(n, d)
+        idx = make_index(d, kmeans_sample_cap=1024)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.maintain()
+        queries = vecs[RNG.integers(0, n, size=b)]
+        res = idx.search(queries, k)
+        gt = exact_topk(queries, vecs, k, SpaceType.EUCLIDEAN)
+        hits = sum(
+            len(set(r.slots.tolist()) & set(gt[i].tolist()))
+            for i, r in enumerate(res)
+        )
+        assert hits / (b * k) >= 0.8, hits / (b * k)
+
     def test_cosine_space(self, interp_pallas):
         n, d, b, k = 2048, 32, 16, 5
         vecs, _ = clustered(n, d)

@@ -52,6 +52,7 @@ from vector_store_tpu.ops.ivf import (
     ivf_candidates,
     ivf_layout,
     kmeans,
+    kmeans_assign,
 )
 from vector_store_tpu.ops.pallas_scan import INVALID_BIAS, INVALID_CUTOFF
 from vector_store_tpu.ops.quantize import padded_dim, storage_dtype
@@ -206,6 +207,7 @@ class IvfDeviceIndex:
         rebuild_fraction: float = 0.2,
         kmeans_iters: int = 8,
         kmeans_block: int = KMEANS_BLOCK,
+        kmeans_sample_cap: int | None = None,
         device: jax.Device | None = None,
         query_i8: bool | None = None,
         interpret: bool = False,
@@ -224,6 +226,7 @@ class IvfDeviceIndex:
         self.rebuild_fraction = rebuild_fraction
         self.kmeans_iters = kmeans_iters
         self.kmeans_block = kmeans_block
+        self.kmeans_sample_cap = kmeans_sample_cap
         self.reserve_increment = reserve_increment
         self.interpret = interpret
         self.device = device or jax.devices()[0]
@@ -477,14 +480,38 @@ class IvfDeviceIndex:
         live_dev = jnp.asarray(live_mask)
 
         t_gather = _time.time()
-        centroids, labels = kmeans(
-            rows,
-            live_dev.astype(jnp.float32),
-            nlist=nlist,
-            iters=self.kmeans_iters,
-            block=self.kmeans_block,
-            spherical=self._spherical,
-        )
+        sample_cap = self.kmeans_sample_cap or max(nlist * 96, 131_072)
+        sample_cap = -(-sample_cap // self.kmeans_block) * self.kmeans_block
+        if n_pad > sample_cap:
+            # cluster a uniform row sample, then label the full set in one
+            # blocked pass — ~n/sample fewer k-means FLOPs at equal cell
+            # quality (centroids converge on far fewer rows than n)
+            stride = n_pad // sample_cap
+            sample = rows[:: stride][:sample_cap]
+            wsamp = live_dev[::stride][:sample_cap].astype(jnp.float32)
+            centroids, _ = kmeans(
+                sample,
+                wsamp,
+                nlist=nlist,
+                iters=self.kmeans_iters,
+                block=self.kmeans_block,
+                spherical=self._spherical,
+            )
+            labels = kmeans_assign(
+                rows,
+                centroids,
+                block=self.kmeans_block,
+                spherical=self._spherical,
+            )
+        else:
+            centroids, labels = kmeans(
+                rows,
+                live_dev.astype(jnp.float32),
+                nlist=nlist,
+                iters=self.kmeans_iters,
+                block=self.kmeans_block,
+                spherical=self._spherical,
+            )
         jax.block_until_ready(labels)
         t_kmeans = _time.time()
         dt = np.dtype(storage_dtype(self.quantization)).name

@@ -176,6 +176,38 @@ def _kmeans_jit(
     return cent, labels
 
 
+@functools.partial(jax.jit, static_argnames=("block", "spherical"))
+def kmeans_assign(
+    x: jax.Array,  # [N, Dp] (N multiple of block)
+    cent: jax.Array,  # [nlist, Dp] f32
+    *,
+    block: int = 16384,
+    spherical: bool = False,
+) -> jax.Array:
+    """Blocked nearest-centroid assignment -> labels [N] i32. Lets rebuilds
+    run k-means on a row sample, then label the full set in one pass."""
+    n, _ = x.shape
+    nblk = n // block
+
+    def label_blk(i, lbls):
+        xb = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
+        dot = jnp.dot(
+            xb.astype(jnp.bfloat16),
+            cent.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if spherical:
+            cn = jnp.sqrt(jnp.sum(cent * cent, axis=-1))
+            aff = dot / jnp.maximum(cn, 1e-20)[None, :]
+        else:
+            c2 = jnp.sum(cent * cent, axis=-1)
+            aff = 2.0 * dot - c2[None, :]
+        lbl = jnp.argmax(aff, axis=-1).astype(jnp.int32)
+        return jax.lax.dynamic_update_slice(lbls, lbl, (i * block,))
+
+    return jax.lax.fori_loop(0, nblk, label_blk, jnp.zeros((n,), jnp.int32))
+
+
 def kmeans(
     x: jax.Array,
     w: jax.Array,
