@@ -64,7 +64,7 @@ class TestGlobalIndex:
         assert len(ops) == 1
         op = ops[0]
         assert isinstance(op, AddVector)
-        assert op.vector == (1.0, 2.0, 3.0)
+        assert tuple(op.vector) == (1.0, 2.0, 3.0)
         assert not op.is_update
         assert op.partition_id.index_id.is_global
 

@@ -221,7 +221,13 @@ def decode_value(typ: CqlType, data: bytes | None):
             return out
         n = len(data) // size
         if elem.id == T_FLOAT:
-            return list(struct.unpack(f"!{n}f", data))
+            # the full-scan hot loop: one vectorized big-endian decode per
+            # row instead of a per-element Python list
+            import numpy as np
+
+            return np.frombuffer(data, dtype=">f4", count=n).astype(
+                np.float32
+            )
         return [
             decode_value(elem, data[i * size : (i + 1) * size]) for i in range(n)
         ]

@@ -593,9 +593,14 @@ class ScyllaDbIndex(DbIndex):
 
 
 def decode_vector_value(value, metadata: IndexMetadata):
-    """Vector column value -> list[float]. CQL vector columns decode in the
-    driver; Alternator attributes arrive as serialized blobs with a leading
-    type tag — 4 = JSON array, 5 = big-endian f32 array (vector.rs:39-110)."""
+    """Vector column value -> float32 array/list. CQL vector columns decode
+    in the driver (as numpy f32 rows on the hot path); Alternator
+    attributes arrive as serialized blobs with a leading type tag —
+    4 = JSON array, 5 = big-endian f32 array (vector.rs:39-110)."""
+    import numpy as _np
+
+    if isinstance(value, _np.ndarray):
+        return value.astype(_np.float32, copy=False)
     if isinstance(value, (list, tuple)):
         return [float(x) for x in value]
     if isinstance(value, (bytes, bytearray)):
@@ -607,7 +612,9 @@ def decode_vector_value(value, metadata: IndexMetadata):
             return [float(x) for x in json.loads(b[1:].decode("utf-8"))]
         if tag == 5:
             n = (len(b) - 1) // 4
-            return list(struct.unpack(f"!{n}f", b[1 : 1 + 4 * n]))
+            return _np.frombuffer(b, dtype=">f4", count=n, offset=1).astype(
+                _np.float32
+            )
         raise ValueError(f"unknown alternator vector type tag {tag}")
     raise ValueError(f"cannot decode vector from {type(value).__name__}")
 

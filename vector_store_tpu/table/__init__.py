@@ -54,7 +54,7 @@ RESERVE_PARTITION_IDS = 1 << 8  # table/mod.rs:325
 class AddVector:
     primary_id: PrimaryId
     partition_id: PartitionId
-    vector: tuple[float, ...]
+    vector: object  # np.ndarray f32 (one dense row, not a per-float tuple)
     is_update: bool
 
 
@@ -587,7 +587,9 @@ class Table:
                     AddVector(
                         primary_id=new_primary_id,
                         partition_id=pid,
-                        vector=tuple(target.value),  # type: ignore[arg-type]
+                        # dense f32 row (a per-float Python tuple costs
+                        # ~30x the memory and a slow per-element convert)
+                        vector=np.asarray(target.value, dtype=np.float32),
                         is_update=is_update,
                     )
                 )
