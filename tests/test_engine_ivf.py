@@ -210,6 +210,48 @@ class TestIvfLifecycle:
         for i, r in enumerate(res):
             assert r.slots[0] == n + i
 
+    def test_sliced_rebuild_with_mid_build_mutations(self, interp_pallas):
+        """Budgeted maintain() advances the rebuild one bounded slice at a
+        time; upserts/removes landing between slices must be reconciled at
+        swap (stale snapshot copies tombstoned, current values served)."""
+        idx, vecs = self._built()
+        n, d = vecs.shape
+        extra, _ = clustered(1200, d, seed=11)
+        idx.upsert_batch(
+            np.arange(n, n + 1200), np.zeros(1200, np.int32), extra
+        )
+        assert idx.maintain(budget=1) is True  # snapshot slice
+        assert idx._build is not None
+        # mutations between slices
+        new5 = np.full((1, d), 77.0, np.float32)
+        idx.upsert_batch(np.asarray([5]), np.asarray([9]), new5)
+        idx.remove_batch(np.asarray([6]))
+        ns = n + 1200
+        new_row = np.full((1, d), -88.0, np.float32)
+        idx.upsert_batch(np.asarray([ns]), np.asarray([3]), new_row)
+        steps = 0
+        while idx._build is not None:
+            assert idx.maintain(budget=1) is True
+            steps += 1
+        assert steps >= 1
+        # upserted value serves with its new epoch
+        r = idx.search(new5.repeat(8, axis=0), 3)[0]
+        assert r.slots[0] == 5 and r.epochs[0] == 9
+        assert r.distances[0] == pytest.approx(0.0, abs=1e-2)
+        # removed slot is gone
+        res = idx.search(vecs[6:7].repeat(8, axis=0), 5)
+        assert not any(6 in rr.slots for rr in res)
+        # slot created mid-build serves
+        r = idx.search(new_row.repeat(8, axis=0), 1)[0]
+        assert r.slots[0] == ns and r.epochs[0] == 3
+        # the stale snapshot copy of slot 5 must not serve at distance 0
+        res = idx.search(vecs[5:6].repeat(8, axis=0), 10)
+        for rr in res:
+            for s, dist in zip(rr.slots, rr.distances):
+                if s == 5:
+                    assert dist > 1.0
+        assert idx.size == n + 1200 + 1 - 1
+
     def test_allow_mask(self, interp_pallas):
         idx, vecs = self._built()
         allow = np.zeros((idx.capacity,), dtype=bool)

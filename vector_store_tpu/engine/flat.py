@@ -249,6 +249,43 @@ def _dequant_queries(qi8: jax.Array, scale: jax.Array, *, dt: str) -> jax.Array:
     return (qi8.astype(jnp.float32) * scale[:, None]).astype(dt)
 
 
+def ids_postprocess(
+    vecs_host: np.ndarray,  # [cap, D] f32 storage-representation mirror
+    epochs_host: np.ndarray,  # [cap] i32
+    space: SpaceType,
+    dims: int,
+    ids: np.ndarray,  # [b, k] int32 winner ids (-1 empty)
+    q_f32: np.ndarray,  # [b, D] f32 queries (normalized for cosine)
+) -> list[SearchResult]:
+    """Shared ids-only resolution: recompute exact f32 distances from the
+    host mirror, attach epochs, restore strict distance order."""
+    i = np.asarray(ids)
+    safe = np.maximum(i, 0)
+    v = vecs_host[safe]  # [b, k, D]
+    q = q_f32[:, :dims]
+    if space is SpaceType.EUCLIDEAN:
+        d = ((q[:, None, :] - v) ** 2).sum(-1)
+    else:
+        dot = np.einsum("bd,bkd->bk", q, v)
+        d = 1.0 - dot
+        if space is SpaceType.COSINE:
+            d = np.clip(d, 0.0, 2.0)
+    e = epochs_host[safe]
+    results = []
+    for row in range(i.shape[0]):
+        ok = i[row] >= 0
+        dr = d[row][ok].astype(np.float32)
+        order = np.argsort(dr, kind="stable")
+        results.append(
+            SearchResult(
+                slots=i[row][ok][order].astype(np.int64),
+                epochs=e[row][ok][order],
+                distances=dr[order],
+            )
+        )
+    return results
+
+
 def pull_packed_many(packeds: list[jax.Array]) -> list[np.ndarray]:
     """Pull several result arrays in ONE batched transfer. The relay's
     per-transfer fixed cost (~30-40 ms) dominates sequential pulls;
@@ -791,33 +828,14 @@ class FlatDeviceIndex:
         b_real, k = pending.b_real, pending.k
         if pending.kind == "ids":
             # [B, k] int32 winner ids; everything else reconstructed host-side
-            i = np.asarray(host)[:b_real]
-            safe = np.maximum(i, 0)
-            v = self._vecs_host[safe]  # [b, k, D]
-            q = pending.q_f32[:b_real, : self.dimensions]
-            if self.space_type is SpaceType.EUCLIDEAN:
-                d = ((q[:, None, :] - v) ** 2).sum(-1)
-            else:
-                dot = np.einsum("bd,bkd->bk", q, v)
-                d = 1.0 - dot
-                if self.space_type is SpaceType.COSINE:
-                    d = np.clip(d, 0.0, 2.0)
-            e = self._epochs_host[safe]
-            results = []
-            for row in range(b_real):
-                ok = i[row] >= 0
-                dr = d[row][ok].astype(np.float32)
-                # device ranked on quantized values; exact f32 recompute can
-                # perturb ties, so restore strict distance order
-                order = np.argsort(dr, kind="stable")
-                results.append(
-                    SearchResult(
-                        slots=i[row][ok][order].astype(np.int64),
-                        epochs=e[row][ok][order],
-                        distances=dr[order],
-                    )
-                )
-            return results
+            return ids_postprocess(
+                self._vecs_host,
+                self._epochs_host,
+                self.space_type,
+                self.dimensions,
+                np.asarray(host)[:b_real],
+                pending.q_f32[:b_real],
+            )
         if pending.kind == "pallas":
             from vector_store_tpu.ops.pallas_scan import (
                 INVALID_CUTOFF,

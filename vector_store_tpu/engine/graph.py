@@ -74,6 +74,10 @@ class GraphPendingSearch:
     k: int
     engine: "GraphDeviceIndex"
     delta_host: np.ndarray | None = None
+    # ids-only pull mode: graph_packed is [B, k] int32 winner slots and
+    # distances/epochs resolve from the store's host mirrors
+    graph_ids: bool = False
+    q_f32: np.ndarray | None = None
 
 
 @functools.partial(
@@ -1062,6 +1066,8 @@ class GraphDeviceIndex:
         b_real = queries.shape[0]
 
         graph_packed = None
+        graph_ids = False
+        qn: np.ndarray | None = None
         if self._graph_nodes > 0:
             b_pad = _bucket(b_real, _BATCH_BUCKETS)
             k_pad = _bucket(k, _K_BUCKETS)
@@ -1100,6 +1106,19 @@ class GraphDeviceIndex:
                 iters=ef,
                 filtered=filtered,
             )
+            if store.host_distances and store._vecs_host is not None:
+                # ship winner ids only (the [3,B,k] dist/id/epoch pack is
+                # 3x the bytes); exact f32 distances + epochs resolve from
+                # the store's host mirrors at collect time
+                from vector_store_tpu.engine.flat import _ids_only
+
+                graph_packed = _ids_only(graph_packed, k=min(k, k_pad))
+                graph_ids = True
+                qn = qp
+                if self.space_type is SpaceType.COSINE:
+                    qn = qp / np.maximum(
+                        np.linalg.norm(qp, axis=-1, keepdims=True), 1e-30
+                    )
 
         delta_pending = None
         if self._delta_slots:
@@ -1117,6 +1136,8 @@ class GraphDeviceIndex:
             b_real=b_real,
             k=k,
             engine=self,
+            graph_ids=graph_ids,
+            q_f32=qn,
         )
 
     def search_collect(self, pending: "GraphPendingSearch") -> list[SearchResult]:
@@ -1153,7 +1174,18 @@ class GraphDeviceIndex:
     ) -> list[SearchResult]:
         b_real, k = pending.b_real, pending.k
         graph_results: list[SearchResult] | None = None
-        if g_host is not None:
+        if g_host is not None and pending.graph_ids:
+            from vector_store_tpu.engine.flat import ids_postprocess
+
+            graph_results = ids_postprocess(
+                self.store._vecs_host,
+                self.store._epochs_host,
+                self.space_type,
+                self.dimensions,
+                np.asarray(g_host)[:b_real],
+                pending.q_f32[:b_real],
+            )
+        elif g_host is not None:
             d, i, e = unpack_results(np.asarray(g_host))
             d = d[:b_real, :k]
             i = i[:b_real, :k]

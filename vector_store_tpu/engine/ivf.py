@@ -51,8 +51,8 @@ from vector_store_tpu.ops.ivf import (
     choose_nlist,
     ivf_candidates,
     ivf_layout,
-    kmeans,
     kmeans_assign,
+    kmeans_step,
 )
 from vector_store_tpu.ops.pallas_scan import INVALID_BIAS, INVALID_CUTOFF
 from vector_store_tpu.ops.quantize import padded_dim, storage_dtype
@@ -273,6 +273,7 @@ class IvfDeviceIndex:
         self._vecs_host = np.zeros((cap, dimensions), dtype=np.float32)
         self._live = 0
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
+        self._build: dict | None = None  # in-progress sliced rebuild state
         self.query_i8 = self._delta.query_i8
 
     # -- bookkeeping -----------------------------------------------------------
@@ -352,6 +353,10 @@ class IvfDeviceIndex:
             norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-30)
         self._reserve(int(slots.max()))
+        if self._build is not None:
+            # mid-rebuild mutation: the snapshot's copy becomes stale —
+            # reconciled at swap time (_build_finish)
+            self._build["dirty"].update(int(s) for s in slots)
 
         # slots currently in main: their old rows become tombstones there
         in_main = self._region[slots] == _MAIN
@@ -393,6 +398,8 @@ class IvfDeviceIndex:
         slots = slots[slots < self.capacity]
         if slots.size == 0:
             return
+        if self._build is not None:
+            self._build["dirty"].update(int(s) for s in slots)
         was = self._valid_host[slots]
         in_main = (self._region[slots] == _MAIN) & was
         if in_main.any():
@@ -413,38 +420,68 @@ class IvfDeviceIndex:
         self._valid_host[slots] = False
 
     # -- maintenance ---------------------------------------------------------------
+    #
+    # Rebuilds run as a state machine of BOUNDED slices so the serving
+    # actor's maintenance slot never blocks queries for long (the
+    # reference's exclusive Reserve permits are short; a monolithic 1M-row
+    # recluster through a slow host link is not): snapshot-gather, then one
+    # sampled Lloyd iteration per slice, then one relayout+swap slice.
+    # Mutations arriving mid-build are tracked in a dirty set and
+    # reconciled at swap time (the snapshot's stale copies are tombstoned
+    # and the current values re-enter through the fresh delta).
 
     def maintain(self, budget: int | None = None) -> bool:
-        """Rebuild the clustered main region when the delta has grown past
-        rebuild_fraction of the live set (or on first crossing min_build).
-        Entirely device-side except for index bookkeeping."""
-        delta_live = int(
-            (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
-        )
+        """Advance (or start) a rebuild. With a budget (the actor's
+        maintenance slot) one bounded slice runs per call; without, the
+        rebuild runs to completion synchronously."""
         if not self._ivf_ok:
             return False
-        if self._live < self.min_build:
-            return False
-        if self.main_vecs is not None and delta_live < max(
-            self.kmeans_block, int(self.rebuild_fraction * self._live)
-        ):
-            return False
+        if self._build is None:
+            if not self._should_rebuild():
+                return False
+            try:
+                self._build_start()
+            except Exception:
+                self._build_fail()
+                return False
+            if self._build is None:
+                return False
+            if budget is not None:
+                return True
         try:
-            self._rebuild()
+            if budget is None:
+                while self._build is not None:
+                    self._build_step()
+            else:
+                self._build_step()
         except Exception:
-            logger.warning(
-                "IVF grouped kernel unavailable on this backend; serving "
-                "stays on the exact delta scan",
-                exc_info=True,
-            )
-            self._ivf_ok = False
+            self._build_fail()
             return False
         return True
 
-    def _rebuild(self) -> None:
-        import time as _time
+    def _build_fail(self) -> None:
+        logger.warning(
+            "IVF grouped kernel unavailable on this backend; serving "
+            "stays on the exact delta scan",
+            exc_info=True,
+        )
+        self._ivf_ok = False
+        self._build = None
 
-        t0 = _time.time()
+    def _should_rebuild(self) -> bool:
+        if self._live < self.min_build:
+            return False
+        if self.main_vecs is None:
+            return True
+        delta_live = int(
+            (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
+        )
+        return delta_live >= max(
+            self.kmeans_block, int(self.rebuild_fraction * self._live)
+        )
+
+    def _build_start(self) -> None:
+        """Slice 0: snapshot-gather all live rows + init sampled centroids."""
         live_slots = np.flatnonzero(self._valid_host)
         n_live = live_slots.size
         if n_live == 0:
@@ -453,8 +490,8 @@ class IvfDeviceIndex:
         cmax = choose_cmax(n_live, nlist, self.headroom)
         n_pad = -(-n_live // self.kmeans_block) * self.kmeans_block
 
-        # gather all live rows into one device array: main rows come from
-        # the clustered array, delta rows from the delta index
+        # gather all live rows into one device array (a COPY — safe to keep
+        # across slices while mutations donate the source buffers)
         regions = self._region[live_slots]
         pos = self._pos[live_slots]
         main_npos = (
@@ -479,47 +516,70 @@ class IvfDeviceIndex:
         rows = source[jnp.asarray(row_idx_pad)]  # [n_pad, Dp]
         live_dev = jnp.asarray(live_mask)
 
-        t_gather = _time.time()
+        # k-means runs on a uniform row sample (centroids converge on far
+        # fewer rows than n); the full set is labeled once at the end
         sample_cap = self.kmeans_sample_cap or max(nlist * 96, 131_072)
         sample_cap = -(-sample_cap // self.kmeans_block) * self.kmeans_block
-        if n_pad > sample_cap:
-            # cluster a uniform row sample, then label the full set in one
-            # blocked pass — ~n/sample fewer k-means FLOPs at equal cell
-            # quality (centroids converge on far fewer rows than n)
-            stride = n_pad // sample_cap
-            sample = rows[:: stride][:sample_cap]
-            wsamp = live_dev[::stride][:sample_cap].astype(jnp.float32)
-            centroids, _ = kmeans(
-                sample,
-                wsamp,
-                nlist=nlist,
-                iters=self.kmeans_iters,
+        stride = max(1, n_pad // sample_cap)
+        sample = rows[::stride][:sample_cap]
+        wsamp = live_dev[::stride][:sample_cap].astype(jnp.float32)
+        cstride = max(1, sample.shape[0] // nlist)
+        cent = sample[::cstride][:nlist].astype(jnp.float32)
+        if cent.shape[0] < nlist:
+            cent = jnp.pad(cent, ((0, nlist - cent.shape[0]), (0, 0)))
+        self._build = {
+            "live_slots": live_slots,
+            "n_live": n_live,
+            "nlist": nlist,
+            "cmax": cmax,
+            "rows": rows,
+            "live_dev": live_dev,
+            "slot_of_row": slot_of_row,
+            "sample": sample,
+            "wsamp": wsamp,
+            "cent": cent,
+            "iters_done": 0,
+            "dirty": set(),
+            "t0": __import__("time").time(),
+        }
+
+    def _build_step(self) -> None:
+        st = self._build
+        assert st is not None
+        if st["iters_done"] < self.kmeans_iters:
+            st["cent"] = kmeans_step(
+                st["sample"],
+                st["wsamp"],
+                st["cent"],
                 block=self.kmeans_block,
                 spherical=self._spherical,
             )
-            labels = kmeans_assign(
-                rows,
-                centroids,
-                block=self.kmeans_block,
-                spherical=self._spherical,
-            )
-        else:
-            centroids, labels = kmeans(
-                rows,
-                live_dev.astype(jnp.float32),
-                nlist=nlist,
-                iters=self.kmeans_iters,
-                block=self.kmeans_block,
-                spherical=self._spherical,
-            )
-        jax.block_until_ready(labels)
-        t_kmeans = _time.time()
+            jax.block_until_ready(st["cent"])
+            st["iters_done"] += 1
+            return
+        self._build_finish()
+
+    def _build_finish(self) -> None:
+        import time as _time
+
+        st = self._build
+        assert st is not None
+        live_slots = st["live_slots"]
+        n_live = st["n_live"]
+        nlist, cmax = st["nlist"], st["cmax"]
+        centroids = st["cent"]
+        labels = kmeans_assign(
+            st["rows"],
+            centroids,
+            block=self.kmeans_block,
+            spherical=self._spherical,
+        )
         dt = np.dtype(storage_dtype(self.quantization)).name
         vecs, paux, pos2slot, row_pos, overflow = _build_main_arrays(
-            rows,
-            live_dev,
+            st["rows"],
+            st["live_dev"],
             labels,
-            jnp.asarray(slot_of_row.astype(np.int32)),
+            jnp.asarray(st["slot_of_row"].astype(np.int32)),
             nlist=nlist,
             cmax=cmax,
             euclid=self.space_type is SpaceType.EUCLIDEAN,
@@ -528,22 +588,20 @@ class IvfDeviceIndex:
         # probe once so a Mosaic failure surfaces here (maintain catches)
         probe_q = np.zeros((8, self.dimensions), dtype=np.float32)
         self._probe_grouped(vecs, paux, centroids, probe_q, nlist, cmax)
-        t_layout = _time.time()
 
         row_pos_h = np.asarray(row_pos)[:n_live]
-        overflow_h = np.asarray(overflow)[:n_live]
+        dirty: set[int] = st["dirty"]
+        self._build = None
         logger.info(
-            "IVF rebuild: n=%d nlist=%d cmax=%d | gather %.1fs kmeans %.1fs "
-            "layout+probe %.1fs pulls %.1fs",
+            "IVF rebuild: n=%d nlist=%d cmax=%d dirty=%d in %.1fs",
             n_live,
             nlist,
             cmax,
-            t_gather - t0,
-            t_kmeans - t_gather,
-            t_layout - t_kmeans,
-            _time.time() - t_layout,
+            len(dirty),
+            _time.time() - st["t0"],
         )
 
+        # swap in the new region
         self.main_vecs = vecs
         self.main_paux = paux
         self.main_pos2slot = pos2slot
@@ -553,11 +611,42 @@ class IvfDeviceIndex:
 
         placed = row_pos_h >= 0
         placed_slots = live_slots[placed]
-        self._region[placed_slots] = _MAIN
-        self._pos[placed_slots] = row_pos_h[placed]
-        self._main_rows = int(placed.sum())
+        placed_pos = row_pos_h[placed]
+        if dirty:
+            dmask = np.isin(placed_slots, np.fromiter(dirty, np.int64))
+        else:
+            dmask = np.zeros(placed_slots.shape, dtype=bool)
+        ok = ~dmask
+        self._region[placed_slots[ok]] = _MAIN
+        self._pos[placed_slots[ok]] = placed_pos[ok]
+        self._main_rows = int(ok.sum())
+        if dmask.any():
+            # snapshot rows of slots mutated mid-build are stale: tombstone
+            # them; the current values re-enter through the fresh delta
+            stale = placed_pos[dmask].astype(np.int32)
+            self.main_paux = _invalidate_positions(
+                self.main_paux, jnp.asarray(stale)
+            )
+            self.main_pos2slot = _clear_pos2slot(
+                self.main_pos2slot, jnp.asarray(stale)
+            )
 
-        # fresh delta; spill overflow rows (cluster fuller than cmax) back in
+        # every snapshot slot not cleanly placed — cluster overflow, mid-
+        # build mutations (their old delta is discarded), stale-placed —
+        # plus slots created mid-build, re-enters via the fresh delta
+        reset = set(live_slots[~placed].tolist())
+        reset |= set(placed_slots[dmask].tolist())
+        reset |= dirty
+        reset_live = np.asarray(
+            sorted(s for s in reset if self._valid_host[s]), dtype=np.int64
+        )
+        if reset_live.size:
+            self._region[reset_live] = _NONE
+            self._pos[reset_live] = -1
+            self._valid_host[reset_live] = False
+            self._live -= reset_live.size
+
+        # fresh delta
         self._delta = FlatDeviceIndex(
             self.dimensions,
             space_type=self.space_type,
@@ -577,15 +666,11 @@ class IvfDeviceIndex:
         self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
         with jax.default_device(self.device):
             self._delta_pos2slot = jnp.full((dcap,), -1, jnp.int32)
-        spill_slots = live_slots[overflow_h]
-        if spill_slots.size:
-            self._region[spill_slots] = _NONE
-            self._valid_host[spill_slots] = False
-            self._live -= spill_slots.size
+        if reset_live.size:
             self.upsert_batch(
-                spill_slots,
-                self._epochs_host[spill_slots],
-                self._vecs_host[spill_slots],
+                reset_live,
+                self._epochs_host[reset_live],
+                self._vecs_host[reset_live],
             )
 
     def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
@@ -800,32 +885,17 @@ class IvfDeviceIndex:
         return mapped
 
     def _postprocess(self, pending: PendingSearch, host: np.ndarray):
-        b_real, k = pending.b_real, pending.k
-        i = np.asarray(host)[:b_real]
-        safe = np.maximum(i, 0)
-        v = self._vecs_host[safe]
-        q = pending.q_f32[:b_real, : self.dimensions]
-        if self.space_type is SpaceType.EUCLIDEAN:
-            d = ((q[:, None, :] - v) ** 2).sum(-1)
-        else:
-            dot = np.einsum("bd,bkd->bk", q, v)
-            d = 1.0 - dot
-            if self.space_type is SpaceType.COSINE:
-                d = np.clip(d, 0.0, 2.0)
-        e = self._epochs_host[safe]
-        results = []
-        for row in range(b_real):
-            ok = i[row] >= 0
-            dr = d[row][ok].astype(np.float32)
-            order = np.argsort(dr, kind="stable")
-            results.append(
-                SearchResult(
-                    slots=i[row][ok][order].astype(np.int64),
-                    epochs=e[row][ok][order],
-                    distances=dr[order],
-                )
-            )
-        return results
+        from vector_store_tpu.engine.flat import ids_postprocess
+
+        b_real = pending.b_real
+        return ids_postprocess(
+            self._vecs_host,
+            self._epochs_host,
+            self.space_type,
+            self.dimensions,
+            np.asarray(host)[:b_real],
+            pending.q_f32[:b_real],
+        )
 
 
 @jax.jit

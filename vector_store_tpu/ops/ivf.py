@@ -177,6 +177,57 @@ def _kmeans_jit(
 
 
 @functools.partial(jax.jit, static_argnames=("block", "spherical"))
+def kmeans_step(
+    x: jax.Array,  # [N, Dp] (N multiple of block)
+    w: jax.Array,  # [N] f32
+    cent: jax.Array,  # [nlist, Dp] f32
+    *,
+    block: int = 16384,
+    spherical: bool = False,
+) -> jax.Array:
+    """ONE Lloyd iteration -> new centroids. Exposed separately so engine
+    maintenance can run a rebuild as bounded slices between query batches
+    instead of one long stop-the-world call."""
+    n, dp = x.shape
+    nlist = cent.shape[0]
+    nblk = n // block
+
+    def body(i, carry):
+        sums, counts = carry
+        xb = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
+        wb = jax.lax.dynamic_slice_in_dim(w, i * block, block, 0)
+        dot = jnp.dot(
+            xb.astype(jnp.bfloat16),
+            cent.T.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        if spherical:
+            cn = jnp.sqrt(jnp.sum(cent * cent, axis=-1))
+            aff = dot / jnp.maximum(cn, 1e-20)[None, :]
+        else:
+            c2 = jnp.sum(cent * cent, axis=-1)
+            aff = 2.0 * dot - c2[None, :]
+        lbl = jnp.argmax(aff, axis=-1)
+        onehot = (
+            lbl[:, None] == jnp.arange(nlist, dtype=lbl.dtype)[None, :]
+        ).astype(jnp.bfloat16) * wb[:, None].astype(jnp.bfloat16)
+        sums = sums + jnp.dot(
+            onehot.T, xb.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+        counts = counts + jnp.sum(onehot.astype(jnp.float32), axis=0)
+        return sums, counts
+
+    sums, counts = jax.lax.fori_loop(
+        0,
+        nblk,
+        body,
+        (jnp.zeros((nlist, dp), jnp.float32), jnp.zeros((nlist,), jnp.float32)),
+    )
+    newc = sums / jnp.maximum(counts, 1.0)[:, None]
+    return jnp.where((counts > 0.5)[:, None], newc, cent)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "spherical"))
 def kmeans_assign(
     x: jax.Array,  # [N, Dp] (N multiple of block)
     cent: jax.Array,  # [nlist, Dp] f32
