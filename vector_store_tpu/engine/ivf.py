@@ -274,6 +274,7 @@ class IvfDeviceIndex:
         self._live = 0
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
+        self._warm_queue: list[int] = []  # batch sizes to pre-compile
         self.query_i8 = self._delta.query_i8
 
     # -- bookkeeping -----------------------------------------------------------
@@ -436,6 +437,17 @@ class IvfDeviceIndex:
         rebuild runs to completion synchronously."""
         if not self._ivf_ok:
             return False
+        if self._build is None and self._warm_queue:
+            # post-build: pre-compile one serving batch shape per slice so
+            # first queries never eat a cold XLA/Mosaic compile
+            b = self._warm_queue.pop()
+            try:
+                self.search(
+                    np.zeros((b, self.dimensions), np.float32), min(10, max(self._live, 1))
+                )
+            except Exception:
+                logger.debug("IVF warmup failed", exc_info=True)
+            return True
         if self._build is None:
             if not self._should_rebuild():
                 return False
@@ -672,6 +684,9 @@ class IvfDeviceIndex:
                 self._epochs_host[reset_live],
                 self._vecs_host[reset_live],
             )
+        # queue serving-shape pre-compiles (drained by later maintenance
+        # slices; with the persistent compile cache they are usually free)
+        self._warm_queue = [8, 2048]
 
     def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
         qs = self._prep_queries(queries_f32)

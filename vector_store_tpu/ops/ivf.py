@@ -80,11 +80,22 @@ def choose_nlist(n: int) -> int:
     return int(np.clip(2**exp, 64, 8192))
 
 
+# cmax ladder: ~1.5x steps so repeated rebuilds at slightly different N
+# reuse the SAME compiled programs (every device program's shape depends on
+# nlist*cmax; a fresh compile per rebuild stalls serving for its duration)
+_CMAX_LADDER = (128, 256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+
+
 def choose_cmax(n: int, nlist: int, headroom: float = 1.6) -> int:
-    """Per-cluster row capacity: average fill x headroom, CHUNK-aligned."""
+    """Per-cluster row capacity: average fill x headroom, rounded UP to a
+    coarse ladder step (shape stability across rebuilds beats a few % of
+    padding)."""
     avg = max(1, -(-n // nlist))
-    cmax = int(np.ceil(avg * headroom / CLUSTER_CHUNK)) * CLUSTER_CHUNK
-    return max(cmax, CLUSTER_CHUNK)
+    need = int(np.ceil(avg * headroom))
+    for step in _CMAX_LADDER:
+        if step >= need:
+            return step
+    return -(-need // 4096) * 4096
 
 
 def choose_budget(b: int, nprobe: int, nlist: int) -> int:

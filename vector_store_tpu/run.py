@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import signal
 from dataclasses import dataclass
 
@@ -51,8 +52,29 @@ class Service:
             await self.http_server.stop()
 
 
+def _enable_jax_compile_cache() -> None:
+    """Persistent XLA/Mosaic compilation cache: first-compiles of the
+    serving kernels cost tens of seconds per (batch, k) shape; the cache
+    makes every restart (and every frontend worker) compile-free. Disable
+    with VECTOR_STORE_JAX_CACHE=0."""
+    path = os.environ.get(
+        "VECTOR_STORE_JAX_CACHE",
+        os.path.expanduser("~/.cache/vector_store_tpu_jax"),
+    )
+    if path in ("0", ""):
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a requirement
+        logger.debug("jax compilation cache unavailable", exc_info=True)
+
+
 async def build_service(db: Db, config: Config | None = None) -> Service:
     config = config or load_config()
+    _enable_jax_compile_cache()
 
     node_state = NodeState()
     internals = Internals()
