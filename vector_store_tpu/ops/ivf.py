@@ -53,7 +53,6 @@ __all__ = [
     "kmeans",
     "ivf_layout",
     "ivf_candidates",
-    "merge_candidate_sets",
     "choose_nlist",
     "choose_cmax",
     "choose_budget",
@@ -517,33 +516,3 @@ def ivf_candidates(
     return jnp.stack(
         [best_rank, jax.lax.bitcast_convert_type(best_pos, jnp.float32)]
     )
-
-
-@jax.jit
-def merge_candidate_sets(
-    main_packed: jax.Array,  # [2, B, Km] rank + main positions (bitcast)
-    delta_packed: jax.Array,  # [2, B, Kd] rank + delta positions (bitcast)
-    main_pos2slot: jax.Array,  # [npos] i32 engine slot per main position
-    delta_pos2slot: jax.Array,  # [dcap] i32 engine slot per delta position
-) -> jax.Array:
-    """Merge main-region and delta-region candidates into final engine-slot
-    ids [B, k] i32 (k = Km), ranked by the shared affine rank form. Rank
-    values from both regions use identical (a, b) coefficient conventions,
-    so cross-region comparison is exact."""
-    mrank, mpos_b = main_packed[0], main_packed[1]
-    drank, dpos_b = delta_packed[0], delta_packed[1]
-    mpos = jax.lax.bitcast_convert_type(mpos_b, jnp.int32)
-    dpos = jax.lax.bitcast_convert_type(dpos_b, jnp.int32)
-    mslot = jnp.where(
-        mpos >= 0, main_pos2slot[jnp.maximum(mpos, 0)], -1
-    )
-    dslot = jnp.where(
-        dpos >= 0, delta_pos2slot[jnp.maximum(dpos, 0)], -1
-    )
-    ranks = jnp.concatenate([mrank, drank], axis=1)
-    slots = jnp.concatenate([mslot, dslot], axis=1)
-    ranks = jnp.where(slots >= 0, ranks, INVALID_BIAS)
-    k = main_packed.shape[2]
-    neg, sel = jax.lax.top_k(-ranks, k)
-    out = jnp.take_along_axis(slots, sel, axis=1)
-    return jnp.where(-neg < INVALID_CUTOFF, out, -1)
