@@ -222,3 +222,43 @@ class TestBulkBuild:
         assert g.graph_nodes == n
         res = g.search(vecs[:4], 3)
         assert res[0].slots[0] == 0
+
+
+class TestGraphIdsOnlyPull:
+    def test_ids_pull_matches_full_pull(self, monkeypatch):
+        """With the store's host mirrors active, graph beam results ship as
+        [B,k] int32 ids and must match the full dist/id/epoch pull."""
+        import vector_store_tpu.ops.pallas_scan as ps
+
+        orig = ps.pallas_rank_search
+
+        def interp(*args, **kw):
+            kw["interpret"] = True
+            return orig(*args, **kw)
+
+        monkeypatch.setattr(ps, "pallas_rank_search", interp)
+
+        idx, vecs = build_index(n=1024, d=16)
+        queries = vecs[:8] + 0.01 * RNG.normal(size=(8, 16)).astype(np.float32)
+        base = idx.search(queries, 5)
+        assert not idx.store.host_distances  # CPU default: full pulls
+
+        # force the ids-only path: enable the store's host mirror
+        st = idx.store
+        st.use_pallas = True
+        st.pallas_block = 256
+        st.block_rows = 256
+        st.host_distances = True
+        st._vecs_host = np.zeros((st.capacity, st.dimensions), np.float32)
+        # rebuild the mirror from the known vectors
+        st._vecs_host[: len(vecs)] = vecs
+        pend = idx.search_begin(queries, 5)
+        assert pend.graph_ids
+        got = idx.search_collect(pend)
+        for b, g in zip(base, got):
+            assert b.slots[0] == g.slots[0]
+            assert set(b.slots) == set(g.slots)
+            np.testing.assert_allclose(
+                np.sort(b.distances), np.sort(g.distances), atol=2e-2
+            )
+            assert (np.diff(g.distances) >= -1e-6).all()
