@@ -172,17 +172,16 @@ def main() -> None:
     ).astype(np.float32)
     index.search(queries, k)  # warm all shapes
 
-    # compute-side rate: queue reps, block on the last result only
-    import jax
-
+    # burst rate: queue a deep window, then ONE aggregated pull for all of
+    # it (block_until_ready alone does not reliably force execution through
+    # this environment's relay, so the pull is inside the timer — this is
+    # the honest upper bound with maximal pull aggregation)
     reps = 24
     t0 = time.time()
     pends = [index.search_begin(queries, k) for _ in range(reps)]
-    jax.block_until_ready(pends[-1].packed)
+    index.collect_many(pends)
     compute_qps = batch * reps / (time.time() - t0)
-    print(f"[bench] compute_qps {compute_qps:.0f}", file=sys.stderr, flush=True)
-    for p in pends:
-        index.search_collect(p)  # drain
+    print(f"[bench] burst_qps {compute_qps:.0f}", file=sys.stderr, flush=True)
 
     # end-to-end: pipelined begins + aggregated result pulls, with a
     # collector thread so window i's device->host pull overlaps window
@@ -244,7 +243,7 @@ def main() -> None:
         "recall_at_10": round(recall, 4),
         "recall_gate_passed": bool(recall >= 0.95),
         "p50_query_latency_ms": round(p50_ms, 2),
-        "compute_qps": round(compute_qps, 1),
+        "burst_qps_agg24": round(compute_qps, 1),
         "window_qps_median": round(float(np.median(window_qps)), 1)
         if window_qps
         else None,
