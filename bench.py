@@ -183,6 +183,17 @@ def main() -> None:
     compute_qps = batch * reps / (time.time() - t0)
     print(f"[bench] burst_qps {compute_qps:.0f}", file=sys.stderr, flush=True)
 
+    # unloaded latency: one batch dispatched and pulled alone (the e2e
+    # loop's p50 below is closed-loop saturation latency — inflight depth
+    # times window time — not what a lone request would see)
+    rtts = []
+    for _ in range(3):
+        t0 = time.time()
+        index.search_collect(index.search_begin(queries, k))
+        rtts.append(time.time() - t0)
+    rtt_ms = float(np.median(rtts) * 1e3)
+    print(f"[bench] single_batch_rtt {rtt_ms:.0f} ms", file=sys.stderr, flush=True)
+
     # end-to-end: pipelined begins + aggregated result pulls, with a
     # collector thread so window i's device->host pull overlaps window
     # i+1's dispatch/compute (the relay serializes neither direction
@@ -244,6 +255,7 @@ def main() -> None:
         "recall_gate_passed": bool(recall >= 0.95),
         "p50_query_latency_ms": round(p50_ms, 2),
         "burst_qps_agg24": round(compute_qps, 1),
+        "single_batch_rtt_ms": round(rtt_ms, 1),
         "window_qps_median": round(float(np.median(window_qps)), 1)
         if window_qps
         else None,
