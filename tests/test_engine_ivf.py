@@ -147,6 +147,7 @@ class TestIvfLifecycle:
         idx = make_index(d)
         idx.upsert_batch(np.arange(n), np.ones(n, np.int32), vecs)
         assert idx.maintain()
+        idx._warm_queue.clear()  # tests drive shapes explicitly
         return idx, vecs
 
     def test_upsert_after_build_lands_in_delta(self, interp_pallas):

@@ -821,9 +821,11 @@ class IvfDeviceIndex:
             space_kind="euclid"
             if self.space_type is SpaceType.EUCLIDEAN
             else "affine",
-            k_out=k,
+            k_out=k_pad,  # sorted; sliced to the requested k below
             delta_is_rank=delta_is_rank,
         )
+        if k < k_pad:
+            ids = ids[:, :k]
         return PendingSearch(
             packed=ids,
             b_real=b_real,
