@@ -696,7 +696,7 @@ class IvfDeviceIndex:
             centroids,
             qs,
             jnp.ones((qs.shape[0],), jnp.bool_),
-            k=1,
+            k=16,  # never compile k=1-shaped programs (Mosaic miscompile)
             nprobe=min(self.nprobe, nlist),
             s=16,
             cmax=cmax,
