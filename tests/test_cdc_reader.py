@@ -110,7 +110,7 @@ class TestCdcReader:
         row, marker = items[0]
         assert row.primary_key.values() == (7,)
         assert row.operation.kind == "upsert"
-        assert row.operation.values[0].value.value == [1.0, 2.0]
+        assert list(row.operation.values[0].value.value) == [1.0, 2.0]
         assert marker.kind == "cdc"
 
     async def test_delete(self):

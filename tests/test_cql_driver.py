@@ -84,7 +84,7 @@ class TestConnection:
 
         async def run(conn, server):
             rs = await conn.query("SELECT emb FROM t")
-            assert rs.rows[0][0] == [1.0, 2.0, 3.0]
+            assert list(rs.rows[0][0]) == [1.0, 2.0, 3.0]
 
         await with_server(make_handler(results), run)
 

@@ -194,7 +194,7 @@ class TestVectorDecode:
 
     def test_alternator_f32_blob(self):
         blob = bytes([5]) + struct.pack("!2f", 1.0, 2.0)
-        assert decode_vector_value(blob, None) == [1.0, 2.0]
+        assert list(decode_vector_value(blob, None)) == [1.0, 2.0]
 
     def test_unknown_tag(self):
         with pytest.raises(ValueError):
@@ -263,7 +263,7 @@ class TestFullScan:
             assert row.primary_key.values() == (1,)
             assert row.operation.kind == "upsert"
             vec = row.operation.values[0].value
-            assert vec.kind == "vector" and vec.value == [1.0, 2.0, 3.0]
+            assert vec.kind == "vector" and list(vec.value) == [1.0, 2.0, 3.0]
             assert row.operation.values[0].timestamp.as_micros() == 1000000
             marker.complete()
             await asyncio.wait_for(finished.wait(), 10)
