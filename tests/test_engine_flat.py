@@ -142,3 +142,25 @@ def test_quantized_recall(quant):
     # options) recovers most of it — ~0.71 at 4x oversample on this data.
     min_recall = 0.6 if quant is Quantization.B1 else 0.95
     assert recall >= min_recall, f"{quant}: recall {recall}"
+
+
+class TestDuplicateSlots:
+    def test_upsert_duplicates_last_wins(self):
+        from vector_store_tpu.core.types import Quantization, SpaceType
+        from vector_store_tpu.engine.flat import FlatDeviceIndex
+
+        idx = FlatDeviceIndex(
+            8, space_type=SpaceType.EUCLIDEAN, quantization=Quantization.F32
+        )
+        v1 = np.full((8,), 1.0, np.float32)
+        v2 = np.full((8,), 9.0, np.float32)
+        idx.upsert_batch(
+            np.asarray([5, 5]), np.asarray([1, 2]), np.stack([v1, v2])
+        )
+        assert idx.size == 1
+        res = idx.search(v2[None, :], 1)[0]
+        assert res.slots[0] == 5 and res.epochs[0] == 2
+        assert res.distances[0] == 0.0
+        # duplicate removals decrement once
+        idx.remove_batch(np.asarray([5, 5]))
+        assert idx.size == 0

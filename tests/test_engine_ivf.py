@@ -325,3 +325,22 @@ class TestIvfOps:
         assert cmax % 128 == 0 and cmax * 2048 >= 1_000_000
         s = choose_budget(2048, 32, 1024)
         assert s >= 2 * (2048 * 32 // 1024) and s % 16 == 0
+
+
+class TestIvfDuplicateSlots:
+    def test_upsert_duplicates_last_wins(self, interp_pallas):
+        idx = make_index(16)
+        n = 512
+        vecs = RNG.normal(size=(n, 16)).astype(np.float32)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        v2 = np.full((16,), 7.0, np.float32)
+        idx.upsert_batch(
+            np.asarray([3, 3]),
+            np.asarray([1, 2]),
+            np.stack([vecs[3], v2]),
+        )
+        assert idx.size == n
+        res = idx.search(np.repeat(v2[None, :], 8, axis=0), 1)[0]
+        assert res.slots[0] == 3 and res.epochs[0] == 2
+        idx.remove_batch(np.asarray([3, 3]))
+        assert idx.size == n - 1

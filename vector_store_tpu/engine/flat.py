@@ -529,6 +529,18 @@ class FlatDeviceIndex:
         slots = np.asarray(slots, dtype=np.int32)
         if slots.size == 0:
             return
+        uniq = np.unique(slots)
+        if uniq.size != slots.size:
+            # LWW within the batch: device scatter order for duplicate
+            # indices is undefined and the live count would overcount —
+            # keep each slot's LAST occurrence
+            rev_first = np.unique(slots[::-1], return_index=True)[1]
+            keep = np.sort(slots.size - 1 - rev_first)
+            slots = slots[keep]
+            epochs = np.asarray(epochs)[keep]
+            vectors = np.asarray(vectors)[keep]
+            if partitions is not None:
+                partitions = np.asarray(partitions)[keep]
         self.reserve(int(slots.max()))
         was_valid = self._valid_host[slots]
         vectors = np.asarray(vectors, dtype=np.float32)
@@ -594,8 +606,8 @@ class FlatDeviceIndex:
         slots = np.asarray(slots, dtype=np.int32)
         if slots.size == 0:
             return
-        slots = slots[slots < self.capacity]
-        if slots.size == 0:
+        slots = np.unique(slots[slots < self.capacity])  # dupes would
+        if slots.size == 0:  # double-decrement the live count
             return
         was_valid = self._valid_host[slots]
         self.valid = _apply_removes(self.valid, jnp.asarray(slots))

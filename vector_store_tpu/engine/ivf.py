@@ -350,6 +350,14 @@ class IvfDeviceIndex:
             return
         epochs = np.asarray(epochs, dtype=np.int32)
         vectors = np.asarray(vectors, dtype=np.float32)
+        uniq = np.unique(slots)
+        if uniq.size != slots.size:
+            # LWW within the batch: keep each slot's LAST occurrence (a
+            # duplicate would otherwise leave a stale live copy in the
+            # delta; the serving actor dedupes, but the engine must too)
+            rev_first = np.unique(slots[::-1], return_index=True)[1]
+            keep = np.sort(slots.size - 1 - rev_first)
+            slots, epochs, vectors = slots[keep], epochs[keep], vectors[keep]
         if self.space_type is SpaceType.COSINE:
             norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-30)
@@ -396,8 +404,8 @@ class IvfDeviceIndex:
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int64)
-        slots = slots[slots < self.capacity]
-        if slots.size == 0:
+        slots = np.unique(slots[slots < self.capacity])  # dupes would
+        if slots.size == 0:  # double-decrement the live count
             return
         if self._build is not None:
             self._build["dirty"].update(int(s) for s in slots)
