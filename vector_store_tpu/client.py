@@ -46,7 +46,12 @@ class VectorStoreClient:
 
     async def __aenter__(self) -> "VectorStoreClient":
         if self._session is None:
-            self._session = aiohttp.ClientSession()
+            # no total-duration cap: benchmark drivers must not kill the
+            # request (aiohttp's 5-min default) while a server warms a
+            # fresh device-program shape; per-read inactivity still guards
+            self._session = aiohttp.ClientSession(
+                timeout=aiohttp.ClientTimeout(total=None, sock_read=1200)
+            )
         return self
 
     async def __aexit__(self, *exc) -> None:

@@ -66,6 +66,8 @@ class OwnerIpcServer:
                 )
         except (asyncio.IncompleteReadError, ConnectionError):
             pass
+        except Exception:
+            logger.exception("ipc server connection loop failed")
         finally:
             writer.close()
 
@@ -360,9 +362,16 @@ class IpcClient:
                     else:
                         fut.set_result(result)
         except (asyncio.IncompleteReadError, ConnectionError):
+            logger.warning("ipc client reader: connection to owner lost")
             for fut in self._pending.values():
                 if not fut.done():
                     fut.set_exception(ConnectionError("ipc connection lost"))
+            self._pending.clear()
+        except Exception:
+            logger.exception("ipc client reader failed")
+            for fut in self._pending.values():
+                if not fut.done():
+                    fut.set_exception(ConnectionError("ipc reader error"))
             self._pending.clear()
 
     async def call(self, cmd: str, args) -> object:

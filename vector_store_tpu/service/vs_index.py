@@ -327,6 +327,15 @@ class VsIndexActor:
             return fut
 
         while not self._stopped:
+            # 0) pending shape pre-compiles run BEFORE searches: a query
+            # hitting an uncompiled device-program shape pays the whole
+            # compile anyway; warming first compiles each shape exactly
+            # once instead of stalling a live batch per shape
+            warms = getattr(self.engine, "_warm_queue", None)
+            if warms:
+                await loop.run_in_executor(None, self.engine.maintain, 1)
+                continue
+
             # 1) searches first (biased recv)
             if not self._search_queue.empty():
                 if self._pipelined:
