@@ -45,7 +45,11 @@ logger = logging.getLogger(__name__)
 GLOBAL_RESERVE_INCREMENT = 1_000_000
 LOCAL_RESERVE_INCREMENT = 1_000
 
-_BATCH_BUCKETS = (1, 8, 32, 128, 512, 2048)
+# few, coarse batch buckets: every (bucket, k-bucket) pair is a separate
+# compiled device program, and a compile through a slow host link stalls
+# live queries for its duration — three buckets, all pre-warmed after an
+# IVF rebuild, mean no unfiltered query ever hits a cold compile
+_BATCH_BUCKETS = (8, 128, 2048)
 # k buckets start at 16: the k=1-shaped device programs miscompiled on the
 # real Mosaic backend (right group-min value, wrong winner id — only in
 # the k=1 compilation context; k>=16 programs are correct and exercised

@@ -692,9 +692,10 @@ class IvfDeviceIndex:
                 self._epochs_host[reset_live],
                 self._vecs_host[reset_live],
             )
-        # queue serving-shape pre-compiles (drained by later maintenance
-        # slices; with the persistent compile cache they are usually free)
-        self._warm_queue = [8, 2048]
+        # queue serving-shape pre-compiles for EVERY batch bucket (drained
+        # by maintenance slices that run ahead of searches; with the
+        # persistent compile cache they are usually free)
+        self._warm_queue = list(_BATCH_BUCKETS)
 
     def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
         qs = self._prep_queries(queries_f32)
