@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Method: build a 1M x 128-d index on the real TPU chip (BF16 storage — the
 reference's equal-memory quantized configuration), verify recall@10 >= 0.95
 against exact f32 ground truth on held-out queries, then measure sustained
-query throughput at batch 2048. The serving engine is the IVF index
+query throughput at batch 4096 (the per-batch relay fixed cost of ~120 ms amortizes best there; 8192 tips into bandwidth-bound). The serving engine is the IVF index
 (engine/ivf.py): device k-means clusters the rows, then each query batch
 scans only its nprobe probed clusters with the grouped fused Pallas kernel
 (~nprobe/nlist of the data; BENCH_ENGINE=flat opts back into the exact
@@ -32,7 +32,7 @@ the denominator is a 30k QPS estimate for the Rust/USearch sidecar on the
 reference's canonical r7i.xlarge deployment at this recall point — the
 ">= 10x QPS/chip vs the Rust CPU baseline" goal maps to vs_baseline >= 10.
 
-Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (2048), BENCH_ITERS
+Env knobs: BENCH_N (default 1_000_000), BENCH_BATCH (4096), BENCH_ITERS
 (96), BENCH_AGG (8 batches per aggregated pull), BENCH_ENGINE (ivf|flat),
 BENCH_NPROBE (32).
 """
@@ -68,7 +68,7 @@ def main() -> None:
     from vector_store_tpu.engine.ivf import IvfDeviceIndex
 
     n = int(os.environ.get("BENCH_N", 1_000_000))
-    batch = int(os.environ.get("BENCH_BATCH", 2048))
+    batch = int(os.environ.get("BENCH_BATCH", 4096))
     iters = int(os.environ.get("BENCH_ITERS", 96))
     agg = int(os.environ.get("BENCH_AGG", 8))
     engine_kind = os.environ.get("BENCH_ENGINE", "ivf")
