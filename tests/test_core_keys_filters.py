@@ -142,3 +142,31 @@ class TestRestrictions:
     def test_scalar_kind_one_column(self):
         with pytest.raises(ValueError):
             Restriction(Restriction.eq("a", 1).kind, ("a", "b"), 1)
+
+
+class TestNumpyValues:
+    """The CQL wire decoder returns np.ndarray for fixed-size float vectors
+    (db/cql/types.py hot path); restrictions and comparisons over such
+    columns must behave like their list equivalents (ADVICE r2 low)."""
+
+    def test_cql_cmp_ndarray(self):
+        import numpy as np
+
+        from vector_store_tpu.core.filters import cql_cmp
+
+        a = np.asarray([1.0, 2.0], dtype=np.float32)
+        assert cql_cmp(a, [1.0, 2.0]) == 0
+        assert cql_cmp(a, (1.0, 3.0)) < 0
+        assert cql_cmp([1.0, 2.5], a) > 0
+        assert cql_cmp(np.float32(2.0), 2) == 0
+        assert cql_cmp(np.int64(3), 2.5) > 0
+
+    def test_restriction_matches_ndarray_column(self):
+        import numpy as np
+
+        from vector_store_tpu.core.filters import Restriction
+
+        row = _row({"v": np.asarray([1.0, 2.0], dtype=np.float32)})
+        assert Restriction.eq("v", (1.0, 2.0)).matches(row)
+        assert not Restriction.eq("v", (1.0, 9.0)).matches(row)
+        assert Restriction.lt("v", (2.0, 0.0)).matches(row)

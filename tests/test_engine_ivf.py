@@ -327,6 +327,127 @@ class TestIvfOps:
         assert s >= 2 * (2048 * 32 // 1024) and s % 16 == 0
 
 
+class TestIvfDroppedPairs:
+    def test_duplicate_heavy_batch_retries(self, interp_pallas):
+        """A batch of many IDENTICAL queries saturates the probed clusters'
+        S query slots; the grouped scan drops the overflow pairs, and the
+        engine must detect it and re-dispatch those queries (ADVICE r2
+        high: silent drops returned empty results for the later queries)."""
+        n, d = 2048, 16
+        vecs, _ = clustered(n, d, n_clusters=16)
+        idx = make_index(d, nprobe=4)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.maintain()
+        idx._warm_queue.clear()
+        q = vecs[11] + 0.01
+        batch = np.repeat(q[None, :], 128, axis=0)  # S=16 << 128 queries
+        res = idx.search(batch, 5)
+        assert idx.dropped_pair_queries > 0, (
+            "test setup no longer provokes drops; shrink S or grow the batch"
+        )
+        gt = exact_topk(q[None, :], vecs, 5, SpaceType.EUCLIDEAN)[0]
+        for r in res:
+            # every duplicate query gets the SAME, correct top-1
+            assert r.slots.size >= 1
+            assert r.slots[0] == gt[0]
+
+    def test_exact_host_escalation(self, interp_pallas):
+        n, d, k = 2048, 16, 50
+        vecs, _ = clustered(n, d)
+        idx = make_index(d)
+        idx.upsert_batch(np.arange(n), np.full(n, 4, np.int32), vecs)
+        assert idx.maintain()
+        q = vecs[123] + 0.01
+        res = idx.search_exact_host(q, k)
+        gt = exact_topk(q[None, :], vecs, k, SpaceType.EUCLIDEAN)[0]
+        assert res.slots.tolist() == gt.tolist()
+        assert (res.epochs == 4).all()
+        assert (np.diff(res.distances) >= -1e-6).all()
+        # full-index k: complete ranking, no device programs involved
+        res_all = idx.search_exact_host(q, n)
+        assert res_all.slots.size == n
+
+
+class TestIvfDeltaChurn:
+    def test_delta_positions_recycled(self, interp_pallas):
+        """remove/re-add churn on a small (never rebuilt) index must not
+        grow the delta: freed positions are recycled (ADVICE r2 medium —
+        append-only positions were a device-memory leak)."""
+        d = 16
+        idx = make_index(d, min_build=10**9)
+        n = 256
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        high = idx._delta_next
+        cap0 = idx._delta.capacity
+        for i in range(50):
+            idx.remove_batch(np.arange(0, 64))
+            idx.upsert_batch(
+                np.arange(0, 64),
+                np.full(64, i + 1, np.int32),
+                RNG.normal(size=(64, d)).astype(np.float32),
+            )
+        assert idx._delta_next == high  # all churn reused freed positions
+        assert idx._delta.capacity == cap0
+        assert idx.size == n
+        r = idx.search(np.asarray(idx._vecs_host[3])[None, :].repeat(8, 0), 3)[0]
+        assert r.slots[0] == 3 and r.epochs[0] == 50
+
+
+class TestIvfRebuildFailure:
+    def test_failed_rebuild_restores_and_keeps_serving(
+        self, interp_pallas, monkeypatch
+    ):
+        """A rebuild that throws mid-swap must restore the previous
+        main+delta and keep serving them (_build_fail no longer disables
+        IVF when a main region exists; ADVICE r2 low — rows silently
+        disappeared from serving until restart)."""
+        n, d = 2048, 32
+        vecs, _ = clustered(n, d)
+        idx = make_index(d)
+        idx.upsert_batch(np.arange(n), np.ones(n, np.int32), vecs)
+        assert idx.maintain()
+        idx._warm_queue.clear()
+        extra, _ = clustered(1200, d, seed=5)
+        idx.upsert_batch(np.arange(n, n + 1200), np.zeros(1200, np.int32), extra)
+        size_before = idx.size
+
+        # start a budgeted rebuild, mutate mid-build (so the swap has a
+        # reset re-upsert to fail), then make that re-upsert throw once
+        assert idx.maintain(budget=1) is True
+        assert idx._build is not None
+        new5 = np.full((1, d), 77.0, np.float32)
+        idx.upsert_batch(np.asarray([5]), np.asarray([9]), new5)
+
+        real_upsert = type(idx).upsert_batch
+        calls = {"n": 0}
+
+        def boom(self, *a, **kw):
+            calls["n"] += 1
+            raise RuntimeError("injected swap failure")
+
+        monkeypatch.setattr(type(idx), "upsert_batch", boom)
+        while idx._build is not None:
+            ok = idx.maintain(budget=1)
+            if not ok:
+                break
+        monkeypatch.setattr(type(idx), "upsert_batch", real_upsert)
+        assert calls["n"] == 1  # the reset re-upsert fired and failed
+        assert idx._build is None
+        assert idx._ivf_ok is True  # NOT disabled: old main exists
+        assert idx.size == size_before
+        # old state serves: pre-rebuild rows AND the mid-build mutation
+        r = idx.search(new5.repeat(8, axis=0), 3)[0]
+        assert r.slots[0] == 5 and r.epochs[0] == 9
+        r = idx.search(extra[:8], 3)
+        assert r[0].slots[0] == n
+        # and a later rebuild succeeds cleanly
+        assert idx.maintain() is True
+        idx._warm_queue.clear()
+        r = idx.search(new5.repeat(8, axis=0), 3)[0]
+        assert r.slots[0] == 5 and r.epochs[0] == 9
+
+
 class TestIvfDuplicateSlots:
     def test_upsert_duplicates_last_wins(self, interp_pallas):
         idx = make_index(16)

@@ -144,6 +144,45 @@ async def test_hbm_budget_drops_adds():
         await service.stop()
 
 
+async def test_host_mirror_accounted():
+    """Host-tier accounting: engines report their host-RAM mirror footprint
+    (engine.host_bytes — slot bookkeeping + the f32 vector mirror) and the
+    configured host limit binds on that attribution (VERDICT r2 #10: the
+    mirror was previously invisible to the governor)."""
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    vecs = RNG.normal(size=(10, 8)).astype(np.float32)
+    rows = [vector_row((i,), vecs[i].tolist(), 100) for i in range(10)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=8), scan=rows))
+    service = await build_service(
+        db, Config(monitor_indexes_interval=0.05, engine_kind="flat")
+    )
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        deadline = asyncio.get_event_loop().time() + 15
+        while True:
+            resp = await client.get("/api/v1/indexes/ks/idx/status")
+            if resp.status == 200 and (await resp.json())["count"] == 10:
+                break
+            assert asyncio.get_event_loop().time() < deadline
+            await asyncio.sleep(0.05)
+
+        used_host = service.memory.host_bytes_used()
+        assert used_host > 0  # both tiers visible: device AND host
+        assert service.memory.device_bytes_used() > 0
+        service.memory._task.cancel()
+        # a host limit below the engines' own mirrors must flip to Cannot
+        # even if MemAvailable still looks healthy
+        service.memory.config_limit = max(1, used_host // 2)
+        assert service.memory.check() is False
+        service.memory.config_limit = None
+        assert service.memory.check() is True
+    finally:
+        await client.close()
+        await service.stop()
+
+
 async def test_memory_limit_drops_adds():
     """When the governor reports Cannot, new vectors are dropped rather
     than indexed (memory_limit.rs / usearch.rs:1156-1177 parity)."""

@@ -178,6 +178,18 @@ class Filter:
 _NUMERIC = (int, float, Decimal)
 
 
+def _denumpy(v: object) -> object:
+    """numpy array/scalar -> plain Python (tuple / int / float) so CQL
+    comparison semantics below apply uniformly."""
+    import numpy as _np
+
+    if isinstance(v, _np.ndarray):
+        return tuple(v.tolist())
+    if isinstance(v, _np.generic):
+        return v.item()
+    return v
+
+
 def cql_cmp(a: object, b: object) -> int:
     """Three-way compare of two CQL values (reference table/mod.rs:1320-1362).
 
@@ -186,6 +198,11 @@ def cql_cmp(a: object, b: object) -> int:
     blob, uuid, date/time types compare within their own type. Raises
     TypeError for incomparable combinations.
     """
+    # the CQL wire decoder returns numpy for fixed-size float vectors (the
+    # full-scan hot path, db/cql/types.py); restrictions may still target
+    # such columns, so normalize numpy values to plain Python here
+    a = _denumpy(a)
+    b = _denumpy(b)
     if isinstance(a, bool) and isinstance(b, bool):
         return (a > b) - (a < b)
     if isinstance(a, bool) != isinstance(b, bool):

@@ -95,6 +95,7 @@ class PendingSearch:
     q2: np.ndarray | None = None  # [B] per-query |q|^2 (pallas euclidean)
     q_f32: np.ndarray | None = None  # [B, D] normalized f32 queries (ids kind)
     engine: "FlatDeviceIndex | None" = None
+    ctx: object = None  # engine-specific retry context (e.g. IVF masked paux)
 
 
 @functools.partial(
@@ -485,6 +486,17 @@ class FlatDeviceIndex:
         total = cap * per_row + 8 * 4 * cap  # + paux [8, cap] f32
         if self.rescore:
             total += cap * (2 * self.dp_rescore + 4)
+        return total
+
+    @property
+    def host_bytes(self) -> int:
+        """Host-RAM footprint of the mirrors (epoch/valid + the f32 vector
+        mirror used for exact distance recompute). Reported to the memory
+        governor so the host tier is attributed, not just device HBM —
+        at DBpedia scale the f32 mirror is ~6 GB per 1M x 1536 index."""
+        total = self._valid_host.nbytes + self._epochs_host.nbytes
+        if self._vecs_host is not None:
+            total += self._vecs_host.nbytes
         return total
 
     def _round_cap(self, n: int) -> int:

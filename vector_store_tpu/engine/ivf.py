@@ -160,14 +160,17 @@ def _merge_regions(
     q2: jax.Array,  # [B] f32 |q|^2 (euclidean; zeros otherwise)
     main_pos2slot: jax.Array,  # [npos] i32
     delta_pos2slot: jax.Array,  # [dcap] i32
+    dropped: jax.Array | None = None,  # [B] i32 dropped-pair counts
     *,
     space_kind: str,  # "euclid" | "affine"  (cos/dot: d = 1 + rank)
     k_out: int,
     delta_is_rank: bool = True,
 ) -> jax.Array:
-    """Device merge of main and delta candidates -> [B, k_out] i32 engine
-    slots. Ranks are converted to true-distance form so candidates from
-    the pallas rank path and the XLA distance path compare exactly."""
+    """Device merge of main and delta candidates -> [B, k_out(+1)] i32
+    engine slots. Ranks are converted to true-distance form so candidates
+    from the pallas rank path and the XLA distance path compare exactly.
+    When `dropped` is given it rides along as one extra trailing column so
+    the drop signal reaches the host in the SAME pull as the results."""
 
     def to_dist(rank: jax.Array) -> jax.Array:
         if space_kind == "euclid":
@@ -188,7 +191,10 @@ def _merge_regions(
     dist = jnp.where(jnp.isfinite(dist), dist, INVALID_BIAS)
     neg, sel = jax.lax.top_k(-dist, min(k_out, dist.shape[1]))
     out = jnp.take_along_axis(slots, sel, axis=1)
-    return jnp.where(-neg < INVALID_CUTOFF, out, -1)
+    out = jnp.where(-neg < INVALID_CUTOFF, out, -1)
+    if dropped is not None:
+        out = jnp.concatenate([out, dropped[:, None]], axis=1)
+    return out
 
 
 class IvfDeviceIndex:
@@ -249,7 +255,12 @@ class IvfDeviceIndex:
             self._delta.use_pallas = True
             self._delta.pallas_block = 256
             self._delta.block_rows = 256
-        self._delta_next = 0  # next free delta position (append-only)
+        self._delta_next = 0  # high-water mark of delta positions
+        # positions freed by remove_batch, recycled before the high-water
+        # mark grows: long-lived small indexes (below min_build, so never
+        # rebuilt) with steady remove/re-add churn would otherwise grow the
+        # delta arrays without bound
+        self._delta_free = np.empty((0,), dtype=np.int64)
         dcap = self._delta.capacity
         self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
         with jax.default_device(self.device):
@@ -272,6 +283,7 @@ class IvfDeviceIndex:
         self._valid_host = np.zeros((cap,), dtype=bool)
         self._vecs_host = np.zeros((cap, dimensions), dtype=np.float32)
         self._live = 0
+        self.dropped_pair_queries = 0  # queries re-dispatched after pair drops
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
         self._warm_queue: list[int] = []  # batch sizes to pre-compile
@@ -299,6 +311,21 @@ class IvfDeviceIndex:
                 + 4 * self.centroids.size
             )
         return total
+
+    @property
+    def host_bytes(self) -> int:
+        """Host-RAM footprint: slot bookkeeping + the f32 vector mirror
+        (exact distance recompute / exact escalation path) + the delta's
+        own mirrors. Attributed to the memory governor's host tier."""
+        return (
+            self._region.nbytes
+            + self._pos.nbytes
+            + self._epochs_host.nbytes
+            + self._valid_host.nbytes
+            + self._vecs_host.nbytes
+            + self._delta_pos2slot_host.nbytes
+            + self._delta.host_bytes
+        )
 
     def _reserve(self, max_slot: int) -> None:
         if max_slot < self.capacity:
@@ -385,8 +412,16 @@ class IvfDeviceIndex:
         dpos[in_delta] = self._pos[slots[in_delta]]
         n_new = int((~in_delta).sum())
         if n_new:
-            dpos[~in_delta] = self._delta_next + np.arange(n_new)
-            self._delta_next += n_new
+            newpos = np.empty((n_new,), dtype=np.int64)
+            reuse = min(n_new, self._delta_free.size)
+            if reuse:
+                newpos[:reuse] = self._delta_free[-reuse:]
+                self._delta_free = self._delta_free[:-reuse]
+            fresh = n_new - reuse
+            if fresh:
+                newpos[reuse:] = self._delta_next + np.arange(fresh)
+                self._delta_next += fresh
+            dpos[~in_delta] = newpos
         self._delta.upsert_batch(dpos, epochs, vectors)
         self._sync_delta_pos2slot()
         self._delta_pos2slot_host[dpos] = slots
@@ -422,7 +457,10 @@ class IvfDeviceIndex:
             self._main_rows -= int(in_main.sum())
         in_delta = (self._region[slots] == _DELTA) & was
         if in_delta.any():
-            self._delta.remove_batch(self._pos[slots[in_delta]])
+            freed = self._pos[slots[in_delta]]
+            self._delta.remove_batch(freed)
+            self._delta_pos2slot_host[freed] = -1
+            self._delta_free = np.concatenate([self._delta_free, freed])
         self._live -= int(was.sum())
         self._region[slots] = _NONE
         self._pos[slots] = -1
@@ -480,12 +518,24 @@ class IvfDeviceIndex:
         return True
 
     def _build_fail(self) -> None:
-        logger.warning(
-            "IVF grouped kernel unavailable on this backend; serving "
-            "stays on the exact delta scan",
-            exc_info=True,
-        )
-        self._ivf_ok = False
+        if self.main_vecs is None:
+            # first build never succeeded: the grouped kernel is likely
+            # unsupported on this backend (Mosaic probe) — serve exact
+            logger.warning(
+                "IVF grouped kernel unavailable on this backend; serving "
+                "stays on the exact delta scan",
+                exc_info=True,
+            )
+            self._ivf_ok = False
+        else:
+            # a REBUILD failed (transient device/transfer error): the
+            # previous main+delta are intact (_build_finish restores its
+            # snapshot on error) — keep serving them and let maintenance
+            # retry the rebuild later
+            logger.warning(
+                "IVF rebuild failed; previous main region keeps serving",
+                exc_info=True,
+            )
         self._build = None
 
     def _should_rebuild(self) -> bool:
@@ -621,7 +671,64 @@ class IvfDeviceIndex:
             _time.time() - st["t0"],
         )
 
-        # swap in the new region
+        # swap in the new region. Everything below mutates serving state;
+        # a failure mid-way (device OOM on the fresh delta, transfer error
+        # on the reset re-upsert) must not strand the index half-swapped,
+        # so the whole phase runs under a snapshot of the old state that is
+        # restored on ANY error before re-raising — maintain()'s handler
+        # then abandons the rebuild with the previous main+delta serving.
+        snap = (
+            self._region.copy(),
+            self._pos.copy(),
+            self._valid_host.copy(),
+            self._live,
+            self._main_rows,
+            self.main_vecs,
+            self.main_paux,
+            self.main_pos2slot,
+            self.centroids,
+            self.nlist,
+            self.cmax,
+            self._delta,
+            self._delta_next,
+            self._delta_free,
+            self._delta_pos2slot_host,
+            self._delta_pos2slot,
+        )
+        try:
+            self._swap_in(
+                vecs, paux, pos2slot, centroids, nlist, cmax,
+                live_slots, row_pos_h, dirty,
+            )
+        except BaseException:
+            (
+                self._region,
+                self._pos,
+                self._valid_host,
+                self._live,
+                self._main_rows,
+                self.main_vecs,
+                self.main_paux,
+                self.main_pos2slot,
+                self.centroids,
+                self.nlist,
+                self.cmax,
+                self._delta,
+                self._delta_next,
+                self._delta_free,
+                self._delta_pos2slot_host,
+                self._delta_pos2slot,
+            ) = snap
+            raise
+        # queue serving-shape pre-compiles for EVERY batch bucket (drained
+        # by maintenance slices that run ahead of searches; with the
+        # persistent compile cache they are usually free)
+        self._warm_queue = list(_BATCH_BUCKETS)
+
+    def _swap_in(
+        self, vecs, paux, pos2slot, centroids, nlist, cmax,
+        live_slots, row_pos_h, dirty,
+    ) -> None:
         self.main_vecs = vecs
         self.main_paux = paux
         self.main_pos2slot = pos2slot
@@ -682,6 +789,7 @@ class IvfDeviceIndex:
             self._delta.pallas_block = 256
             self._delta.block_rows = 256
         self._delta_next = 0
+        self._delta_free = np.empty((0,), dtype=np.int64)
         dcap = self._delta.capacity
         self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
         with jax.default_device(self.device):
@@ -692,14 +800,10 @@ class IvfDeviceIndex:
                 self._epochs_host[reset_live],
                 self._vecs_host[reset_live],
             )
-        # queue serving-shape pre-compiles for EVERY batch bucket (drained
-        # by maintenance slices that run ahead of searches; with the
-        # persistent compile cache they are usually free)
-        self._warm_queue = list(_BATCH_BUCKETS)
 
     def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
         qs = self._prep_queries(queries_f32)
-        packed = ivf_candidates(
+        packed, _dropped = ivf_candidates(
             vecs,
             paux,
             centroids,
@@ -715,6 +819,51 @@ class IvfDeviceIndex:
         jax.block_until_ready(packed)
 
     # -- search -----------------------------------------------------------------
+
+    def search_exact_host(self, query: np.ndarray, k: int) -> SearchResult:
+        """Exact scan of the host f32 mirror for ONE query, returning the
+        full top-k ordering (k may be the whole index).
+
+        This is the low-selectivity escalation path (service/vs_index.py
+        _finish_last): the IVF device path hard-caps main-region candidates
+        at nprobe*LANES per query, so escalating k on-device both compiles
+        fresh program shapes (30-120 s each through the relay) and STILL
+        cannot return more rows than the cap. The host mirror already
+        holds exact f32 vectors for distance recompute; one numpy pass
+        gives the complete ranking with zero device work."""
+        q = np.asarray(query, dtype=np.float32).reshape(-1)[: self.dimensions]
+        if self.space_type is SpaceType.COSINE:
+            q = q / max(float(np.linalg.norm(q)), 1e-30)
+        cap = self.capacity
+        valid = self._valid_host[:cap]
+        n_live = int(valid.sum())
+        if n_live == 0 or k <= 0:
+            z = np.empty((0,), np.int64)
+            return SearchResult(
+                slots=z,
+                epochs=np.empty((0,), np.int32),
+                distances=np.empty((0,), np.float32),
+            )
+        dot = self._vecs_host[:cap] @ q  # one pass, no gather copy
+        if self.space_type is SpaceType.EUCLIDEAN:
+            n2 = np.einsum(
+                "nd,nd->n", self._vecs_host[:cap], self._vecs_host[:cap]
+            )
+            d = n2 - 2.0 * dot + float(q @ q)
+            d = np.maximum(d, 0.0)
+        else:
+            d = 1.0 - dot
+            if self.space_type is SpaceType.COSINE:
+                d = np.clip(d, 0.0, 2.0)
+        d = np.where(valid, d, np.inf)
+        k = min(k, n_live)
+        part = np.argpartition(d, k - 1)[:k]
+        order = part[np.argsort(d[part], kind="stable")]
+        return SearchResult(
+            slots=order.astype(np.int64),
+            epochs=self._epochs_host[order],
+            distances=d[order].astype(np.float32),
+        )
 
     def search(
         self,
@@ -789,7 +938,7 @@ class IvfDeviceIndex:
             )
 
         s = choose_budget(b_pad, min(self.nprobe, self.nlist), self.nlist)
-        main_packed = ivf_candidates(
+        main_packed, dropped = ivf_candidates(
             self.main_vecs,
             main_paux,
             self.centroids,
@@ -827,14 +976,13 @@ class IvfDeviceIndex:
             jnp.asarray(q2),
             self.main_pos2slot,
             self._delta_pos2slot,
+            dropped,  # rides home as one extra trailing column
             space_kind="euclid"
             if self.space_type is SpaceType.EUCLIDEAN
             else "affine",
-            k_out=k_pad,  # sorted; sliced to the requested k below
+            k_out=k_pad,  # sorted; sliced to the requested k host-side
             delta_is_rank=delta_is_rank,
         )
-        if k < k_pad:
-            ids = ids[:, :k]
         return PendingSearch(
             packed=ids,
             b_real=b_real,
@@ -842,6 +990,10 @@ class IvfDeviceIndex:
             kind="ivf-ids",
             q_f32=queries,
             engine=self,
+            # retry context: the paux actually scanned (incl. allow-mask
+            # tombstones) + the delta-space mask, so dropped queries can be
+            # re-dispatched with a slot budget that cannot overflow
+            ctx={"paux": main_paux, "delta_allow": delta_allow},
         )
 
     @hotpath.measure
@@ -914,14 +1066,116 @@ class IvfDeviceIndex:
         from vector_store_tpu.engine.flat import ids_postprocess
 
         b_real = pending.b_real
-        return ids_postprocess(
+        host = np.asarray(host)[:b_real]
+        dropped = host[:, -1]
+        ids = host[:, :-1][:, : pending.k]
+        results = ids_postprocess(
             self._vecs_host,
             self._epochs_host,
             self.space_type,
             self.dimensions,
-            np.asarray(host)[:b_real],
+            ids,
             pending.q_f32[:b_real],
         )
+        bad = np.flatnonzero(dropped > 0)
+        if bad.size:
+            self._retry_dropped(pending, bad, results)
+        return results
+
+    # queries whose (query, cluster) pairs overflowed their cluster's S
+    # slots are re-dispatched in chunks of <= RETRY_S with S = RETRY_S:
+    # each query contributes at most ONE pair per cluster (top_k probes are
+    # distinct), so chunk <= S makes overflow impossible on the retry.
+    RETRY_S = 128
+
+    def _retry_dropped(
+        self,
+        pending: PendingSearch,
+        bad: np.ndarray,
+        results: list[SearchResult],
+    ) -> None:
+        self.dropped_pair_queries += int(bad.size)
+        logger.log(
+            logging.INFO if self.dropped_pair_queries == bad.size else logging.DEBUG,
+            "IVF grouped scan dropped pairs for %d/%d queries "
+            "(skewed/duplicate batch saturated cluster slots); "
+            "re-dispatching with S=%d",
+            bad.size,
+            pending.b_real,
+            self.RETRY_S,
+        )
+        ctx = pending.ctx or {}
+        paux = ctx.get("paux", self.main_paux)
+        delta_allow = ctx.get("delta_allow")
+        k = pending.k
+        k_pad = _bucket(k, _K_BUCKETS)
+        for lo in range(0, bad.size, self.RETRY_S):
+            idx = bad[lo : lo + self.RETRY_S]
+            q = pending.q_f32[idx]  # already normalized
+            b_real = q.shape[0]
+            b_pad = _bucket(b_real, (8, self.RETRY_S))
+            if b_pad != b_real:
+                q = np.pad(q, [(0, b_pad - b_real), (0, 0)])
+            qs = self._prep_queries(q)
+            q_live = np.zeros((b_pad,), dtype=bool)
+            q_live[:b_real] = True
+            main_packed, re_dropped = ivf_candidates(
+                self.main_vecs,
+                paux,
+                self.centroids,
+                qs,
+                jnp.asarray(q_live),
+                k=k_pad,
+                nprobe=min(self.nprobe, self.nlist),
+                s=self.RETRY_S,
+                cmax=self.cmax,
+                spherical=self._spherical,
+                interpret=self.interpret,
+            )
+            if self._delta.size > 0:
+                delta_pend = self._delta.search_begin(
+                    q[:b_real],
+                    k,
+                    allow_mask=delta_allow,
+                    raw=True,
+                    queries_dev=qs,
+                )
+                delta_packed = delta_pend.packed
+                delta_is_rank = delta_pend.kind == "pallas"
+            else:
+                delta_packed = _empty_candidates(b=b_pad)
+                delta_is_rank = True
+            q2 = np.zeros((b_pad,), dtype=np.float32)
+            if self.space_type is SpaceType.EUCLIDEAN:
+                q2 = (q.astype(np.float64) ** 2).sum(-1).astype(np.float32)
+            ids = _merge_regions(
+                main_packed,
+                delta_packed,
+                jnp.asarray(q2),
+                self.main_pos2slot,
+                self._delta_pos2slot,
+                None,
+                space_kind="euclid"
+                if self.space_type is SpaceType.EUCLIDEAN
+                else "affine",
+                k_out=k_pad,
+                delta_is_rank=delta_is_rank,
+            )
+            host = pull_packed(ids)[:b_real, :k]
+            from vector_store_tpu.engine.flat import ids_postprocess
+
+            fixed = ids_postprocess(
+                self._vecs_host,
+                self._epochs_host,
+                self.space_type,
+                self.dimensions,
+                host,
+                q[:b_real],
+            )
+            if np.asarray(re_dropped)[:b_real].any():  # unreachable by design
+                logger.warning("IVF retry still dropped pairs; results partial")
+            for j, i in enumerate(idx):
+                results[int(i)] = fixed[j]
 
 
 @jax.jit

@@ -366,6 +366,12 @@ def _to_json(v):
         return v.isoformat()
     if isinstance(v, tuple):
         return [_to_json(x) for x in v]
+    import numpy as _np
+
+    if isinstance(v, _np.ndarray):
+        return [_to_json(x) for x in v.tolist()]
+    if isinstance(v, _np.generic):
+        return _to_json(v.item())
     return v
 
 

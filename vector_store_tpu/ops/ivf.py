@@ -430,9 +430,17 @@ def ivf_candidates(
     probes: jax.Array | None = None,  # [B, nprobe] precomputed (sharded path)
 ) -> jax.Array:
     """One fused device program: probe -> regroup -> grouped scan -> merge.
-    Returns [2, B, k] f32: row 0 rank values (same affine form as
-    pallas_rank_search), row 1 positions in the cluster-major layout
-    (int32 bitcast, -1 empty)."""
+    Returns (packed, dropped):
+      packed [2, B, k] f32: row 0 rank values (same affine form as
+      pallas_rank_search), row 1 positions in the cluster-major layout
+      (int32 bitcast, -1 empty);
+      dropped [B] i32: per-query count of live (query, cluster) pairs that
+      did not fit their cluster's S query slots and were NOT scanned. A
+      query with dropped > 0 has incomplete main-region candidates (skewed
+      or duplicate-heavy batches saturate popular clusters) — the engine
+      must re-dispatch it with a larger S (engine/ivf.py retry path) or an
+      exact fallback; silently returning partial results collapses recall
+      with no signal."""
     npos, dp = vectors.shape
     nlist = npos // cmax
     b = queries.shape[0]
@@ -478,6 +486,11 @@ def ivf_candidates(
         .set(jnp.where(ok, row, -1))
         .reshape(b, nprobe)
     )
+    # live pairs that lost the slot race (cluster already held S queries)
+    dropped = jnp.sum(
+        ((row_of_pair < 0) & (probes < nlist)).astype(jnp.int32), axis=1
+    )
+    dropped = jnp.where(q_live, dropped, 0)
 
     queries_grouped = queries[qtab]  # [nlist*S, Dp]
 
@@ -513,6 +526,7 @@ def ivf_candidates(
             [best_pos, jnp.full((b, padw), -1, jnp.int32)], axis=1
         )
     best_pos = jnp.where(best_rank < INVALID_CUTOFF, best_pos, -1)
-    return jnp.stack(
+    packed = jnp.stack(
         [best_rank, jax.lax.bitcast_convert_type(best_pos, jnp.float32)]
     )
+    return packed, dropped

@@ -138,7 +138,11 @@ def sharded_ivf_search_step(
         local = jnp.where(
             (local >= 0) & (local < nlist_local), local, nlist_local
         )
-        packed = ivf_candidates(
+        # dropped counts are ignored here: each shard owns nlist/n_shards
+        # clusters so per-cluster slot pressure is n_shards x lower than the
+        # single-chip path at the same S; the host engine (engine/ivf.py)
+        # carries the retry logic for the serving path
+        packed, _dropped = ivf_candidates(
             vectors,
             paux,
             centroids,  # unused when probes are given

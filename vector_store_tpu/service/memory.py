@@ -125,6 +125,23 @@ class MemoryGovernor:
         self._engines = live
         return total
 
+    def host_bytes_used(self) -> int:
+        """Sum of registered engines' host-RAM mirrors (engine.host_bytes).
+        The meminfo-based budget already sees this memory as used; explicit
+        attribution lets the config limit bind on what the indexes actually
+        hold even when MemAvailable lags (page cache churn), and makes the
+        host tier observable."""
+        total = 0
+        for ref in self._engines:
+            eng = ref()
+            if eng is None:
+                continue
+            try:
+                total += int(getattr(eng, "host_bytes", 0))
+            except Exception:
+                pass
+        return total
+
     def check(self) -> bool:
         try:
             total, avail = _read_meminfo()
@@ -136,7 +153,7 @@ class MemoryGovernor:
             reserve = max(int(total * RESERVE_FRACTION), RESERVE_MIN_BYTES)
             budget = avail - reserve
             if self.config_limit is not None:
-                used = total - avail
+                used = max(total - avail, self.host_bytes_used())
                 budget = min(budget, self.config_limit - used)
             ok = budget > 0
             if ok and self.device_limit is not None and self._engines:

@@ -554,10 +554,32 @@ class VsIndexActor:
             self._finish_last(req)
 
     def _finish_last(self, req: _SearchRequest) -> None:
-        """Oversample steps exhausted: escalate k geometrically until the
-        post-filter yields `limit` rows or the whole index has been
-        considered — low-selectivity filters (0.1% buckets in the
-        reference's benchmark) genuinely need k ~ limit/selectivity."""
+        """Oversample steps exhausted: the whole index must be considered —
+        low-selectivity filters (0.1% buckets in the reference's benchmark)
+        genuinely need k ~ limit/selectivity.
+
+        Engines with a host f32 mirror and a hard device candidate cap
+        (IVF: nprobe*LANES per query) expose search_exact_host; one exact
+        numpy pass gives the complete ranking, which is then post-filtered
+        in bounded chunks. Escalating k through the device path instead
+        would compile a fresh program shape per step (30-120 s each through
+        the relay) and still top out at the cap."""
+        if not self.is_local and hasattr(self.engine, "search_exact_host"):
+            size = self.engine.size
+            res = self.engine.search_exact_host(req.vector, size)
+            out: list = []
+            step = max(req.limit * OVERSAMPLE_STEPS[-1], 1024)
+            for lo in range(0, res.slots.size, step):
+                chunk = type(res)(
+                    slots=res.slots[lo : lo + step],
+                    epochs=res.epochs[lo : lo + step],
+                    distances=res.distances[lo : lo + step],
+                )
+                out.extend(self._resolve(req, chunk))
+                if len(out) >= req.limit:
+                    break
+            self._finish(req, out[: req.limit])
+            return
         partitions = None
         if self.is_local:
             partitions = np.asarray(
