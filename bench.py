@@ -201,50 +201,135 @@ def main() -> None:
     import queue as _queue
     import threading
 
-    lat: list[float] = []
-    window_qps: list[float] = []
-    windows: _queue.Queue = _queue.Queue(maxsize=1)
-    fail: list[BaseException] = []
+    def e2e_run(run_iters: int, run_agg: int, max_queued: int = 1):
+        """Returns (qps, p50_ms, window_qps_median). max_queued bounds how
+        many windows may sit waiting for collection — the knob between
+        throughput (deep pipeline) and closed-loop latency."""
+        lat: list[float] = []
+        window_qps: list[float] = []
+        windows: _queue.Queue = _queue.Queue(maxsize=max_queued)
+        fail: list[BaseException] = []
 
-    def collector() -> None:
-        while True:
-            item = windows.get()
-            if item is None:
-                return
-            if fail:  # keep draining so the producer never blocks
-                continue
-            pends, starts, w0 = item
-            try:
-                index.collect_many(pends)
-            except BaseException as exc:  # surface in the main thread
-                fail.append(exc)
-                continue
-            now = time.time()
-            lat.extend(now - s for s in starts)
-            window_qps.append(batch * len(pends) / (now - w0))
+        def collector() -> None:
+            while True:
+                item = windows.get()
+                if item is None:
+                    return
+                if fail:  # keep draining so the producer never blocks
+                    continue
+                pends, starts, w0 = item
+                try:
+                    index.collect_many(pends)
+                except BaseException as exc:  # surface in the main thread
+                    fail.append(exc)
+                    continue
+                now = time.time()
+                lat.extend(now - s for s in starts)
+                window_qps.append(batch * len(pends) / (now - w0))
 
-    th = threading.Thread(target=collector, daemon=True)
-    th.start()
-    t0 = time.time()
-    pend: list = []
-    starts: list[float] = []
-    w0 = time.time()
-    for i in range(iters):
-        pend.append(index.search_begin(queries, k))
-        starts.append(time.time())
-        if len(pend) >= agg:
+        th = threading.Thread(target=collector, daemon=True)
+        th.start()
+        t0 = time.time()
+        pend: list = []
+        starts: list[float] = []
+        w0 = time.time()
+        for i in range(run_iters):
+            pend.append(index.search_begin(queries, k))
+            starts.append(time.time())
+            if len(pend) >= run_agg:
+                windows.put((pend, starts, w0))
+                pend, starts = [], []
+                w0 = time.time()
+        if pend:
             windows.put((pend, starts, w0))
-            pend, starts = [], []
-            w0 = time.time()
-    if pend:
-        windows.put((pend, starts, w0))
-    windows.put(None)
-    th.join()
-    if fail:
-        raise fail[0]
-    total = time.time() - t0
-    qps = batch * iters / total
-    p50_ms = float(np.percentile(lat, 50) * 1e3)
+        windows.put(None)
+        th.join()
+        if fail:
+            raise fail[0]
+        total = time.time() - t0
+        return (
+            batch * run_iters / total,
+            float(np.percentile(lat, 50) * 1e3),
+            float(np.median(window_qps)) if window_qps else None,
+        )
+
+    qps, p50_ms, window_med = e2e_run(iters, agg)
+
+    # bounded-latency operating point: the BASELINE metric is QPS *at* a
+    # p50 a user would accept, not saturation throughput. Walk the pipeline
+    # depth down and report the best QPS whose measured p50 stays under
+    # 500 ms (closed-loop p50 ~ inflight depth x window time).
+    bounded_qps = None
+    bounded_p50 = None
+    bounded_cfg = None
+    for cfg_agg in (4, 2, 1):
+        q_i, p_i, _ = e2e_run(max(12 * cfg_agg, 12), cfg_agg, max_queued=1)
+        print(
+            f"[bench] bounded sweep agg={cfg_agg}: {q_i:.0f} qps p50 {p_i:.0f} ms",
+            file=sys.stderr,
+            flush=True,
+        )
+        if p_i <= 500.0 and (bounded_qps is None or q_i > bounded_qps):
+            bounded_qps, bounded_p50, bounded_cfg = q_i, p_i, cfg_agg
+        if p_i <= 250.0:
+            break  # deeper configs only raise latency
+
+    # compute-side rate with FORCED execution: chain M dependent searches
+    # inside one jitted fori_loop — the single final pull cannot complete
+    # until every chained search has executed, so the relay's unreliable
+    # block_until_ready is irrelevant and both transfers amortize over M.
+    # The data dependency (1e-34 * best-rank added to the queries) is
+    # below bf16 resolution: numerically a no-op, structurally un-DCE-able.
+    compute_side = None
+    if engine_kind == "ivf" and getattr(index, "main_vecs", None) is not None:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from vector_store_tpu.ops.ivf import choose_budget, ivf_candidates
+
+        m_chain = int(os.environ.get("BENCH_COMPUTE_CHAIN", 64))
+        qs_dev = index._prep_queries(queries)
+        s_budget = choose_budget(
+            batch, min(index.nprobe, index.nlist), index.nlist
+        )
+        q_live = jnp.ones((batch,), jnp.bool_)
+        kwargs = dict(
+            k=16,
+            nprobe=min(index.nprobe, index.nlist),
+            s=s_budget,
+            cmax=index.cmax,
+            spherical=index._spherical,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def chain(qs0, vecs, paux, cent, *, m):
+            def body(_, q):
+                packed, _dropped = ivf_candidates(
+                    vecs, paux, cent, q, q_live, **kwargs
+                )
+                bump = (packed[0, :, :1] * 1e-34).astype(q.dtype)
+                return q + bump
+
+            q = jax.lax.fori_loop(0, m, body, qs0)
+            packed, _dropped = ivf_candidates(
+                vecs, paux, cent, q, q_live, **kwargs
+            )
+            return packed
+
+        args = (qs_dev, index.main_vecs, index.main_paux, index.centroids)
+        np.asarray(chain(*args, m=m_chain))  # compile + warm
+        t0 = time.time()
+        np.asarray(chain(*args, m=m_chain))  # pull forces all m+1 searches
+        dt = time.time() - t0
+        compute_side = batch * (m_chain + 1) / dt
+        print(
+            f"[bench] compute_side_qps {compute_side:.0f} "
+            f"({dt * 1e3 / (m_chain + 1):.2f} ms/batch of {batch}, chain {m_chain + 1})",
+            file=sys.stderr,
+            flush=True,
+        )
 
     result = {
         "metric": "QPS/chip at recall@10>=0.95 on SIFT-1M",
@@ -254,11 +339,13 @@ def main() -> None:
         "recall_at_10": round(recall, 4),
         "recall_gate_passed": bool(recall >= 0.95),
         "p50_query_latency_ms": round(p50_ms, 2),
+        "qps_at_p50_500ms": round(bounded_qps, 1) if bounded_qps else None,
+        "p50_at_bounded_ms": round(bounded_p50, 1) if bounded_p50 else None,
+        "bounded_agg": bounded_cfg,
+        "compute_side_qps": round(compute_side, 1) if compute_side else None,
         "burst_qps_agg24": round(compute_qps, 1),
         "single_batch_rtt_ms": round(rtt_ms, 1),
-        "window_qps_median": round(float(np.median(window_qps)), 1)
-        if window_qps
-        else None,
+        "window_qps_median": round(window_med, 1) if window_med else None,
         "build_vectors_per_sec": round(build_rate, 0),
         "ingest_seconds": round(ingest_s, 1),
         "cluster_seconds": round(cluster_s, 1),

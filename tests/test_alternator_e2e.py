@@ -213,3 +213,186 @@ class TestAlternatorEndToEnd:
             await service.stop()
             await session.stop()
             await server.stop()
+
+
+def make_live_handler(state, dimension=str(DIMS)):
+    """Stateful Alternator handler: mutable row store + CDC event queue.
+    ``state`` = {"rows": {p: (blob, writetime_micros)}, "cdc": [(timeuuid,
+    op, p)]}. The CDC poll uses the ALLOW FILTERING fallback path (no
+    stream generations served)."""
+    base = make_handler()
+
+    def handler(cql, values, paging):
+        if "cdc$operation" in cql and "SELECT" in cql:
+            rows = state["cdc"]
+            state["cdc"] = []
+            return CannedResult(
+                columns=[
+                    FakeColumn("cdc$time", ct.T_TIMEUUID),
+                    FakeColumn("cdc$operation", ct.T_TINYINT),
+                    FakeColumn("p", ct.T_VARCHAR),
+                ],
+                rows=rows,
+            )
+        if "BYPASS CACHE" in cql:
+            lo = struct.unpack("!q", values[0])[0]
+            cols = [
+                FakeColumn("p", ct.T_VARCHAR),
+                FakeColumn("v", ct.T_BLOB),
+                FakeColumn("wt", ct.T_BIGINT),
+            ]
+            if lo > 0:
+                return CannedResult(columns=cols, rows=[])
+            return CannedResult(
+                columns=cols,
+                rows=[(p, blob, wt) for p, (blob, wt) in state["rows"].items()],
+            )
+        if 'WHERE "p" = ?' in cql and "BYPASS" not in cql:
+            # read-after-CDC fetch of the current row
+            p = values[0].decode()
+            cols = [
+                FakeColumn("v", ct.T_BLOB),
+                FakeColumn("wt", ct.T_BIGINT),
+            ]
+            entry = state["rows"].get(p)
+            if entry is None:
+                return CannedResult(columns=cols, rows=[])
+            return CannedResult(columns=cols, rows=[entry])
+        if dimension != str(DIMS) and "FROM system_schema.indexes" in cql:
+            # variant: index options with a missing/odd dimension value
+            pass
+        return base(cql, values, paging)
+
+    return handler
+
+
+async def _boot_alternator(handler):
+    server = FakeCqlServer(handler)
+    await server.start()
+    session = CqlSession(f"127.0.0.1:{server.port}")
+    session.start()
+    db = ScyllaDb(
+        session, cdc_fine_safety_interval=0.0, cdc_fine_sleep_interval=0.05
+    )
+    service = await build_service(db, Config(monitor_indexes_interval=0.05))
+    http = TestServer(service.app)
+    await http.start_server()
+    return server, session, service, http
+
+
+async def _teardown(server, session, service, http):
+    await http.close()
+    await service.stop()
+    await session.stop()
+    await server.stop()
+
+
+async def _wait_count(service, n, deadline_s=20):
+    entry = None
+    deadline = time.time() + deadline_s
+    while True:
+        entry = service.indexes.get_vs((KS, "idx"))
+        if (
+            entry is not None
+            and entry.status is IndexStatus.SERVING
+            and await entry.actor.count() == n
+        ):
+            return entry
+        assert time.time() < deadline, (
+            entry and (entry.status, await entry.actor.count())
+        )
+        service.engine.update_entries()
+        await asyncio.sleep(0.05)
+
+
+class TestAlternatorCdc:
+    async def test_cdc_insert_update_delete_on_attrs_rows(self):
+        """CDC mutations over the ':attrs' dialect: insert of a new item,
+        update of an existing one (new blob + newer writetime), and a
+        row-delete — all land in the serving index
+        (validator alternator/ put/delete/update_item parity)."""
+        from vector_store_tpu.db.scylla import (
+            CDC_OP_INSERT,
+            CDC_OP_ROW_DELETE,
+            CDC_OP_UPDATE,
+        )
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+                "c": (blob_json(VECS["c"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 3)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                # CDC insert of item "d"
+                vd = [0.5, 0.5, 0.0]
+                state["rows"]["d"] = (blob_f32(vd), 2_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "d"))
+                await _wait_count(service, 4)
+                res = await client.ann(KS, "idx", vd, limit=1)
+                assert res.primary_keys["p"] == ["d"]
+
+                # CDC update of "b" to a NEW vector (JSON dialect this time)
+                vb2 = [0.1, 0.9, 0.1]
+                state["rows"]["b"] = (blob_json(vb2), 3_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "b"))
+                deadline = time.time() + 10
+                while True:
+                    res = await client.ann(KS, "idx", vb2, limit=1)
+                    if (
+                        res.primary_keys["p"] == ["b"]
+                        and res.distances[0] < 1e-3
+                    ):
+                        break
+                    assert time.time() < deadline
+                    await asyncio.sleep(0.05)
+
+                # CDC row-delete of "a" (no read-back for deletes)
+                del state["rows"]["a"]
+                state["cdc"].append((uuid.uuid1(), CDC_OP_ROW_DELETE, "a"))
+                await _wait_count(service, 3)
+                res = await client.ann(KS, "idx", VECS["a"], limit=3)
+                assert "a" not in res.primary_keys["p"]
+
+                # CDC insert whose read-back finds the row GONE => delete
+                # (consumer.rs:60-122 read-after-CDC missing-row rule)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "zz"))
+                await asyncio.sleep(0.5)
+                assert await (await _wait_count(service, 3)).actor.count() == 3
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_bad_blob_tag_rows_are_skipped(self):
+        """A row whose attribute blob carries an unknown type tag must be
+        skipped without breaking the scan (vector.rs:39-110 decode)."""
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "bad": (bytes([9]) + b"garbage", 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            entry = await _wait_count(service, 2)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                res = await client.ann(KS, "idx", VECS["a"], limit=2)
+                assert "bad" not in res.primary_keys["p"]
+        finally:
+            await _teardown(server, session, service, http)

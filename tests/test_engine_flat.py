@@ -164,3 +164,83 @@ class TestDuplicateSlots:
         # duplicate removals decrement once
         idx.remove_batch(np.asarray([5, 5]))
         assert idx.size == 0
+
+
+class TestPartitionDirectory:
+    """O(partition) local search (VERDICT r2 #6): the partition directory
+    gathers each query's partition rows instead of masking a full scan."""
+
+    def _mk(self, n=400, d=16, nparts=8):
+        idx = FlatDeviceIndex(d, initial_capacity=512, block_rows=64)
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        parts = (np.arange(n) % nparts).astype(np.int32)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs, partitions=parts)
+        return idx, vecs, parts
+
+    def test_directory_matches_mask_path(self):
+        idx, vecs, parts = self._mk()
+        assert idx.part_rows is not None
+        q = vecs[10][None]
+        res_dir = idx.search(q, k=8, partitions=np.array([2], np.int32))[0]
+        # force the mask path for the same query
+        idx._part_overflow = True
+        res_mask = idx.search(q, k=8, partitions=np.array([2], np.int32))[0]
+        idx._part_overflow = False
+        assert res_dir.slots.tolist() == res_mask.slots.tolist()
+        np.testing.assert_allclose(
+            res_dir.distances, res_mask.distances, rtol=1e-5, atol=1e-5
+        )
+
+    def test_partition_count_and_moves(self):
+        idx, vecs, parts = self._mk(n=100, nparts=4)
+        assert idx.partition_count(2) == 25
+        # move slot 2 (partition 2) into partition 3
+        idx.upsert_batch(
+            np.asarray([2]), np.asarray([1], np.int32),
+            vecs[2][None], partitions=np.asarray([3], np.int32),
+        )
+        assert idx.partition_count(2) == 24
+        assert idx.partition_count(3) == 26
+        res = idx.search(vecs[2][None], k=30, partitions=np.array([3], np.int32))[0]
+        assert 2 in res.slots
+        res = idx.search(vecs[2][None], k=30, partitions=np.array([2], np.int32))[0]
+        assert 2 not in res.slots
+        # removal updates counts and search
+        idx.remove_batch(np.asarray([2]))
+        assert idx.partition_count(3) == 25
+        res = idx.search(vecs[2][None], k=30, partitions=np.array([3], np.int32))[0]
+        assert 2 not in res.slots
+
+    def test_pmax_growth(self):
+        d = 8
+        idx = FlatDeviceIndex(d, initial_capacity=512, block_rows=64)
+        n = 300  # one partition > _PART_PMAX0=128 -> growth to 512
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n), np.zeros(n, np.int32), vecs,
+            partitions=np.zeros(n, np.int32),
+        )
+        assert idx.part_rows.shape[1] >= n
+        assert idx.partition_count(0) == n
+        res = idx.search(vecs[7][None], k=5, partitions=np.array([0], np.int32))[0]
+        assert res.slots[0] == 7
+
+    def test_overflow_falls_back_to_mask(self, monkeypatch):
+        d = 8
+        monkeypatch.setattr(FlatDeviceIndex, "_PART_PMAX_CAP", 128)
+        idx = FlatDeviceIndex(d, initial_capacity=512, block_rows=64)
+        n = 200  # exceeds the capped pmax -> directory disabled
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n), np.zeros(n, np.int32), vecs,
+            partitions=np.zeros(n, np.int32),
+        )
+        assert idx._part_overflow and idx.part_rows is None
+        assert idx.partition_count(0) == n  # O(N) fallback count
+        res = idx.search(vecs[7][None], k=5, partitions=np.array([0], np.int32))[0]
+        assert res.slots[0] == 7  # mask path still serves
+
+    def test_unknown_partition_empty(self):
+        idx, vecs, _ = self._mk()
+        res = idx.search(vecs[0][None], k=5, partitions=np.array([99], np.int32))[0]
+        assert res.slots.size == 0

@@ -465,3 +465,101 @@ class TestIvfDuplicateSlots:
         assert res.slots[0] == 3 and res.epochs[0] == 2
         idx.remove_batch(np.asarray([3, 3]))
         assert idx.size == n - 1
+
+
+class TestIvfI8:
+    """I8-quantized IVF (VERDICT r2 #3): sub-linear serving for quantized
+    global indexes. i8 rows are scanned by true-scale bf16 queries (127x
+    scale folded into paux); final distances are exact f32 host-side."""
+
+    @pytest.mark.parametrize(
+        "space",
+        [SpaceType.EUCLIDEAN, SpaceType.COSINE, SpaceType.DOT_PRODUCT],
+    )
+    def test_i8_recall(self, interp_pallas, space):
+        from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+        n, d, b, k = 4096, 32, 24, 10
+        vecs, _ = clustered(n, d)
+        if space is not SpaceType.COSINE:
+            # I8 storage uses the USearch [-1, 1] -> [-127, 127] convention
+            # (ops/quantize.py): euclidean/dot inputs must be pre-scaled
+            # into range or they clip (cosine normalizes first)
+            vecs = vecs / np.abs(vecs).max()
+        idx = IvfDeviceIndex(
+            d,
+            space_type=space,
+            quantization=Quantization.I8,
+            initial_capacity=4096,
+            min_build=1024,
+            kmeans_block=1024,
+            nprobe=16,
+            kmeans_iters=4,
+            interpret=True,
+            query_i8=False,
+        )
+        idx.upsert_batch(np.arange(n), np.full(n, 3, np.int32), vecs)
+        assert idx.maintain() is True
+        assert idx.main_vecs is not None
+        assert str(idx.main_vecs.dtype) == "int8"
+        idx._warm_queue.clear()
+        queries = vecs[RNG.integers(0, n, size=b)] + 0.02 * RNG.normal(
+            size=(b, d)
+        ).astype(np.float32)
+        res = idx.search(queries, k)
+        if space is SpaceType.DOT_PRODUCT:
+            qn = queries
+            d_all = 1.0 - qn @ vecs.T
+            gt = np.argsort(d_all, axis=1)[:, :k]
+        else:
+            gt = exact_topk(queries, vecs, k, space)
+        hits = sum(
+            len(set(r.slots.tolist()) & set(gt[i].tolist()))
+            for i, r in enumerate(res)
+        )
+        recall = hits / (b * k)
+        assert recall >= 0.8, (space, recall)
+        for r in res:
+            assert (r.epochs == 3).all()
+            assert (np.diff(r.distances) >= -1e-6).all()
+
+    def test_i8_delta_and_main_merge(self, interp_pallas):
+        """Post-build upserts land in the (flat-i8 XLA) delta and merge
+        with main-region candidates; distances stay exact f32."""
+        from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+        n, d = 2048, 32
+        vecs, _ = clustered(n, d)
+        idx = IvfDeviceIndex(
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.I8,
+            initial_capacity=4096,
+            min_build=1024,
+            kmeans_block=1024,
+            nprobe=16,
+            kmeans_iters=4,
+            interpret=True,
+            query_i8=False,
+        )
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.maintain()
+        idx._warm_queue.clear()
+        new = RNG.normal(size=(8, d)).astype(np.float32) * 3 + 30
+        idx.upsert_batch(np.arange(n, n + 8), np.full(8, 7, np.int32), new)
+        res = idx.search(new, 3)
+        for i, r in enumerate(res):
+            assert r.slots[0] == n + i
+            assert r.epochs[0] == 7
+            # exact f32 recompute: self-distance reflects only i8 storage
+            # rounding of the DELTA copy? no — distances come from the f32
+            # host mirror, so the self-hit is exactly 0
+            assert r.distances[0] == pytest.approx(0.0, abs=1e-5)
+
+    def test_ivf_supports_i8(self):
+        from vector_store_tpu.engine.ivf import ivf_supports
+
+        assert ivf_supports(SpaceType.COSINE, Quantization.I8)
+        assert ivf_supports(SpaceType.EUCLIDEAN, Quantization.I8)
+        assert not ivf_supports(SpaceType.HAMMING, Quantization.I8)
+        assert not ivf_supports(SpaceType.COSINE, Quantization.B1)

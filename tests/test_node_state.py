@@ -70,6 +70,7 @@ class TestNodeLifecycle:
         ns.indexes_discovered(set())
         ns2 = NodeState()
         ns2.connecting_to_db()
+        ns2.connected_to_db()  # DISCOVERING requires a live DB session
         ns2.discovering_indexes()
         assert ns2.get_status() is NodeStatus.DISCOVERING_INDEXES
 

@@ -82,6 +82,22 @@ class CqlConnection:
             asyncio.open_connection(self.host, self.port, ssl=ssl), timeout
         )
         self._read_task = asyncio.get_running_loop().create_task(self._read_loop())
+        try:
+            # the timeout covers the whole STARTUP/AUTH exchange, not just
+            # the TCP connect: a server that accepts the socket but never
+            # answers STARTUP must fail the attempt so the session's
+            # reconnect loop keeps retrying (reference connection_timeout,
+            # db.rs create_session / validator connection_timeout.rs)
+            await asyncio.wait_for(
+                self._handshake(username, password), timeout
+            )
+        except asyncio.TimeoutError:
+            await self.close()
+            raise ConnectionError("CQL startup handshake timed out")
+
+    async def _handshake(
+        self, username: str | None, password: str | None
+    ) -> None:
         body = Writer().string_map({"CQL_VERSION": "3.0.0"}).bytes_()
         opcode, resp = await self._request(fr.OP_STARTUP, body)
         if opcode == fr.OP_AUTHENTICATE:
@@ -128,7 +144,9 @@ class CqlConnection:
             self._pending.clear()
             self.closed.set()
 
-    async def _request(self, opcode: int, body: bytes) -> tuple[int, bytes]:
+    async def _request(
+        self, opcode: int, body: bytes, timeout: float | None = None
+    ) -> tuple[int, bytes]:
         if self._writer is None or self.closed.is_set():
             raise ConnectionError("connection closed")
         if not self._free_streams:
@@ -138,7 +156,20 @@ class CqlConnection:
         self._pending[stream] = fut
         self._writer.write(fr.encode_frame(opcode, stream, body))
         await self._writer.drain()
-        op, resp = await fut
+        if timeout is not None:
+            try:
+                # shield: a late response must still complete the future so
+                # the read loop returns the stream id to the pool — the
+                # stream stays reserved until the server answers or the
+                # connection dies (reference client-side request timeout;
+                # other streams keep flowing, validator db_timeout.rs)
+                op, resp = await asyncio.wait_for(
+                    asyncio.shield(fut), timeout
+                )
+            except asyncio.TimeoutError:
+                raise CqlError(0x1001, f"client request timed out after {timeout}s")
+        else:
+            op, resp = await fut
         if op == fr.OP_ERROR:
             r = Reader(resp)
             code = r.int_()
@@ -182,10 +213,11 @@ class CqlConnection:
         consistency: int = fr.CL_LOCAL_ONE,
         page_size: int | None = None,
         paging_state: bytes | None = None,
+        timeout: float | None = None,
     ) -> ResultSet:
         w = Writer().long_string(cql)
         w.raw(self._query_params(values, consistency, page_size, paging_state))
-        opcode, body = await self._request(fr.OP_QUERY, w.bytes_())
+        opcode, body = await self._request(fr.OP_QUERY, w.bytes_(), timeout=timeout)
         return self._parse_result(opcode, body)
 
     async def prepare(self, cql: str) -> Prepared:
@@ -213,10 +245,11 @@ class CqlConnection:
         consistency: int = fr.CL_LOCAL_ONE,
         page_size: int | None = None,
         paging_state: bytes | None = None,
+        timeout: float | None = None,
     ) -> ResultSet:
         w = Writer().short_bytes(prepared.id)
         w.raw(self._query_params(values, consistency, page_size, paging_state))
-        opcode, body = await self._request(fr.OP_EXECUTE, w.bytes_())
+        opcode, body = await self._request(fr.OP_EXECUTE, w.bytes_(), timeout=timeout)
         rs = self._parse_result(opcode, body)
         if rs.columns is None and prepared.result_columns is not None:
             rs.columns = prepared.result_columns

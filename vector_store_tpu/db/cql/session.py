@@ -29,6 +29,8 @@ class CqlSession:
         ssl: ssl_mod.SSLContext | None = None,
         on_connect=None,  # async callback(conn)
         on_disconnect=None,
+        connect_timeout: float = 10.0,
+        request_timeout: float | None = 30.0,
     ) -> None:
         host, _, port = uri.rpartition(":")
         self.host = host or uri
@@ -36,6 +38,8 @@ class CqlSession:
         self.username = username
         self.password = password
         self.ssl = ssl
+        self.connect_timeout = connect_timeout
+        self.request_timeout = request_timeout
         self.on_connect = on_connect
         self.on_disconnect = on_disconnect
         self._conn: CqlConnection | None = None
@@ -74,10 +78,14 @@ class CqlSession:
             if not self.is_connected:
                 self._connected.clear()
                 self._prepared.clear()
+                conn = None
                 try:
                     conn = CqlConnection(self.host, self.port)
                     await conn.connect(
-                        username=self.username, password=self.password, ssl=self.ssl
+                        username=self.username,
+                        password=self.password,
+                        ssl=self.ssl,
+                        timeout=self.connect_timeout,
                     )
                     self._conn = conn
                     self._connected.set()
@@ -88,6 +96,14 @@ class CqlSession:
                 except Exception as e:
                     self.connect_failures += 1
                     logger.debug("CQL connect failed: %s", e)
+                    # a failed handshake (auth rejection, stalled STARTUP)
+                    # must not leak the half-open socket: the server would
+                    # see a live connection forever
+                    if conn is not None:
+                        try:
+                            await conn.close()
+                        except Exception:
+                            pass
             else:
                 # liveness: the read loop flags closure via the event
                 if self._conn is not None and self._conn.closed.is_set():
@@ -101,6 +117,7 @@ class CqlSession:
 
     async def query(self, cql: str, values: list | None = None, **kw) -> ResultSet:
         conn = await self.connection()
+        kw.setdefault("timeout", self.request_timeout)
         return await conn.query(cql, values, **kw)
 
     async def execute_prepared(
@@ -111,4 +128,5 @@ class CqlSession:
         if prep is None:
             prep = await conn.prepare(cql)
             self._prepared[cql] = prep
+        kw.setdefault("timeout", self.request_timeout)
         return await conn.execute(prep, values, **kw)

@@ -149,6 +149,13 @@ class FakeCqlServer:
         self.refuse_connections = False  # close new connections immediately
         self.connections_accepted = 0
         self._writers: set[asyncio.StreamWriter] = set()
+        # accept the TCP connection but never answer STARTUP (validator
+        # connection_timeout.rs: handshake must time out client-side)
+        self.stall_startup = False
+        # queries matching this predicate get NO response — their stream
+        # hangs while other streams keep flowing (validator db_timeout.rs:
+        # a slow query must not stop CDC)
+        self.stall_predicate = None  # Callable[[str], bool] | None
 
     def drop_all_connections(self) -> None:
         """Sever every live connection (the validator's firewall cut)."""
@@ -166,6 +173,9 @@ class FakeCqlServer:
     async def stop(self) -> None:
         if self._server:
             self._server.close()
+            # Python 3.12 wait_closed() waits for every client handler;
+            # sever lingering connections so stop() can't hang on one
+            self.drop_all_connections()
             await self._server.wait_closed()
 
     async def _client(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
@@ -187,6 +197,8 @@ class FakeCqlServer:
                     )
 
                 if opcode == fr.OP_STARTUP:
+                    if self.stall_startup:
+                        continue  # leave the client hanging
                     if self.require_auth:
                         send(
                             fr.OP_AUTHENTICATE,
@@ -216,6 +228,8 @@ class FakeCqlServer:
                     cql = r.long_string()
                     values, paging = self._read_params(r)
                     self.queries.append(cql)
+                    if self.stall_predicate and self.stall_predicate(cql):
+                        continue  # no response on this stream
                     self._respond(send, cql, values, paging)
                 elif opcode == fr.OP_PREPARE:
                     r = Reader(body)
@@ -240,6 +254,8 @@ class FakeCqlServer:
                     cql = self._prepared.get(pid, "")
                     values, paging = self._read_params(r)
                     self.queries.append(cql)
+                    if self.stall_predicate and self.stall_predicate(cql):
+                        continue  # no response on this stream
                     self._respond(send, cql, values, paging)
                 elif opcode == fr.OP_REGISTER:
                     send(fr.OP_READY, b"")

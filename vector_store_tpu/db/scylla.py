@@ -578,7 +578,7 @@ class ScyllaDbIndex(DbIndex):
             if i == 0:
                 if md.vs_options is not None:
                     dv = (
-                        DbIndexedValue.vector(decode_vector_value(value, md))
+                        _decode_vector_or_none(value, md)
                         if value is not None
                         else None
                     )
@@ -590,6 +590,18 @@ class ScyllaDbIndex(DbIndex):
         return DbIndexedRow(
             primary_key=pk, operation=DbIndexedOperation.upsert(tuple(values))
         )
+
+
+def _decode_vector_or_none(value, md) -> "DbIndexedValue | None":
+    """Per-row decode guard: a malformed vector value (bad Alternator blob
+    tag, garbage bytes) must skip THAT row, not fail the whole token-range
+    scan — a poisoned row would otherwise be retried forever
+    (vector.rs decode errors are row-local in the reference too)."""
+    try:
+        return DbIndexedValue.vector(decode_vector_value(value, md))
+    except (ValueError, TypeError) as e:
+        logger.warning("skipping undecodable vector value: %s", e)
+        return None
 
 
 def decode_vector_value(value, metadata: IndexMetadata):
@@ -874,7 +886,7 @@ class CdcReaderPair:
             if i == 0:
                 if md.vs_options is not None:
                     dv = (
-                        DbIndexedValue.vector(decode_vector_value(value, md))
+                        _decode_vector_or_none(value, md)
                         if value is not None
                         else None
                     )

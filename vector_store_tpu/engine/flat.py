@@ -159,6 +159,56 @@ def _flat_search(
     return _pack_results(best_d, best_i, best_e)
 
 
+@functools.partial(jax.jit, static_argnames=("space", "quant", "k"))
+def _part_search(
+    vectors: jax.Array,  # [cap, Dp] storage dtype
+    aux: jax.Array,  # [cap] f32
+    epochs: jax.Array,  # [cap] i32
+    valid: jax.Array,  # [cap] bool
+    part_rows: jax.Array,  # [P_cap, pmax] i32 per-partition slot lists
+    queries: jax.Array,  # [B, Dp] query dtype
+    q_aux: jax.Array,  # [B] f32
+    bsel: jax.Array,  # [B] i32 partition bucket per query (-1 = none)
+    *,
+    space: SpaceType,
+    quant: Quantization,
+    k: int,
+) -> jax.Array:
+    """Partition-directory search: gather [B, pmax] candidate slots, score
+    with one per-query block distance, top-k. O(B * pmax * Dp) total —
+    independent of the table's row count."""
+    from vector_store_tpu.ops.distance import query_block_distance
+
+    rows = jnp.where(
+        bsel[:, None] >= 0, part_rows[jnp.maximum(bsel, 0)], -1
+    )  # [B, pmax]
+    safe = jnp.maximum(rows, 0)
+    vb = vectors[safe]  # [B, pmax, Dp]
+    vaux = aux[safe]
+    d = query_block_distance(queries, vb, space, quant, q_aux, vaux)
+    ok = (rows >= 0) & valid[safe]
+    d = jnp.where(ok, d, jnp.inf)
+    kk = min(k, rows.shape[1])
+    negd, pos = jax.lax.top_k(-d, kk)
+    best_d = -negd
+    best_i = jnp.take_along_axis(rows, pos, axis=1)
+    best_i = jnp.where(jnp.isfinite(best_d), best_i, -1)
+    best_e = jnp.where(best_i >= 0, epochs[jnp.maximum(best_i, 0)], -1)
+    if kk < k:
+        b = queries.shape[0]
+        padw = k - kk
+        best_d = jnp.concatenate(
+            [best_d, jnp.full((b, padw), jnp.inf, jnp.float32)], axis=1
+        )
+        best_i = jnp.concatenate(
+            [best_i, jnp.full((b, padw), -1, jnp.int32)], axis=1
+        )
+        best_e = jnp.concatenate(
+            [best_e, jnp.full((b, padw), -1, jnp.int32)], axis=1
+        )
+    return _pack_results(best_d, best_i, best_e)
+
+
 @functools.partial(jax.jit, static_argnames=("space", "k"))
 def _rescore_stage(
     cand_packed: jax.Array,  # [3, B, K'] from the quantized search
@@ -466,6 +516,22 @@ class FlatDeviceIndex:
             in (Quantization.F32, Quantization.BF16, Quantization.F16)
         )
 
+        # partition directory (local indexes): per-partition row lists on
+        # device so a partitioned search gathers O(partition-size) rows
+        # instead of masking a full O(N) scan — the TPU equivalent of the
+        # reference's per-partition sub-indexes (usearch.rs:626-670,
+        # 1k reserve increments). Materialized lazily on the first
+        # partitioned upsert; falls back to the mask path permanently if a
+        # partition outgrows _PART_PMAX_CAP (a jumbo partition approaches
+        # the full scan anyway).
+        self._part_bucket: dict[int, int] = {}  # partition slot -> bucket
+        self._part_rows_host: np.ndarray | None = None  # [P_cap, pmax] i32
+        self._part_count: np.ndarray | None = None  # [P_cap] i32
+        self._slot_part = np.full((cap,), -1, dtype=np.int64)
+        self._slot_pos = np.full((cap,), -1, dtype=np.int32)
+        self.part_rows: jax.Array | None = None
+        self._part_overflow = False
+
     # -- capacity ------------------------------------------------------------
 
     @property
@@ -486,6 +552,8 @@ class FlatDeviceIndex:
         total = cap * per_row + 8 * 4 * cap  # + paux [8, cap] f32
         if self.rescore:
             total += cap * (2 * self.dp_rescore + 4)
+        if self.part_rows is not None:
+            total += 4 * int(np.prod(self.part_rows.shape))
         return total
 
     @property
@@ -530,6 +598,12 @@ class FlatDeviceIndex:
             vgrown = np.zeros((new_cap, self.dimensions), dtype=np.float32)
             vgrown[: self._vecs_host.shape[0]] = self._vecs_host
             self._vecs_host = vgrown
+        pgrown = np.full((new_cap,), -1, dtype=np.int64)
+        pgrown[: self._slot_part.shape[0]] = self._slot_part
+        self._slot_part = pgrown
+        sgrown = np.full((new_cap,), -1, dtype=np.int32)
+        sgrown[: self._slot_pos.shape[0]] = self._slot_pos
+        self._slot_pos = sgrown
         self._allow_all = None
 
     # -- mutation --------------------------------------------------------------
@@ -613,6 +687,11 @@ class FlatDeviceIndex:
             )
         # live count: newly-occupied slots only (upsert of a live slot keeps count)
         self._live += int((~was_valid).sum())
+        has_parts = (np.asarray(partitions) >= 0).any()
+        if has_parts or self._part_rows_host is not None:
+            self._part_upsert(
+                slots, np.asarray(partitions, dtype=np.int64), was_valid
+            )
         self._valid_host[slots] = True
         self._epochs_host[slots] = np.asarray(epochs, dtype=np.int32)
         if self._vecs_host is not None:
@@ -631,6 +710,169 @@ class FlatDeviceIndex:
             self.paux = _apply_paux_removes(self.paux, jnp.asarray(slots))
         self._valid_host[slots] = False
         self._live -= int(was_valid.sum())
+        if self._part_rows_host is not None:
+            dirty: set[int] = set()
+            for slot, wv in zip(slots.tolist(), was_valid.tolist()):
+                if wv and self._slot_part[slot] >= 0:
+                    self._part_remove_one(slot, int(self._slot_part[slot]), dirty)
+                    self._slot_part[slot] = -1
+            self._flush_part_dirty(dirty)
+
+    # -- partition directory ----------------------------------------------------
+
+    _PART_PMAX0 = 128  # initial per-partition row capacity (pow2 ladder)
+    _PART_PMAX_CAP = 16384  # beyond this a partition ~= a full scan
+    _PART_PCAP0 = 256  # initial bucket count (table reserves 256 partitions)
+
+    def partition_count(self, part_slot: int) -> int:
+        """Live rows in one partition (O(1) from the directory; used by the
+        serving actor to stop k-escalation once a whole partition has been
+        considered)."""
+        if self._part_count is not None and not self._part_overflow:
+            b = self._part_bucket.get(int(part_slot))
+            return int(self._part_count[b]) if b is not None else 0
+        valid = self._valid_host[: self._slot_part.shape[0]]
+        return int(((self._slot_part == int(part_slot)) & valid).sum())
+
+    def _part_upsert(
+        self, slots: np.ndarray, parts: np.ndarray, was_valid: np.ndarray
+    ) -> None:
+        old_parts = self._slot_part[slots].copy()
+        self._slot_part[slots] = parts  # kept current even after overflow
+        if self._part_overflow:
+            return
+        dirty: set[int] = set()
+        # bulk fast path for pure adds (the full-scan ingest shape: every
+        # row new) — per-partition contiguous appends computed vectorized
+        # instead of a per-row Python loop
+        is_add = (~was_valid) & (parts >= 0)
+        slow = ~is_add
+        if is_add.any():
+            a_slots = slots[is_add]
+            a_parts = parts[is_add]
+            order = np.argsort(a_parts, kind="stable")
+            sp = a_parts[order]
+            ss = a_slots[order]
+            uniq, starts, counts = np.unique(
+                sp, return_index=True, return_counts=True
+            )
+            for p, st, c in zip(uniq.tolist(), starts.tolist(), counts.tolist()):
+                b = self._part_bucket.get(p)
+                if b is None:
+                    b = self._part_new_bucket(p)
+                base = int(self._part_count[b])
+                while base + c > self._part_rows_host.shape[1]:
+                    if not self._part_grow_pmax():
+                        return  # overflowed: directory disabled
+                seg = ss[st : st + c]
+                self._part_rows_host[b, base : base + c] = seg
+                self._slot_pos[seg] = np.arange(base, base + c, dtype=np.int32)
+                self._part_count[b] = base + c
+                dirty.add(b)
+        for slot, p, old, wv in zip(
+            slots[slow].tolist(),
+            parts[slow].tolist(),
+            old_parts[slow].tolist(),
+            was_valid[slow].tolist(),
+        ):
+            if wv and old == p:
+                continue
+            if wv and old >= 0:
+                self._part_remove_one(slot, int(old), dirty)
+            if p >= 0:
+                self._part_add_one(slot, int(p), dirty)
+                if self._part_overflow:
+                    return
+        self._flush_part_dirty(dirty)
+
+    def _part_add_one(self, slot: int, p: int, dirty: set[int]) -> None:
+        b = self._part_bucket.get(p)
+        if b is None:
+            b = self._part_new_bucket(p)
+        c = int(self._part_count[b])
+        if c >= self._part_rows_host.shape[1]:
+            if not self._part_grow_pmax():
+                return  # overflowed: directory disabled
+        self._part_rows_host[b, c] = slot
+        self._slot_pos[slot] = c
+        self._part_count[b] = c + 1
+        dirty.add(b)
+
+    def _part_remove_one(self, slot: int, p: int, dirty: set[int]) -> None:
+        b = self._part_bucket.get(p)
+        if b is None:
+            return
+        pos = int(self._slot_pos[slot])
+        c = int(self._part_count[b]) - 1
+        if pos < 0 or c < 0:
+            return
+        last = int(self._part_rows_host[b, c])
+        self._part_rows_host[b, pos] = last
+        self._slot_pos[last] = pos
+        self._part_rows_host[b, c] = -1
+        self._part_count[b] = c
+        self._slot_pos[slot] = -1
+        dirty.add(b)
+
+    def _part_new_bucket(self, p: int) -> int:
+        if self._part_rows_host is None:
+            self._part_rows_host = np.full(
+                (self._PART_PCAP0, self._PART_PMAX0), -1, dtype=np.int32
+            )
+            self._part_count = np.zeros((self._PART_PCAP0,), dtype=np.int32)
+            with jax.default_device(self.device):
+                self.part_rows = jnp.asarray(self._part_rows_host)
+        b = len(self._part_bucket)
+        if b >= self._part_rows_host.shape[0]:
+            pcap = self._part_rows_host.shape[0] * 2
+            grown = np.full(
+                (pcap, self._part_rows_host.shape[1]), -1, dtype=np.int32
+            )
+            grown[: self._part_rows_host.shape[0]] = self._part_rows_host
+            self._part_rows_host = grown
+            cg = np.zeros((pcap,), dtype=np.int32)
+            cg[: self._part_count.shape[0]] = self._part_count
+            self._part_count = cg
+            with jax.default_device(self.device):
+                self.part_rows = jnp.asarray(self._part_rows_host)
+        self._part_bucket[p] = b
+        return b
+
+    def _part_grow_pmax(self) -> bool:
+        """Double the per-partition capacity; False (and directory off) if
+        the cap is hit — the mask path serves such indexes."""
+        pmax = self._part_rows_host.shape[1] * 2
+        if pmax > self._PART_PMAX_CAP:
+            logger.warning(
+                "partition exceeded %d rows; partition-directory search "
+                "disabled for this index (full-scan mask path serves it)",
+                self._PART_PMAX_CAP,
+            )
+            self._part_overflow = True
+            self._part_rows_host = None
+            self._part_count = None
+            self.part_rows = None
+            return False
+        grown = np.full(
+            (self._part_rows_host.shape[0], pmax), -1, dtype=np.int32
+        )
+        grown[:, : self._part_rows_host.shape[1]] = self._part_rows_host
+        self._part_rows_host = grown
+        with jax.default_device(self.device):
+            self.part_rows = jnp.asarray(self._part_rows_host)
+        return True
+
+    def _flush_part_dirty(self, dirty: set[int]) -> None:
+        """Scatter the changed buckets' row lists to the device copy."""
+        if not dirty or self._part_overflow or self.part_rows is None:
+            return
+        if self.part_rows.shape != self._part_rows_host.shape:
+            self.part_rows = jnp.asarray(self._part_rows_host)
+            return
+        idx = np.fromiter(dirty, np.int32, len(dirty))
+        self.part_rows = self.part_rows.at[jnp.asarray(idx)].set(
+            jnp.asarray(self._part_rows_host[idx])
+        )
 
     # -- search ----------------------------------------------------------------
 
@@ -692,6 +934,16 @@ class FlatDeviceIndex:
             am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
             allow = jnp.asarray(am)
 
+        if (
+            use_parts
+            and self.part_rows is not None
+            and not self._part_overflow
+            and allow_mask is None
+            and not (np.asarray(partitions) < 0).any()
+        ):
+            # every query names a partition: O(partition) directory path
+            return self._part_begin(qs, queries, q_aux, psel, b_real, k, k_pad)
+
         if self.use_pallas and not use_parts and b_pad >= 8:
             pending = self._pallas_begin(
                 qs, queries, k_pad, b_real, k, allow_mask, raw=raw,
@@ -737,6 +989,63 @@ class FlatDeviceIndex:
                 jnp.asarray(rq_aux),
                 space=self.space_type,
                 k=k_pad,
+            )
+        return PendingSearch(packed=packed, b_real=b_real, k=k)
+
+    def _part_begin(
+        self,
+        qs: np.ndarray,
+        queries_f32: np.ndarray,
+        q_aux: np.ndarray,
+        psel: np.ndarray,  # [b_pad] partition slots (-1 pads)
+        b_real: int,
+        k: int,
+        k_pad: int,
+    ) -> "PendingSearch":
+        """O(partition) search: gather each query's partition row list from
+        the device directory and score only those rows (the reference's
+        per-partition sub-indexes serve exactly this shape,
+        usearch.rs:626-670). Cost per query is pmax * Dp regardless of the
+        table's total row count."""
+        bsel = np.fromiter(
+            (self._part_bucket.get(int(p), -1) for p in psel),
+            np.int32,
+            psel.shape[0],
+        )
+        pmax = self.part_rows.shape[1]
+        k_search = min(k_pad, pmax)
+        if self.rescore:
+            k_search = min(
+                _bucket(min(k_pad * self.oversample, pmax), _K_BUCKETS), pmax
+            )
+        packed = _part_search(
+            self.vectors,
+            self.aux,
+            self.epochs,
+            self.valid,
+            self.part_rows,
+            jnp.asarray(qs),
+            jnp.asarray(q_aux),
+            jnp.asarray(bsel),
+            space=self.space_type,
+            quant=self.quantization,
+            k=k_search,
+        )
+        if self.rescore:
+            rqs, rq_aux = prepare_queries(
+                queries_f32, self.space_type, Quantization.BF16
+            )
+            rpad = self.dp_rescore - rqs.shape[-1]
+            if rpad:
+                rqs = np.pad(rqs, [(0, 0), (0, rpad)])
+            packed = _rescore_stage(
+                packed,
+                self.rescore_vectors,
+                self.rescore_aux,
+                jnp.asarray(rqs),
+                jnp.asarray(rq_aux),
+                space=self.space_type,
+                k=min(k_pad, pmax),
             )
         return PendingSearch(packed=packed, b_real=b_real, k=k)
 

@@ -104,6 +104,7 @@ class HttpServer:
             self._cert_monitor = FileMonitor(
                 cert_files,
                 lambda: asyncio.get_running_loop().create_task(self.reload()),
+                interval=cfg.tls_file_check_interval,
             )
             self._cert_monitor.start()
 
@@ -112,13 +113,24 @@ class HttpServer:
         ssl_ctx = None
         if cfg.use_tls:
             ssl_ctx = build_tls_context(cfg.tls_cert_path, cfg.tls_key_path)
-        self.main = await spawn_server_with_retry(self.app, cfg.host, cfg.port, ssl_ctx)
+        # an ephemeral (":0") URI must keep its ACTUAL port across reloads:
+        # cert rotation re-binds the listener, and clients expect the
+        # address to survive (the reference re-binds the configured port)
+        port = cfg.port
+        if port == 0 and getattr(self, "_last_main_port", None):
+            port = self._last_main_port
+        self.main = await spawn_server_with_retry(self.app, cfg.host, port, ssl_ctx)
+        self._last_main_port = self.main.port
         if cfg.mtls_ca_cert_path and cfg.use_tls:
             mtls_ctx = build_tls_context(
                 cfg.tls_cert_path, cfg.tls_key_path, client_ca=cfg.mtls_ca_cert_path
             )
-            host, _, port = cfg.mtls_uri.rpartition(":")
-            self.mtls = await spawn_server_with_retry(self.app, host, int(port), mtls_ctx)
+            host, _, mport = cfg.mtls_uri.rpartition(":")
+            mport = int(mport)
+            if mport == 0 and getattr(self, "_last_mtls_port", None):
+                mport = self._last_mtls_port
+            self.mtls = await spawn_server_with_retry(self.app, host, mport, mtls_ctx)
+            self._last_mtls_port = self.mtls.port
 
     async def reload(self) -> None:
         """Tear down and re-bind (config change or cert rotation,

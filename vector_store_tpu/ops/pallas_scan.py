@@ -95,6 +95,12 @@ def _make_kernel(block_rows: int, chunk: int | None = None):
 
         def score(c):
             v = v_ref[pl.ds(c * chunk, chunk), :]
+            if v.dtype != q.dtype:
+                # i8-quantized storage scanned by true-scale bf16 queries
+                # (IVF i8 mode): i8 values are exact in bf16, and the
+                # 127x storage scale is folded into the per-row paux
+                # coefficients (a = a/127), so the rank form is unchanged
+                v = v.astype(q.dtype)
             dot = jax.lax.dot_general(
                 q,
                 v,

@@ -63,6 +63,7 @@ class Config:
     cdc_fine_sleep_interval: float = 0.5
     monitor_indexes_interval: float = 1.0
     index_status_update_interval: float = 1.0
+    tls_file_check_interval: float = 30.0
     disable_colors: bool = False
     usearch_simulator: Optional[str] = None
     alter_index_simulator: bool = False
@@ -127,6 +128,8 @@ def load_config() -> Config:
         c.monitor_indexes_interval = parse_duration(v)
     if v := _env("INDEX_STATUS_UPDATE_INTERVAL"):
         c.index_status_update_interval = parse_duration(v)
+    if v := _env("TLS_FILE_CHECK_INTERVAL"):
+        c.tls_file_check_interval = parse_duration(v)
     if v := _env("DISABLE_COLORS"):
         c.disable_colors = v.lower() == "true"
     if v := _env("USEARCH_SIMULATOR"):

@@ -61,8 +61,11 @@ class MonitorIndexes:
                 pass
 
     async def _run(self) -> None:
-        self.node_state.discovering_indexes()
         while not self._stopped:
+            # re-announced each tick: a no-op once past the state, but it
+            # lets a late DB connection (auth granted, cluster reachable)
+            # move CONNECTING_TO_DB -> DISCOVERING_INDEXES
+            self.node_state.discovering_indexes()
             try:
                 await self.tick()
             except Exception:

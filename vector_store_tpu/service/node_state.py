@@ -62,12 +62,19 @@ class NodeState:
     # -- events (node_state.rs Event enum) -----------------------------------
 
     def connecting_to_db(self) -> None:
+        self._db_connected = False
         self.status = NodeStatus.CONNECTING_TO_DB
 
     def connected_to_db(self) -> None:
-        pass
+        self._db_connected = True
 
     def discovering_indexes(self) -> None:
+        # the node must not advance past CONNECTING_TO_DB while the DB
+        # session has never connected (auth failure / unreachable cluster
+        # keep it there — node_state.rs transition order, validator
+        # auth.rs asserts exactly this)
+        if not getattr(self, "_db_connected", True):
+            return
         if self.status in (NodeStatus.INITIALIZING, NodeStatus.CONNECTING_TO_DB):
             if self._initial is not None:
                 if not self._initial:

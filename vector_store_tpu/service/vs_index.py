@@ -381,7 +381,14 @@ class VsIndexActor:
             if self._modify_queue:
                 ops = self._modify_queue[:MAX_MODIFY_BATCH]
                 del self._modify_queue[: len(ops)]
-                await loop.run_in_executor(None, self._apply_ops_batch, ops)
+                try:
+                    await loop.run_in_executor(None, self._apply_ops_batch, ops)
+                except Exception:
+                    # a poisoned batch (malformed vector, device error) must
+                    # not kill the actor loop — drop it and keep serving
+                    logger.exception(
+                        "dropping modify batch of %d ops after failure", len(ops)
+                    )
                 continue
 
             # 3) background engine maintenance (graph delta merges +
@@ -490,10 +497,7 @@ class VsIndexActor:
             for req, res in zip(batch, results):
                 loop = loop or req.future.get_loop()
                 resolved = self._resolve(req, res)
-                exhausted = (
-                    res.slots.size >= self.engine.size
-                    or k_used >= self.engine.size
-                )
+                exhausted = self._exhausted(req, res, k_used)
                 if len(resolved) >= req.limit or exhausted:
                     finished.append((req, resolved[: req.limit]))
                 elif req.oversample >= OVERSAMPLE_STEPS[-1]:
@@ -544,7 +548,7 @@ class VsIndexActor:
             still_pending: list[_SearchRequest] = []
             for req, res in zip(pending, results):
                 resolved = self._resolve(req, res)
-                exhausted = res.slots.size >= self.engine.size or k >= self.engine.size
+                exhausted = self._exhausted(req, res, k)
                 if len(resolved) >= req.limit or exhausted:
                     self._finish(req, resolved[: req.limit])
                 else:
@@ -552,6 +556,20 @@ class VsIndexActor:
             pending = still_pending
         for req in pending:  # best effort after last oversample step
             self._finish_last(req)
+
+    def _exhausted(self, req: _SearchRequest, res, k_used: int) -> bool:
+        """Has the whole candidate population been considered? For a
+        partitioned (local) query that population is the PARTITION, not the
+        table: the flat engine's partition directory makes its size O(1)
+        to read, which stops pointless k-escalation (each step would
+        compile a fresh device-program shape)."""
+        if res.slots.size >= self.engine.size or k_used >= self.engine.size:
+            return True
+        if req.partition is not None and hasattr(self.engine, "partition_count"):
+            return k_used >= max(
+                self.engine.partition_count(req.partition.slot), 1
+            )
+        return False
 
     def _finish_last(self, req: _SearchRequest) -> None:
         """Oversample steps exhausted: the whole index must be considered —
@@ -586,6 +604,11 @@ class VsIndexActor:
                 [req.partition.slot if req.partition else -1], dtype=np.int32
             )
         size = max(self.engine.size, 1)
+        if req.partition is not None and hasattr(self.engine, "partition_count"):
+            # a partitioned query's candidate population is the partition
+            size = max(
+                min(size, self.engine.partition_count(req.partition.slot)), 1
+            )
         k = min(size, req.limit * OVERSAMPLE_STEPS[-1] * 4)
         while True:
             res = self.engine.search(req.vector[None, :], k, partitions=partitions)[0]

@@ -469,6 +469,12 @@ class Table:
         target: DbIndexedValue | None = head.value
         if target is not None and target.kind == "filtering":
             raise ValueError("Expected vector or document for the target column")
+        if target is not None and target.value is None:
+            # NULL cell in the target column: the row exists but carries no
+            # vector/document — it is never indexed, and nulling an indexed
+            # row's value removes it (crud.rs null_vector_is_not_indexed)
+            target = None
+            head = Timestamped.tombstone(head.timestamp)
         timestamps = [
             Timestamped(head.timestamp, ())
             if head.is_valid
