@@ -244,3 +244,104 @@ class TestPartitionDirectory:
         idx, vecs, _ = self._mk()
         res = idx.search(vecs[0][None], k=5, partitions=np.array([99], np.int32))[0]
         assert res.slots.size == 0
+
+
+class TestPartitionKernel:
+    """Scalar-prefetch partition kernel path (ops/partition_scan.py) in
+    interpret mode: must match the XLA gather path through mutations,
+    moves, and geometry growth."""
+
+    def _mk(self, n=400, d=32, nparts=8):
+        idx = FlatDeviceIndex(d, initial_capacity=512, block_rows=64)
+        idx._part_interpret = True
+        # the ids-only kernel path resolves distances from the host mirror
+        idx.host_distances = True
+        idx._vecs_host = np.zeros((idx.capacity, d), dtype=np.float32)
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        parts = (np.arange(n) % nparts).astype(np.int32)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs, partitions=parts)
+        return idx, vecs, parts
+
+    def _compare(self, idx, queries, psel, k=8):
+        res_kernel = idx.search(queries, k, partitions=psel)
+        assert idx._part_kernel_probed and not idx._part_kernel_failed
+        idx._part_interpret = False  # forces the XLA gather path
+        res_xla = idx.search(queries, k, partitions=psel)
+        idx._part_interpret = True
+        for a, b in zip(res_kernel, res_xla):
+            # the kernel's group-min fold can drop ONE member of a
+            # candidate group holding two true top-k rows (same documented
+            # approximation as the flat pallas scan; the serving actor's
+            # oversample covers shortfalls) — require exact top-1 and
+            # >= k-1 overlap, with matching distances on the overlap
+            assert a.slots[0] == b.slots[0], (a.slots, b.slots)
+            inter = set(a.slots.tolist()) & set(b.slots.tolist())
+            assert len(inter) >= len(b.slots) - 1, (a.slots, b.slots)
+            da = {s: d for s, d in zip(a.slots, a.distances)}
+            db = {s: d for s, d in zip(b.slots, b.distances)}
+            for s in inter:
+                np.testing.assert_allclose(da[s], db[s], rtol=1e-4, atol=1e-4)
+
+    def test_kernel_matches_xla_path(self):
+        idx, vecs, parts = self._mk()
+        assert idx.part_vecs is not None
+        q = vecs[10:18]
+        self._compare(idx, q, parts[10:18])
+
+    def test_kernel_after_mutations(self):
+        idx, vecs, parts = self._mk(n=100, nparts=4)
+        # remove, move, and re-add
+        idx.remove_batch(np.asarray([8]))
+        idx.upsert_batch(
+            np.asarray([2]), np.asarray([5], np.int32),
+            vecs[2][None], partitions=np.asarray([3], np.int32),
+        )
+        new = RNG.normal(size=(1, vecs.shape[1])).astype(np.float32)
+        idx.upsert_batch(
+            np.asarray([100]), np.asarray([1], np.int32),
+            new, partitions=np.asarray([0], np.int32),
+        )
+        q = np.concatenate([vecs[:6], new])
+        psel = np.asarray([0, 1, 2, 3, 0, 1, 0], np.int32)
+        self._compare(idx, q, psel)
+        # the moved slot serves from its NEW partition only
+        r = idx.search(vecs[2][None], 30, partitions=np.asarray([3], np.int32))[0]
+        assert 2 in r.slots
+        r = idx.search(vecs[2][None], 30, partitions=np.asarray([2], np.int32))[0]
+        assert 2 not in r.slots
+
+    def test_kernel_after_pmax_growth(self):
+        d = 16
+        idx = FlatDeviceIndex(d, initial_capacity=1024, block_rows=64)
+        idx._part_interpret = True
+        idx.host_distances = True
+        idx._vecs_host = np.zeros((idx.capacity, d), dtype=np.float32)
+        n = 300  # partition 0 outgrows _PART_PMAX0 -> mirror rebuild
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n), np.zeros(n, np.int32), vecs,
+            partitions=np.zeros(n, np.int32),
+        )
+        assert idx.part_vecs.shape[0] == int(np.prod(idx.part_rows.shape))
+        self._compare(idx, vecs[5:13], np.zeros(8, np.int32), k=5)
+
+
+class TestIngestI8:
+    def test_i8_staged_ingest_recall(self):
+        """i8-staged uplink (VECTOR_STORE_INGEST_I8): rows ship as int8 +
+        per-row scale and dequantize to storage on device; search results
+        stay correct with exact top-1."""
+        n, d = 512, 24
+        vecs = RNG.normal(size=(n, d)).astype(np.float32)
+        a = FlatDeviceIndex(d, initial_capacity=1024, block_rows=64)
+        b = FlatDeviceIndex(d, initial_capacity=1024, block_rows=64, ingest_i8=True)
+        assert b.ingest_i8
+        for idx in (a, b):
+            idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        q = vecs[:16] + 0.01 * RNG.normal(size=(16, d)).astype(np.float32)
+        ra = a.search(q, 5)
+        rb = b.search(q, 5)
+        for i, (x, y) in enumerate(zip(ra, rb)):
+            assert x.slots[0] == y.slots[0] == i
+            # i8 staging perturbs ranking at ~0.4%/component; top-5 overlap
+            assert len(set(x.slots.tolist()) & set(y.slots.tolist())) >= 4

@@ -160,7 +160,138 @@ def main() -> None:
     c.add_argument("--username")
     c.add_argument("--password")
 
+    # load-side commands (reference main.rs:44-231)
+    b = sub.add_parser("build-buckets", help="assign selectivity buckets for a dataset")
+    b.add_argument("--data", required=True, help=".fbin base file")
+    b.add_argument("--out", default="buckets.npy")
+    b.add_argument("--seed", type=int, default=0)
+
+    t = sub.add_parser("build-table", help="create schema + upload dataset vectors")
+    t.add_argument("--uri", default="127.0.0.1:9042")
+    t.add_argument("--data", required=True, help=".fbin base file")
+    t.add_argument("--keyspace", default="vsbench")
+    t.add_argument("--table", default="vectors")
+    t.add_argument("--rf", type=int, default=1)
+    t.add_argument("--concurrency", type=int, default=64)
+    t.add_argument("--buckets", help="buckets.npy from build-buckets")
+    t.add_argument("--data-multiplicity", type=int, default=1)
+    t.add_argument("--username")
+    t.add_argument("--password")
+
+    i = sub.add_parser("build-index", help="CREATE CUSTOM INDEX ... USING 'vector_index'")
+    i.add_argument("--uri", default="127.0.0.1:9042")
+    i.add_argument("--keyspace", default="vsbench")
+    i.add_argument("--table", default="vectors")
+    i.add_argument("--index", default="vectors_idx")
+    i.add_argument("--local", action="store_true")
+    i.add_argument("--options")
+    i.add_argument("--username")
+    i.add_argument("--password")
+
+    di = sub.add_parser("drop-index")
+    di.add_argument("--uri", default="127.0.0.1:9042")
+    di.add_argument("--keyspace", default="vsbench")
+    di.add_argument("--index", default="vectors_idx")
+    di.add_argument("--username")
+    di.add_argument("--password")
+
+    dt = sub.add_parser("drop-table")
+    dt.add_argument("--uri", default="127.0.0.1:9042")
+    dt.add_argument("--keyspace", default="vsbench")
+    dt.add_argument("--username")
+    dt.add_argument("--password")
+
+    dr = sub.add_parser("delete-rows")
+    dr.add_argument("--uri", default="127.0.0.1:9042")
+    dr.add_argument("--keyspace", default="vsbench")
+    dr.add_argument("--table", default="vectors")
+    dr.add_argument("--ids", required=True, help="comma-separated or @file of ids")
+    dr.add_argument("--buckets", help="buckets.npy from build-buckets")
+    dr.add_argument("--concurrency", type=int, default=64)
+    dr.add_argument("--username")
+    dr.add_argument("--password")
+
     args = parser.parse_args()
+    if args.command in (
+        "build-buckets",
+        "build-table",
+        "build-index",
+        "drop-index",
+        "drop-table",
+        "delete-rows",
+    ):
+        from vector_store_tpu.benchkit import load as loadmod
+
+        if args.command == "build-buckets":
+            result = loadmod.build_buckets(args.data, args.out, seed=args.seed)
+        elif args.command == "build-table":
+            result = asyncio.run(
+                loadmod.build_table(
+                    args.uri,
+                    args.data,
+                    keyspace=args.keyspace,
+                    table=args.table,
+                    replication_factor=args.rf,
+                    concurrency=args.concurrency,
+                    buckets_path=args.buckets,
+                    data_multiplicity=args.data_multiplicity,
+                    username=args.username,
+                    password=args.password,
+                )
+            )
+        elif args.command == "build-index":
+            result = asyncio.run(
+                loadmod.build_index(
+                    args.uri,
+                    keyspace=args.keyspace,
+                    table=args.table,
+                    index=args.index,
+                    local=args.local,
+                    options=args.options,
+                    username=args.username,
+                    password=args.password,
+                )
+            )
+        elif args.command == "drop-index":
+            result = asyncio.run(
+                loadmod.drop_index(
+                    args.uri,
+                    keyspace=args.keyspace,
+                    index=args.index,
+                    username=args.username,
+                    password=args.password,
+                )
+            )
+        elif args.command == "drop-table":
+            result = asyncio.run(
+                loadmod.drop_table(
+                    args.uri,
+                    keyspace=args.keyspace,
+                    username=args.username,
+                    password=args.password,
+                )
+            )
+        else:
+            raw = args.ids
+            if raw.startswith("@"):
+                with open(raw[1:]) as f:
+                    ids = [int(x) for x in f.read().split()]
+            else:
+                ids = [int(x) for x in raw.split(",")]
+            result = asyncio.run(
+                loadmod.delete_rows(
+                    args.uri,
+                    ids,
+                    keyspace=args.keyspace,
+                    table=args.table,
+                    concurrency=args.concurrency,
+                    buckets_path=args.buckets,
+                    username=args.username,
+                    password=args.password,
+                )
+            )
+        print(json.dumps(result))
+        return
     if args.command == "search-http":
         queries = load_fbin(args.queries, count=args.limit_queries)
         gt = load_ibin(args.ground_truth) if args.ground_truth else None

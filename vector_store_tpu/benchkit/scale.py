@@ -1,0 +1,326 @@
+"""BASELINE configs 3 and 4 at full scale (BASELINE.md):
+
+  3. DBpedia-OpenAI shape: 1M x 1536-d, quantized index (bf16 / i8),
+     cosine, recall@10 gate.
+  4. Deep-10M shape: 10M x 96-d bf16, cosine, throughput at fixed recall.
+
+No real dataset files ship in this zero-egress environment (benchkit's
+fbin/parquet loaders run when files are present — data.py), so the rows
+are synthetic clustered Gaussians with the SAME shape/scale, and ground
+truth is exact f32 brute force on the actual stored rows. The artifact
+states this; the measured machinery (ingest -> device k-means -> grouped
+scan serving -> exact-recall gate) is identical either way.
+
+Usage:
+  python -m vector_store_tpu.benchkit.scale dbpedia-bf16
+  python -m vector_store_tpu.benchkit.scale dbpedia-i8
+  python -m vector_store_tpu.benchkit.scale deep10m
+Each prints one JSON line and appends it to SCALE_RUNS.jsonl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CONFIGS = {
+    # name: (n, d, quantization, ingest_i8)
+    "dbpedia-bf16": (1_000_000, 1536, "BF16", True),
+    "dbpedia-i8": (1_000_000, 1536, "I8", False),
+    "deep10m": (10_000_000, 96, "BF16", True),
+}
+
+
+def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
+    """ENGINE=graph at scale (VERDICT r2 #4: produce the graph-at-1M
+    validation numbers or retract the claim): build the lockstep
+    beam-search graph by draining delta merges, then recall@10 + QPS."""
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine.graph import GraphDeviceIndex
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    rng = np.random.default_rng(77)
+    batch = int(os.environ.get("SCALE_BATCH", 2048))
+    k, nq = 10, 512
+    out: dict = {"config": f"graph-{n // 1000}k", "n": n, "d": d, "quant": "BF16"}
+
+    centers = rng.normal(size=(512, d)).astype(np.float32)
+    assign = rng.integers(0, 512, size=n)
+    index = GraphDeviceIndex(
+        d,
+        space_type=SpaceType.EUCLIDEAN,
+        quantization=Quantization.BF16,
+        initial_capacity=n + 1024,
+    )
+    all_vecs = np.empty((n, d), dtype=np.float32)
+    held = None
+    chunk = 131072
+    t0 = time.time()
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = centers[assign[lo:hi]] + rng.normal(size=(hi - lo, d)).astype(
+            np.float32
+        )
+        all_vecs[lo:hi] = block
+        if held is None:
+            held = block[:nq] + 0.1 * rng.normal(size=(nq, d)).astype(np.float32)
+        index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), block)
+        # merge as we go so the delta buffer stays bounded
+        merged = 0
+        while index.maintain(16384):
+            merged += 1
+            if merged > 64:
+                break
+        print(
+            f"[scale] graph ingest+merge {hi}/{n} ({time.time() - t0:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+    while index.maintain(16384):
+        pass
+    out["build_seconds"] = round(time.time() - t0, 1)
+    out["build_vectors_per_sec"] = round(n / out["build_seconds"], 0)
+    out["device_bytes"] = int(index.device_bytes) if hasattr(index, "device_bytes") else None
+
+    # exact ground truth
+    q2 = (held**2).sum(-1)
+    best_d = np.full((nq, 0), np.inf, dtype=np.float32)
+    best_i = np.zeros((nq, 0), dtype=np.int64)
+    for lo in range(0, n, 500_000):
+        hi = min(lo + 500_000, n)
+        blk = all_vecs[lo:hi]
+        dist = q2[:, None] + (blk**2).sum(-1)[None, :] - 2.0 * held @ blk.T
+        top = np.argpartition(dist, k, axis=1)[:, :k]
+        best_d = np.concatenate([best_d, np.take_along_axis(dist, top, axis=1)], axis=1)
+        best_i = np.concatenate([best_i, top + lo], axis=1)
+    gt = np.take_along_axis(best_i, np.argsort(best_d, axis=1)[:, :k], axis=1)
+
+    reps = max(1, -(-batch // nq))
+    gate_q = np.tile(held, (reps, 1))[:batch]
+
+    def calc_recall() -> float:
+        got = index.search(gate_q, k)[:nq]
+        return float(
+            np.mean(
+                [
+                    len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+                    for i, r in enumerate(got)
+                ]
+            )
+        )
+
+    recall = calc_recall()
+    print(f"[scale] graph recall {recall:.4f} @ ef {index.expansion_search}", file=sys.stderr, flush=True)
+    while recall < 0.95 and index.expansion_search < 512:
+        index.expansion_search *= 2
+        recall = calc_recall()
+        print(
+            f"[scale] graph recall {recall:.4f} @ ef {index.expansion_search}",
+            file=sys.stderr,
+            flush=True,
+        )
+    out["recall_at_10"] = round(recall, 4)
+    out["recall_gate_passed"] = bool(recall >= 0.95)
+    out["expansion_search"] = index.expansion_search
+
+    index.search(gate_q, k)
+    reps = 12
+    t0 = time.time()
+    pends = [index.search_begin(gate_q, k) for _ in range(reps)]
+    index.collect_many(pends)
+    out["e2e_qps_burst"] = round(batch * reps / (time.time() - t0), 1)
+    out["data"] = "synthetic clustered gaussians; exact f32 ground truth"
+    return out
+
+
+def run(name: str) -> dict:
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine.ivf import IvfDeviceIndex
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    n, d, quant_name, ingest_i8 = CONFIGS[name]
+    quant = Quantization[quant_name]
+    batch = int(os.environ.get("SCALE_BATCH", 2048))
+    k = 10
+    nq = 512
+    rng = np.random.default_rng(1234)
+
+    # clustered unit-normalized rows (embedding-like)
+    n_centers = 1024
+    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
+    out: dict = {"config": name, "n": n, "d": d, "quant": quant_name}
+
+    index = IvfDeviceIndex(
+        d,
+        space_type=SpaceType.COSINE,
+        quantization=quant,
+        initial_capacity=n + 1024,
+        nprobe=int(os.environ.get("SCALE_NPROBE", 32)),
+        ingest_i8=ingest_i8,
+    )
+    chunk = 131072
+    t0 = time.time()
+    held = None
+    # keep the full normalized rows host-side for exact ground truth
+    all_vecs = np.empty((n, d), dtype=np.float32)
+    assign = rng.integers(0, n_centers, size=n)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = centers[assign[lo:hi]] + 0.25 * rng.normal(
+            size=(hi - lo, d)
+        ).astype(np.float32)
+        block /= np.linalg.norm(block, axis=-1, keepdims=True)
+        all_vecs[lo:hi] = block
+        if held is None:
+            held = block[:nq] + 0.02 * rng.normal(size=(nq, d)).astype(
+                np.float32
+            )
+        index.upsert_batch(
+            np.arange(lo, hi), np.zeros(hi - lo, np.int32), block
+        )
+        if lo // chunk % 8 == 0:
+            print(
+                f"[scale] ingested {hi}/{n} ({time.time() - t0:.0f}s)",
+                file=sys.stderr,
+                flush=True,
+            )
+    out["ingest_seconds"] = round(time.time() - t0, 1)
+    out["ingest_uplink"] = "int8+scale" if (ingest_i8 or quant_name == "I8") else quant_name
+
+    t0 = time.time()
+    index.maintain()
+    out["build_seconds"] = round(time.time() - t0, 1)
+    out["build_vectors_per_sec"] = round(
+        n / (out["ingest_seconds"] + out["build_seconds"]), 0
+    )
+    out["nlist"] = index.nlist
+    out["cmax"] = index.cmax
+    out["device_bytes"] = int(index.device_bytes)
+    index._warm_queue.clear()
+
+    # exact cosine ground truth on the stored rows (host, blocked)
+    qn = held / np.linalg.norm(held, axis=-1, keepdims=True)
+    t0 = time.time()
+    best_d = np.full((nq, 0), np.inf, dtype=np.float32)
+    best_i = np.zeros((nq, 0), dtype=np.int64)
+    for lo in range(0, n, 500_000):
+        hi = min(lo + 500_000, n)
+        dist = 1.0 - qn @ all_vecs[lo:hi].T
+        top = np.argpartition(dist, k, axis=1)[:, :k]
+        best_d = np.concatenate(
+            [best_d, np.take_along_axis(dist, top, axis=1)], axis=1
+        )
+        best_i = np.concatenate([best_i, top + lo], axis=1)
+    order = np.argsort(best_d, axis=1)[:, :k]
+    gt = np.take_along_axis(best_i, order, axis=1)
+    out["gt_seconds"] = round(time.time() - t0, 1)
+
+    reps = max(1, -(-batch // nq))
+    gate_q = np.tile(held, (reps, 1))[:batch]
+
+    def calc_recall() -> float:
+        got = index.search(gate_q, k)[:nq]
+        return float(
+            np.mean(
+                [
+                    len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+                    for i, r in enumerate(got)
+                ]
+            )
+        )
+
+    recall = calc_recall()
+    print(f"[scale] recall {recall:.4f} @ nprobe {index.nprobe}", file=sys.stderr, flush=True)
+    while recall < 0.95 and index.nprobe < min(index.nlist, 512):
+        index.nprobe = min(index.nprobe * 2, 512)
+        recall = calc_recall()
+        print(
+            f"[scale] recall {recall:.4f} @ nprobe {index.nprobe}",
+            file=sys.stderr,
+            flush=True,
+        )
+    out["recall_at_10"] = round(recall, 4)
+    out["recall_gate_passed"] = bool(recall >= 0.95)
+    out["nprobe"] = index.nprobe
+
+    # throughput: pipelined begins + one aggregated pull per window
+    queries = gate_q
+    index.search(queries, k)  # warm
+    reps = 24
+    t0 = time.time()
+    pends = [index.search_begin(queries, k) for _ in range(reps)]
+    index.collect_many(pends)
+    out["e2e_qps_burst"] = round(batch * reps / (time.time() - t0), 1)
+
+    # forced-execution compute-side (chained; see bench.py)
+    try:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from vector_store_tpu.ops.ivf import choose_budget, ivf_candidates
+
+        m_chain = 32
+        qs_dev = index._prep_queries(
+            queries / np.linalg.norm(queries, axis=-1, keepdims=True)
+        )
+        kwargs = dict(
+            k=16,
+            nprobe=min(index.nprobe, index.nlist),
+            s=choose_budget(batch, min(index.nprobe, index.nlist), index.nlist),
+            cmax=index.cmax,
+            spherical=True,
+        )
+        q_live = jnp.ones((batch,), jnp.bool_)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def chain(qs0, vecs, paux, cent, *, m):
+            def body(_, q):
+                packed, _dr = ivf_candidates(vecs, paux, cent, q, q_live, **kwargs)
+                return q + (packed[0, :, :1] * 1e-34).astype(q.dtype)
+
+            q = jax.lax.fori_loop(0, m, body, qs0)
+            packed, _dr = ivf_candidates(vecs, paux, cent, q, q_live, **kwargs)
+            return packed
+
+        args = (qs_dev, index.main_vecs, index.main_paux, index.centroids)
+        np.asarray(chain(*args, m=m_chain))
+        t0 = time.time()
+        np.asarray(chain(*args, m=m_chain))
+        out["compute_side_qps"] = round(
+            batch * (m_chain + 1) / (time.time() - t0), 1
+        )
+    except Exception as e:
+        out["compute_side_qps"] = None
+        out["compute_side_error"] = f"{type(e).__name__}: {e}"
+
+    out["data"] = (
+        "synthetic clustered unit gaussians at the config's shape; exact "
+        "f32 cosine ground truth on the stored rows"
+    )
+    return out
+
+
+def main() -> None:
+    name = sys.argv[1] if len(sys.argv) > 1 else "dbpedia-bf16"
+    if name.startswith("graph"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_graph(n=n)
+    else:
+        result = run(name)
+    line = json.dumps(result)
+    print(line)
+    with open("SCALE_RUNS.jsonl", "a") as f:
+        f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

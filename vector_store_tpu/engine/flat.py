@@ -159,6 +159,52 @@ def _flat_search(
     return _pack_results(best_d, best_i, best_e)
 
 
+@jax.jit
+def _part_rebuild_mirror(vectors, paux, rows_flat):
+    """Derive the partition-major mirror wholesale from the flat arrays:
+    rows_flat [P_cap*pmax] i32 slot per position (-1 empty)."""
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    safe = jnp.maximum(rows_flat, 0)
+    pv = vectors[safe]
+    pa = jnp.zeros((8, rows_flat.shape[0]), jnp.float32)
+    pa = pa.at[0].set(paux[0, safe])
+    pa = pa.at[1].set(
+        jnp.where(rows_flat >= 0, paux[1, safe], INVALID_BIAS)
+    )
+    return pv, pa
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _part_refresh_buckets(part_vecs, part_paux, vectors, paux, idx, rows):
+    """Re-derive whole buckets (post-removal swaps): idx [m] bucket ids,
+    rows [m, pmax] their current slot lists."""
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    m, pmax = rows.shape
+    flat_rows = rows.reshape(-1)
+    safe = jnp.maximum(flat_rows, 0)
+    flatpos = (
+        idx[:, None] * pmax + jnp.arange(pmax, dtype=jnp.int32)[None, :]
+    ).reshape(-1)
+    part_vecs = part_vecs.at[flatpos].set(vectors[safe])
+    part_paux = part_paux.at[0, flatpos].set(paux[0, safe])
+    part_paux = part_paux.at[1, flatpos].set(
+        jnp.where(flat_rows >= 0, paux[1, safe], INVALID_BIAS)
+    )
+    return part_vecs, part_paux
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _part_apply_adds(part_vecs, part_paux, vectors, paux, pos, slots):
+    """Scatter appended rows into the partition-major mirror; the vector
+    bytes come from the device flat array (zero extra host uplink)."""
+    part_vecs = part_vecs.at[pos].set(vectors[slots])
+    part_paux = part_paux.at[0, pos].set(paux[0, slots])
+    part_paux = part_paux.at[1, pos].set(paux[1, slots])
+    return part_vecs, part_paux
+
+
 @functools.partial(jax.jit, static_argnames=("space", "quant", "k"))
 def _part_search(
     vectors: jax.Array,  # [cap, Dp] storage dtype
@@ -435,6 +481,7 @@ class FlatDeviceIndex:
         device: jax.Device | None = None,
         host_distances: bool | None = None,
         query_i8: bool | None = None,
+        ingest_i8: bool | None = None,
     ) -> None:
         self.dimensions = dimensions
         self.space_type = space_type
@@ -515,6 +562,21 @@ class FlatDeviceIndex:
             and quantization
             in (Quantization.F32, Quantization.BF16, Quantization.F16)
         )
+        # i8-staged ingest uplink: rows ship as int8 + per-row scale and
+        # dequantize to the storage dtype ON DEVICE — half the bytes of a
+        # bf16 upload through the slow host link. Effective storage
+        # precision becomes ~i8 (per-row scaled, ~0.4%/component), so it is
+        # OPT-IN (env VECTOR_STORE_INGEST_I8 or constructor); exact f32
+        # distances still come from the host mirror.
+        if ingest_i8 is None:
+            import os as _os
+
+            ingest_i8 = _os.environ.get("VECTOR_STORE_INGEST_I8", "") == "1"
+        self.ingest_i8 = ingest_i8 and quantization in (
+            Quantization.F32,
+            Quantization.BF16,
+            Quantization.F16,
+        )
 
         # partition directory (local indexes): per-partition row lists on
         # device so a partitioned search gathers O(partition-size) rows
@@ -531,6 +593,18 @@ class FlatDeviceIndex:
         self._slot_pos = np.full((cap,), -1, dtype=np.int32)
         self.part_rows: jax.Array | None = None
         self._part_overflow = False
+        # partition-major device mirror for the scalar-prefetch kernel
+        # (ops/partition_scan.py): [P_cap*pmax, Dp] vectors + [8, ...] rank
+        # coefficients, kept in sync incrementally. Serving reads exactly
+        # the probed partition blocks at stream bandwidth.
+        self.part_vecs: jax.Array | None = None
+        self.part_paux: jax.Array | None = None
+        self._part_interpret = False  # tests force interpret-mode kernels
+        self._part_kernel_probed = False
+        self._part_kernel_failed = False
+        self._part_pending_adds: list[tuple[int, int]] = []  # (pos, slot)
+        self._part_refresh: set[int] = set()  # buckets needing re-derive
+        self._part_rebuild = False
 
     # -- capacity ------------------------------------------------------------
 
@@ -554,6 +628,11 @@ class FlatDeviceIndex:
             total += cap * (2 * self.dp_rescore + 4)
         if self.part_rows is not None:
             total += 4 * int(np.prod(self.part_rows.shape))
+        if self.part_vecs is not None:
+            total += (
+                self.part_vecs.dtype.itemsize * int(np.prod(self.part_vecs.shape))
+                + 4 * int(np.prod(self.part_paux.shape))
+            )
         return total
 
     @property
@@ -641,11 +720,37 @@ class FlatDeviceIndex:
             # storage lets the fused pallas path treat cosine as dot
             norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-30)
-        vals = quantize_for_storage(vectors, self.quantization)
-        pad = self.dp - vals.shape[-1]
-        if pad:
-            vals = np.pad(vals, [(0, 0), (0, pad)])
-        new_aux = vector_aux(vals, self.space_type, self.quantization)
+        if self.ingest_i8:
+            # wire format: int8 + per-row scale, dequantized to the storage
+            # dtype on device (half the uplink bytes of bf16)
+            vpad = vectors
+            pad = self.dp - vpad.shape[-1]
+            if pad:
+                vpad = np.pad(vpad, [(0, 0), (0, pad)])
+            iscale = np.maximum(np.abs(vpad).max(axis=1), 1e-20) / 127.0
+            vi8 = np.clip(
+                np.rint(vpad / iscale[:, None]), -127, 127
+            ).astype(np.int8)
+            vals_repr = vi8.astype(np.float32) * iscale[:, None]
+            vals_dev = _dequant_queries(
+                jnp.asarray(vi8),
+                jnp.asarray(iscale.astype(np.float32)),
+                dt=np.dtype(storage_dtype(self.quantization)).name,
+            )
+        else:
+            vals = quantize_for_storage(vectors, self.quantization)
+            pad = self.dp - vals.shape[-1]
+            if pad:
+                vals = np.pad(vals, [(0, 0), (0, pad)])
+            vals_repr = vals.astype(np.float32)
+            vals_dev = jnp.asarray(vals)
+        new_aux = vector_aux(
+            vals_repr
+            if self.ingest_i8
+            else vals,
+            self.space_type,
+            self.quantization,
+        )
         if partitions is None:
             partitions = np.full((slots.size,), -1, dtype=np.int32)
         self.vectors, self.aux, self.epochs, self.valid, self.parts = _apply_upserts(
@@ -655,17 +760,15 @@ class FlatDeviceIndex:
             self.valid,
             self.parts,
             jnp.asarray(slots),
-            jnp.asarray(vals),
+            vals_dev,
             jnp.asarray(new_aux),
             jnp.asarray(np.asarray(epochs, dtype=np.int32)),
             jnp.asarray(np.asarray(partitions, dtype=np.int32)),
         )
-        if self.use_pallas:
+        if self.use_pallas or self._part_interpret:
             from vector_store_tpu.ops.pallas_scan import paux_coeffs
 
-            a_row, b_row = paux_coeffs(
-                self.space_type, vals.astype(np.float32)
-            )
+            a_row, b_row = paux_coeffs(self.space_type, vals_repr)
             self.paux = _apply_paux_upserts(
                 self.paux,
                 jnp.asarray(slots),
@@ -706,7 +809,7 @@ class FlatDeviceIndex:
             return
         was_valid = self._valid_host[slots]
         self.valid = _apply_removes(self.valid, jnp.asarray(slots))
-        if self.use_pallas:
+        if self.use_pallas or self._part_interpret:
             self.paux = _apply_paux_removes(self.paux, jnp.asarray(slots))
         self._valid_host[slots] = False
         self._live -= int(was_valid.sum())
@@ -764,10 +867,17 @@ class FlatDeviceIndex:
                 while base + c > self._part_rows_host.shape[1]:
                     if not self._part_grow_pmax():
                         return  # overflowed: directory disabled
+                pmax = self._part_rows_host.shape[1]
                 seg = ss[st : st + c]
                 self._part_rows_host[b, base : base + c] = seg
                 self._slot_pos[seg] = np.arange(base, base + c, dtype=np.int32)
                 self._part_count[b] = base + c
+                self._part_pending_adds.extend(
+                    zip(
+                        range(b * pmax + base, b * pmax + base + c),
+                        seg.tolist(),
+                    )
+                )
                 dirty.add(b)
         for slot, p, old, wv in zip(
             slots[slow].tolist(),
@@ -793,9 +903,11 @@ class FlatDeviceIndex:
         if c >= self._part_rows_host.shape[1]:
             if not self._part_grow_pmax():
                 return  # overflowed: directory disabled
+        pmax = self._part_rows_host.shape[1]
         self._part_rows_host[b, c] = slot
         self._slot_pos[slot] = c
         self._part_count[b] = c + 1
+        self._part_pending_adds.append((b * pmax + c, slot))
         dirty.add(b)
 
     def _part_remove_one(self, slot: int, p: int, dirty: set[int]) -> None:
@@ -812,6 +924,7 @@ class FlatDeviceIndex:
         self._part_rows_host[b, c] = -1
         self._part_count[b] = c
         self._slot_pos[slot] = -1
+        self._part_refresh.add(b)  # swap-moves re-derive the whole bucket
         dirty.add(b)
 
     def _part_new_bucket(self, p: int) -> int:
@@ -868,11 +981,71 @@ class FlatDeviceIndex:
             return
         if self.part_rows.shape != self._part_rows_host.shape:
             self.part_rows = jnp.asarray(self._part_rows_host)
-            return
-        idx = np.fromiter(dirty, np.int32, len(dirty))
-        self.part_rows = self.part_rows.at[jnp.asarray(idx)].set(
-            jnp.asarray(self._part_rows_host[idx])
+        else:
+            idx = np.fromiter(dirty, np.int32, len(dirty))
+            self.part_rows = self.part_rows.at[jnp.asarray(idx)].set(
+                jnp.asarray(self._part_rows_host[idx])
+            )
+        self._part_device_sync()
+
+    def _part_kernel_enabled(self) -> bool:
+        from vector_store_tpu.ops.pallas_scan import supports
+
+        return (
+            (self.use_pallas or self._part_interpret)
+            and not self._part_kernel_failed
+            and supports(self.space_type, self.quantization)
         )
+
+    def _part_device_sync(self) -> None:
+        """Bring the partition-major mirror up to date: full rebuild on
+        geometry change, per-bucket re-derive after removals/moves, and a
+        batched scatter for plain appends. All vector bytes come from the
+        DEVICE flat arrays (no second host upload)."""
+        if not self._part_kernel_enabled():
+            self._part_pending_adds.clear()
+            self._part_refresh.clear()
+            self._part_rebuild = False
+            return
+        pmax = self._part_rows_host.shape[1]
+        npos = self._part_rows_host.shape[0] * pmax
+        if (
+            self.part_vecs is None
+            or self.part_vecs.shape[0] != npos
+            or self._part_rebuild
+        ):
+            rows = jnp.asarray(self._part_rows_host.reshape(-1))
+            self.part_vecs, self.part_paux = _part_rebuild_mirror(
+                self.vectors, self.paux, rows
+            )
+            self._part_rebuild = False
+            self._part_pending_adds.clear()
+            self._part_refresh.clear()
+            return
+        if self._part_refresh:
+            idx = np.fromiter(
+                self._part_refresh, np.int32, len(self._part_refresh)
+            )
+            self._part_refresh.clear()
+            self.part_vecs, self.part_paux = _part_refresh_buckets(
+                self.part_vecs,
+                self.part_paux,
+                self.vectors,
+                self.paux,
+                jnp.asarray(idx),
+                jnp.asarray(self._part_rows_host[idx]),
+            )
+        if self._part_pending_adds:
+            arr = np.asarray(self._part_pending_adds, dtype=np.int64)
+            self._part_pending_adds.clear()
+            self.part_vecs, self.part_paux = _part_apply_adds(
+                self.part_vecs,
+                self.part_paux,
+                self.vectors,
+                self.paux,
+                jnp.asarray(arr[:, 0].astype(np.int32)),
+                jnp.asarray(arr[:, 1].astype(np.int32)),
+            )
 
     # -- search ----------------------------------------------------------------
 
@@ -1013,6 +1186,52 @@ class FlatDeviceIndex:
             psel.shape[0],
         )
         pmax = self.part_rows.shape[1]
+
+        # fast path: the scalar-prefetch kernel DMAs exactly each query's
+        # partition block (ops/partition_scan.py); ids-only downlink with
+        # exact host-side distance recompute. Falls back permanently to
+        # the XLA gather path on a Mosaic failure.
+        if (
+            self._part_kernel_enabled()
+            and self.part_vecs is not None
+            and self._vecs_host is not None
+            and k_pad <= 128
+        ):
+            from vector_store_tpu.ops.partition_scan import (
+                partition_candidates,
+            )
+
+            try:
+                qdev = self._query_device_array(qs, queries_f32)
+                ids = partition_candidates(
+                    self.part_vecs,
+                    self.part_paux,
+                    self.part_rows,
+                    qdev,
+                    jnp.asarray(bsel),
+                    k=min(k, k_pad),
+                    pmax=pmax,
+                    interpret=self._part_interpret,
+                )
+                if not self._part_kernel_probed:
+                    jax.block_until_ready(ids)
+                    self._part_kernel_probed = True
+                return PendingSearch(
+                    packed=ids,
+                    b_real=b_real,
+                    k=k,
+                    kind="ids",
+                    q_f32=queries_f32,
+                    engine=self,
+                )
+            except Exception:
+                logger.warning(
+                    "partition-scan kernel unavailable on this backend; "
+                    "serving local searches via the XLA gather path",
+                    exc_info=True,
+                )
+                self._part_kernel_failed = True
+
         k_search = min(k_pad, pmax)
         if self.rescore:
             k_search = min(

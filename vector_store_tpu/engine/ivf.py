@@ -246,6 +246,7 @@ class IvfDeviceIndex:
         kmeans_sample_cap: int | None = None,
         device: jax.Device | None = None,
         query_i8: bool | None = None,
+        ingest_i8: bool | None = None,
         interpret: bool = False,
     ) -> None:
         if not ivf_supports(space_type, quantization):
@@ -264,6 +265,7 @@ class IvfDeviceIndex:
         self.kmeans_block = kmeans_block
         self.kmeans_sample_cap = kmeans_sample_cap
         self.reserve_increment = reserve_increment
+        self.ingest_i8 = ingest_i8
         self.interpret = interpret
         self.device = device or jax.devices()[0]
         self.dp = padded_dim(dimensions, quantization)
@@ -285,6 +287,7 @@ class IvfDeviceIndex:
             device=self.device,
             host_distances=True,
             query_i8=query_i8,
+            ingest_i8=ingest_i8,
         )
         if interpret:
             self._set_delta_interpret()
@@ -850,6 +853,7 @@ class IvfDeviceIndex:
             device=self.device,
             host_distances=True,
             query_i8=self.query_i8,
+            ingest_i8=self.ingest_i8,
         )
         if self.interpret:
             self._set_delta_interpret()
