@@ -185,12 +185,11 @@ def run(name: str) -> dict:
         index.upsert_batch(
             np.arange(lo, hi), np.zeros(hi - lo, np.int32), block
         )
-        if lo // chunk % 8 == 0:
-            print(
-                f"[scale] ingested {hi}/{n} ({time.time() - t0:.0f}s)",
-                file=sys.stderr,
-                flush=True,
-            )
+        print(
+            f"[scale] ingested {hi}/{n} ({time.time() - t0:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
     out["ingest_seconds"] = round(time.time() - t0, 1)
     out["ingest_uplink"] = "int8+scale" if (ingest_i8 or quant_name == "I8") else quant_name
 
