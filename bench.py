@@ -253,7 +253,8 @@ def main() -> None:
             float(np.median(window_qps)) if window_qps else None,
         )
 
-    qps, p50_ms, window_med = e2e_run(iters, agg)
+    inflight = int(os.environ.get("BENCH_INFLIGHT", 1))
+    qps, p50_ms, window_med = e2e_run(iters, agg, max_queued=inflight)
 
     # bounded-latency operating point: the BASELINE metric is QPS *at* a
     # p50 a user would accept, not saturation throughput. Walk the pipeline

@@ -530,6 +530,7 @@ class TestIvfI8:
 
         n, d = 2048, 32
         vecs, _ = clustered(n, d)
+        vecs = vecs / np.abs(vecs).max()  # I8 storage expects [-1, 1]
         idx = IvfDeviceIndex(
             d,
             space_type=SpaceType.EUCLIDEAN,
@@ -545,7 +546,9 @@ class TestIvfI8:
         idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
         assert idx.maintain()
         idx._warm_queue.clear()
-        new = RNG.normal(size=(8, d)).astype(np.float32) * 3 + 30
+        new = (
+            RNG.normal(size=(8, d)).astype(np.float32) * 0.02 + 0.9
+        )  # distinct cluster, inside the i8 range
         idx.upsert_batch(np.arange(n, n + 8), np.full(8, 7, np.int32), new)
         res = idx.search(new, 3)
         for i, r in enumerate(res):

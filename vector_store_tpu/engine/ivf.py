@@ -288,6 +288,11 @@ class IvfDeviceIndex:
             host_distances=True,
             query_i8=query_i8,
             ingest_i8=ingest_i8,
+            # the IVF engine rescores exactly from its own f32 host mirror
+            # (ids path), so the flat delta's bf16 rescore tier would be
+            # pure waste — for i8 it TRIPLED ingest upload (i8 rows + bf16
+            # rescore copies) through the slow host link
+            rescore=False,
         )
         if interpret:
             self._set_delta_interpret()
@@ -854,6 +859,7 @@ class IvfDeviceIndex:
             host_distances=True,
             query_i8=self.query_i8,
             ingest_i8=self.ingest_i8,
+            rescore=False,  # exact rescore comes from the IVF host mirror
         )
         if self.interpret:
             self._set_delta_interpret()
