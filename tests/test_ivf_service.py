@@ -125,3 +125,80 @@ async def test_auto_engine_is_ivf_and_rebuild_serves(monkeypatch):
     finally:
         await client.close()
         await service.stop()
+
+
+async def test_low_selectivity_filter_uses_exact_escalation(monkeypatch):
+    """A filter matching ~0.3% of rows (the reference's selectivity-bucket
+    regime) must still return `limit` rows: the actor's oversample steps
+    exhaust against the IVF candidate cap and the exact host-mirror
+    escalation (search_exact_host) completes the result — with no fresh
+    device-program compiles (ADVICE r2: k-escalation compiled new shapes
+    and still couldn't exceed the cap)."""
+    import vector_store_tpu.ops.pallas_scan as ps
+
+    orig = ps.pallas_rank_search
+
+    def interp(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ps, "pallas_rank_search", interp)
+    import vector_store_tpu.engine.ivf as ivf_mod
+
+    monkeypatch.setattr(
+        ivf_mod.IvfDeviceIndex, "_set_delta_interpret", lambda self: None
+    )
+
+    n = 3000
+    db = FakeDb()
+    db.add_table(
+        FakeTable("ks", "tbl", ("pk",), columns={"rare": "int"})
+    )
+    vecs = RNG.normal(size=(n, DIMS)).astype(np.float32)
+    rows = []
+    for i in range(n):
+        rare = 1 if i % 300 == 0 else 0  # 10 matching rows (~0.33%)
+        rows.append(
+            vector_row((i,), vecs[i].tolist(), 100, filtering=[(100, rare)])
+        )
+    md = make_vs_metadata(dimensions=DIMS, filtering_columns=("rare",))
+    db.add_index(FakeIndex(metadata=md, scan=rows))
+    service = await build_service(
+        db, Config(monitor_indexes_interval=0.05, engine_kind="auto")
+    )
+    # force a small build threshold so IVF clusters at this test size
+    entry_wait = asyncio.get_event_loop().time() + 30
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        await _wait_serving(client, n)
+        entry = service.indexes.get_vs(("ks", "idx"))
+        eng = entry.actor.engine
+        # shrink thresholds and cluster NOW so the candidate cap is real
+        if hasattr(eng, "min_build"):
+            eng.min_build = 1024
+            eng.kmeans_block = 1024
+            eng.kmeans_iters = 2
+            eng.interpret = True
+            assert eng.maintain() is True
+            eng._warm_queue.clear()
+            assert eng.main_vecs is not None
+        resp = await client.post(
+            "/api/v1/indexes/ks/idx/ann",
+            json={
+                "vector": vecs[0].tolist(),
+                "limit": 10,
+                "filter": {
+                    "restrictions": [{"type": "==", "lhs": "rare", "rhs": 1}],
+                    "allow_filtering": True,
+                },
+            },
+        )
+        assert resp.status == 200, await resp.text()
+        data = await resp.json()
+        got = data["primary_keys"]["pk"]
+        assert len(got) == 10, got  # ALL matching rows found
+        assert all(pk % 300 == 0 for pk in got), got
+    finally:
+        await client.close()
+        await service.stop()
