@@ -150,11 +150,12 @@ def run(name: str) -> dict:
     k = 10
     nq = 512
     rng = np.random.default_rng(1234)
+    seed = 1234
 
-    # clustered unit-normalized rows (embedding-like)
+    # clustered rows (embedding-like) from the twin host/device generator:
+    # the device copy is generated ON DEVICE from a scalar, so ingest does
+    # not ride the relay's host->device link at all (benchkit/synth.py)
     n_centers = 1024
-    centers = rng.normal(size=(n_centers, d)).astype(np.float32)
-    centers /= np.linalg.norm(centers, axis=-1, keepdims=True)
     out: dict = {"config": name, "n": n, "d": d, "quant": quant_name}
 
     index = IvfDeviceIndex(
@@ -165,33 +166,34 @@ def run(name: str) -> dict:
         nprobe=int(os.environ.get("SCALE_NPROBE", 32)),
         ingest_i8=ingest_i8,
     )
+    from vector_store_tpu.benchkit import synth
+
     chunk = 131072
     t0 = time.time()
     held = None
     # keep the full normalized rows host-side for exact ground truth
     all_vecs = np.empty((n, d), dtype=np.float32)
-    assign = rng.integers(0, n_centers, size=n)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        block = centers[assign[lo:hi]] + 0.25 * rng.normal(
-            size=(hi - lo, d)
-        ).astype(np.float32)
-        block /= np.linalg.norm(block, axis=-1, keepdims=True)
+        rows_host = synth.synth_rows_np(seed, lo, hi, d, n_centers)
+        rows_dev = synth.synth_rows_jax(seed, lo, hi, d, n_centers)
+        block = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
         all_vecs[lo:hi] = block
         if held is None:
             held = block[:nq] + 0.02 * rng.normal(size=(nq, d)).astype(
                 np.float32
             )
-        index.upsert_batch(
-            np.arange(lo, hi), np.zeros(hi - lo, np.int32), block
-        )
+        index.upsert_bulk_device(lo, hi, rows_dev, rows_host)
         print(
             f"[scale] ingested {hi}/{n} ({time.time() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
+    import jax
+
+    jax.block_until_ready(index._delta.vectors)
     out["ingest_seconds"] = round(time.time() - t0, 1)
-    out["ingest_uplink"] = "int8+scale" if (ingest_i8 or quant_name == "I8") else quant_name
+    out["ingest_uplink"] = "device-side synth (scalars only)"
 
     t0 = time.time()
     index.maintain()

@@ -404,6 +404,99 @@ def pull_packed_many(packeds: list[jax.Array]) -> list[np.ndarray]:
     return jax.device_get(packeds)
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1, 2, 3, 4, 5),
+    static_argnames=("space_kind", "dt", "normalize"),
+)
+def _bulk_ingest(
+    vectors,
+    aux,
+    epochs,
+    valid,
+    parts,
+    paux,
+    rows_f32,  # [n, D] f32 device-resident rows (unnormalized)
+    lo,  # scalar i32 first slot (operand, not static: chunks share one program)
+    epoch,  # scalar i32
+    parts_new,  # [n] i32 partition slots (-1 = none)
+    *,
+    space_kind: str,
+    dt: str,
+    normalize: bool,
+):
+    """Contiguous device-side ingest: normalize/quantize/aux/paux entirely
+    on device and place the block with dynamic_update_slice. The only
+    host->device payload for a chunk is three scalars (the rows come from
+    a device source — e.g. benchkit.synth's generator — so bulk loads do
+    not ride the host link at all)."""
+    n, d = rows_f32.shape
+    dp = vectors.shape[1]
+    x = rows_f32
+    if normalize:
+        norms = jnp.sqrt((x * x).sum(-1, keepdims=True))
+        x = x / jnp.maximum(norms, 1e-30)
+    if dp > d:
+        x = jnp.pad(x, ((0, 0), (0, dp - d)))
+    if dt == "int8":
+        vals = jnp.clip(jnp.round(x * 127.0), -127, 127).astype(jnp.int8)
+        # aux convention (vector_aux): i8 norms live in the /127 domain;
+        # paux rank coefficients (paux_coeffs) use the RAW storage values
+        aux_f32 = vals.astype(jnp.float32) / 127.0
+        rank_f32 = vals.astype(jnp.float32)
+    else:
+        vals = x.astype(dt)
+        aux_f32 = vals.astype(jnp.float32)
+        rank_f32 = aux_f32
+    if space_kind == "cosine":
+        new_aux = jnp.sqrt((aux_f32 * aux_f32).sum(-1))
+        a = jnp.full((n,), -1.0, jnp.float32)
+        b = jnp.zeros((n,), jnp.float32)
+    elif space_kind == "euclid":
+        new_aux = jnp.zeros((n,), jnp.float32)
+        a = jnp.full((n,), -2.0, jnp.float32)
+        b = (rank_f32 * rank_f32).sum(-1)
+    else:  # dot
+        new_aux = jnp.zeros((n,), jnp.float32)
+        a = jnp.full((n,), -1.0, jnp.float32)
+        b = jnp.zeros((n,), jnp.float32)
+    lo32 = lo.astype(jnp.int32)
+    vectors = jax.lax.dynamic_update_slice(vectors, vals, (lo32, 0))
+    aux = jax.lax.dynamic_update_slice(aux, new_aux, (lo32,))
+    epochs = jax.lax.dynamic_update_slice(
+        epochs, jnp.full((n,), 0, jnp.int32) + epoch, (lo32,)
+    )
+    valid = jax.lax.dynamic_update_slice(valid, jnp.ones((n,), jnp.bool_), (lo32,))
+    parts = jax.lax.dynamic_update_slice(parts, parts_new, (lo32,))
+    paux = jax.lax.dynamic_update_slice(paux, a[None, :], (0, lo32))
+    paux = jax.lax.dynamic_update_slice(paux, b[None, :], (1, lo32))
+    return vectors, aux, epochs, valid, parts, paux
+
+
+@functools.partial(
+    jax.jit, donate_argnums=(0, 1), static_argnames=("normalize", "cosine")
+)
+def _bulk_rescore(
+    rescore_vectors, rescore_aux, rows_f32, lo, *, normalize: bool, cosine: bool
+):
+    x = rows_f32
+    if normalize:
+        norms = jnp.sqrt((x * x).sum(-1, keepdims=True))
+        x = x / jnp.maximum(norms, 1e-30)
+    dp = rescore_vectors.shape[1]
+    if dp > x.shape[1]:
+        x = jnp.pad(x, ((0, 0), (0, dp - x.shape[1])))
+    vals = x.astype(jnp.bfloat16)
+    if cosine:  # vector_aux: norms for cosine, zeros otherwise
+        raux = jnp.sqrt((vals.astype(jnp.float32) ** 2).sum(-1))
+    else:
+        raux = jnp.zeros((x.shape[0],), jnp.float32)
+    lo32 = lo.astype(jnp.int32)
+    rescore_vectors = jax.lax.dynamic_update_slice(rescore_vectors, vals, (lo32, 0))
+    rescore_aux = jax.lax.dynamic_update_slice(rescore_aux, raux, (lo32,))
+    return rescore_vectors, rescore_aux
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
 def _apply_upserts(vectors, aux, epochs, valid, parts, slots, vals, new_aux, new_epochs, new_parts):
     vectors = vectors.at[slots].set(vals)
@@ -799,6 +892,97 @@ class FlatDeviceIndex:
         self._epochs_host[slots] = np.asarray(epochs, dtype=np.int32)
         if self._vecs_host is not None:
             self._vecs_host[slots] = vectors[:, : self.dimensions]
+
+    def upsert_bulk_device(
+        self,
+        lo: int,
+        hi: int,
+        rows_dev: jax.Array,  # [hi-lo, D] f32 ON DEVICE (unnormalized)
+        rows_host: np.ndarray,  # [hi-lo, D] f32 host twin of the same rows
+        partitions: np.ndarray | None = None,
+        epoch: int = 0,
+    ) -> None:
+        """Bulk-loader fast path: contiguous fresh slots [lo, hi) whose
+        vector payload is ALREADY device-resident (a device-side source —
+        benchkit.synth's generator, a sharded transfer, a previous device
+        computation). Normalize/quantize/aux all run on device; the
+        host->device payload is three scalars. `rows_host` is the f32 twin
+        used for the host mirrors (exact-distance rescoring) — it must be
+        the same rows up to float rounding. The reference's bulk reserve +
+        add loop (usearch.rs:442-443) is the analogous ingest shape."""
+        n = int(hi) - int(lo)
+        if n <= 0:
+            return
+        if self.quantization is Quantization.B1:
+            raise ValueError("bulk device ingest does not support B1 packing")
+        if rows_dev.shape != (n, self.dimensions):
+            raise ValueError(f"rows_dev shape {rows_dev.shape} != {(n, self.dimensions)}")
+        self.reserve(hi - 1)
+        if self._valid_host[lo:hi].any():
+            raise ValueError("bulk device ingest requires fresh slots")
+        if self.space_type is SpaceType.EUCLIDEAN:
+            space_kind = "euclid"
+        elif self.space_type is SpaceType.COSINE:
+            space_kind = "cosine"
+        else:
+            space_kind = "dot"
+        normalize = self.space_type is SpaceType.COSINE
+        if partitions is None:
+            parts_new = jnp.full((n,), -1, jnp.int32)
+        else:
+            parts_new = jnp.asarray(np.asarray(partitions, dtype=np.int32))
+        dt = np.dtype(storage_dtype(self.quantization)).name
+        lo_dev = jnp.int32(lo)
+        (
+            self.vectors,
+            self.aux,
+            self.epochs,
+            self.valid,
+            self.parts,
+            self.paux,
+        ) = _bulk_ingest(
+            self.vectors,
+            self.aux,
+            self.epochs,
+            self.valid,
+            self.parts,
+            self.paux,
+            rows_dev,
+            lo_dev,
+            jnp.int32(epoch),
+            parts_new,
+            space_kind=space_kind,
+            dt=dt,
+            normalize=normalize,
+        )
+        if self.rescore:
+            self.rescore_vectors, self.rescore_aux = _bulk_rescore(
+                self.rescore_vectors,
+                self.rescore_aux,
+                rows_dev,
+                lo_dev,
+                normalize=normalize,
+                cosine=self.space_type is SpaceType.COSINE,
+            )
+        # host mirrors from the numpy twin
+        rh = np.asarray(rows_host, dtype=np.float32)
+        if normalize:
+            norms = np.linalg.norm(rh, axis=-1, keepdims=True)
+            rh = rh / np.maximum(norms, 1e-30)
+        self._valid_host[lo:hi] = True
+        self._epochs_host[lo:hi] = epoch
+        if self._vecs_host is not None:
+            self._vecs_host[lo:hi] = rh[:, : self.dimensions]
+        self._live += n
+        if partitions is not None:
+            # fresh partitionless slots need no directory work (_slot_part
+            # defaults to -1); partitioned rows go through the normal
+            # directory bookkeeping (device mirror syncs by device gather)
+            self._part_upsert(
+                np.arange(lo, hi, dtype=np.int64),
+                np.asarray(partitions, dtype=np.int64),
+                np.zeros((n,), dtype=bool),
+            )
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int32)

@@ -114,6 +114,14 @@ class _DelegatePending:
         return self.inner.k
 
 
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
+def _bulk_iota(pos2slot: jax.Array, lo: jax.Array, *, n: int) -> jax.Array:
+    """pos2slot[lo:lo+n] = lo + iota(n) — computed in-jit so a contiguous
+    bulk ingest ships no index arrays over the host link."""
+    block = lo + jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.dynamic_update_slice(pos2slot, block, (lo,))
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _invalidate_positions(paux: jax.Array, pos: jax.Array) -> jax.Array:
     return paux.at[1, pos].set(INVALID_BIAS, mode="drop")
@@ -499,6 +507,52 @@ class IvfDeviceIndex:
         self._valid_host[slots] = True
         self._epochs_host[slots] = epochs
         self._vecs_host[slots] = vectors[:, : self.dimensions]
+
+    def upsert_bulk_device(
+        self,
+        lo: int,
+        hi: int,
+        rows_dev: "jax.Array",  # [hi-lo, D] f32 ON DEVICE (unnormalized)
+        rows_host: np.ndarray,  # [hi-lo, D] f32 host twin
+    ) -> None:
+        """Bulk-loader fast path (see FlatDeviceIndex.upsert_bulk_device):
+        contiguous fresh slots whose payload is already on device. The
+        block lands in the delta at positions == slots; the next rebuild
+        reclusters it into the main region entirely device-side."""
+        n = int(hi) - int(lo)
+        if n <= 0:
+            return
+        self._reserve(hi - 1)
+        if self._valid_host[lo:hi].any():
+            raise ValueError("bulk device ingest requires fresh slots")
+        if self._delta_free.size:
+            # free-listed positions would alias the contiguous block
+            self._delta_free = self._delta_free[
+                (self._delta_free < lo) | (self._delta_free >= hi)
+            ]
+        if (self._delta_pos2slot_host[lo:hi] != -1).any():
+            # positions double as slots in the bulk path; an occupied
+            # position in [lo, hi) would belong to some other slot
+            raise ValueError(
+                "bulk device ingest block overlaps occupied delta positions"
+            )
+        self._delta.upsert_bulk_device(lo, hi, rows_dev, rows_host)
+        self._delta_next = max(self._delta_next, hi)
+        self._sync_delta_pos2slot()
+        self._delta_pos2slot_host[lo:hi] = np.arange(lo, hi)
+        self._delta_pos2slot = _bulk_iota(self._delta_pos2slot, jnp.int32(lo), n=n)
+        if self._build is not None:
+            self._build["dirty"].update(range(lo, hi))
+        self._region[lo:hi] = _DELTA
+        self._pos[lo:hi] = np.arange(lo, hi)
+        self._valid_host[lo:hi] = True
+        self._epochs_host[lo:hi] = 0
+        rh = np.asarray(rows_host, dtype=np.float32)
+        if self.space_type is SpaceType.COSINE:
+            norms = np.linalg.norm(rh, axis=-1, keepdims=True)
+            rh = rh / np.maximum(norms, 1e-30)
+        self._vecs_host[lo:hi] = rh[:, : self.dimensions]
+        self._live += n
 
     def remove_batch(self, slots: np.ndarray) -> None:
         slots = np.asarray(slots, dtype=np.int64)
