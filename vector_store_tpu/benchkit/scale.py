@@ -145,6 +145,7 @@ def run(name: str) -> dict:
 
     _enable_jax_compile_cache()
     n, d, quant_name, ingest_i8 = CONFIGS[name]
+    n = int(os.environ.get("SCALE_N", n))  # smoke-test override
     quant = Quantization[quant_name]
     batch = int(os.environ.get("SCALE_BATCH", 2048))
     k = 10

@@ -109,13 +109,27 @@ def synth_centers_np(seed: int, n_centers: int, d: int) -> np.ndarray:
 def synth_rows_np(
     seed: int, lo: int, hi: int, d: int, n_centers: int, sigma: float = 0.25
 ) -> np.ndarray:
-    """[hi-lo, d] f32 clustered rows (NOT normalized): center + sigma*noise."""
+    """[hi-lo, d] f32 clustered rows (NOT normalized): center + sigma*noise.
+
+    Generated in ~50 MB row sub-blocks: the hash pipeline materializes
+    several same-shaped uint32/f32 temporaries per round, and at
+    [131072, 1536] each temp is 800 MB — numpy returns blocks that size
+    to the OS on free, so every round re-mmaps and first-touch-faults
+    gigabytes (measured 567 s/chunk vs 25 s extrapolated from small
+    blocks). Sub-blocking keeps temps cache/TLB-friendly."""
     centers = synth_centers_np(seed, n_centers, d)
     assign = synth_assign_np(seed, lo, hi, n_centers)
-    rows = np.arange(lo, hi, dtype=np.uint32)[:, None]
+    out = np.empty((hi - lo, d), dtype=np.float32)
     cols = np.arange(d, dtype=np.uint32)[None, :]
-    noise = _noise_np(seed, rows, cols)
-    return centers[assign] + noise * np.float32(sigma)
+    step = max(1, (8 << 20) // max(d * 4, 1))  # ~8M f32 elements per block
+    for blo in range(lo, hi, step):
+        bhi = min(blo + step, hi)
+        rows = np.arange(blo, bhi, dtype=np.uint32)[:, None]
+        noise = _noise_np(seed, rows, cols)
+        b = slice(blo - lo, bhi - lo)
+        np.multiply(noise, np.float32(sigma), out=out[b])
+        out[b] += centers[assign[b]]
+    return out
 
 
 @functools.partial(
