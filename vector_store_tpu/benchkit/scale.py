@@ -49,8 +49,9 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     k, nq = 10, 512
     out: dict = {"config": f"graph-{n // 1000}k", "n": n, "d": d, "quant": "BF16"}
 
-    centers = rng.normal(size=(512, d)).astype(np.float32)
-    assign = rng.integers(0, 512, size=n)
+    from vector_store_tpu.benchkit import synth
+
+    seed = 77
     index = GraphDeviceIndex(
         d,
         space_type=SpaceType.EUCLIDEAN,
@@ -63,27 +64,27 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     t0 = time.time()
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        block = centers[assign[lo:hi]] + rng.normal(size=(hi - lo, d)).astype(
-            np.float32
-        )
-        all_vecs[lo:hi] = block
+        rows_host = synth.synth_rows_np(seed, lo, hi, d, 512)
+        rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 512)
+        all_vecs[lo:hi] = rows_host
         if held is None:
-            held = block[:nq] + 0.1 * rng.normal(size=(nq, d)).astype(np.float32)
-        index.upsert_batch(np.arange(lo, hi), np.zeros(hi - lo, np.int32), block)
-        # merge as we go so the delta buffer stays bounded
-        merged = 0
-        while index.maintain(16384):
-            merged += 1
-            if merged > 64:
-                break
+            held = rows_host[:nq] + synth.embedding_sigma(d, 0.1) * rng.normal(
+                size=(nq, d)
+            ).astype(np.float32)
+        index.upsert_bulk_device(lo, hi, rows_dev, rows_host)
         print(
-            f"[scale] graph ingest+merge {hi}/{n} ({time.time() - t0:.0f}s)",
+            f"[scale] graph ingest {hi}/{n} ({time.time() - t0:.0f}s)",
             file=sys.stderr,
             flush=True,
         )
-    while index.maintain(16384):
-        pass
+    # device-chained CAGRA-shaped build: exact kNN + alpha prune + one
+    # whole-graph reverse pass, all intermediates in HBM
+    built = index.bulk_build_device()
+    import jax as _jax
+
+    _jax.block_until_ready(index.adjacency)
     out["build_seconds"] = round(time.time() - t0, 1)
+    out["bulk_built_nodes"] = built
     out["build_vectors_per_sec"] = round(n / out["build_seconds"], 0)
     out["device_bytes"] = int(index.device_bytes) if hasattr(index, "device_bytes") else None
 
@@ -181,9 +182,11 @@ def run(name: str) -> dict:
         block = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
         all_vecs[lo:hi] = block
         if held is None:
-            held = block[:nq] + 0.02 * rng.normal(size=(nq, d)).astype(
-                np.float32
-            )
+            # query = stored row + a small intra-cluster perturbation
+            # (scaled like the data noise so difficulty is d-invariant)
+            held = block[:nq] + synth.embedding_sigma(d, 0.1) * rng.normal(
+                size=(nq, d)
+            ).astype(np.float32)
         index.upsert_bulk_device(lo, hi, rows_dev, rows_host)
         print(
             f"[scale] ingested {hi}/{n} ({time.time() - t0:.0f}s)",

@@ -106,8 +106,22 @@ def synth_centers_np(seed: int, n_centers: int, d: int) -> np.ndarray:
     return g * np.float32(1.0 / np.sqrt(d))
 
 
+def embedding_sigma(d: int, spread: float = 0.4) -> float:
+    """Per-component noise scale giving |noise| ~= spread * |center|.
+
+    Real embedding datasets (the reference benchmarks on DBpedia-OpenAI
+    1536-d, Deep 96-d) have strong local structure: exact-vs-quantized
+    recall@10 stays >= 0.99 for bf16. A FIXED per-component sigma loses
+    that property as d grows (|noise| = sigma*sqrt(d) swamps the unit
+    center at high d, collapsing all pairwise distances toward 1.0 —
+    harder than any real dataset, and meaninglessly so). Centers here are
+    ~unit norm, so sigma = spread/sqrt(d) keeps the cluster geometry
+    dimension-invariant."""
+    return spread / float(np.sqrt(d))
+
+
 def synth_rows_np(
-    seed: int, lo: int, hi: int, d: int, n_centers: int, sigma: float = 0.25
+    seed: int, lo: int, hi: int, d: int, n_centers: int, sigma: float | None = None
 ) -> np.ndarray:
     """[hi-lo, d] f32 clustered rows (NOT normalized): center + sigma*noise.
 
@@ -117,6 +131,8 @@ def synth_rows_np(
     to the OS on free, so every round re-mmaps and first-touch-faults
     gigabytes (measured 567 s/chunk vs 25 s extrapolated from small
     blocks). Sub-blocking keeps temps cache/TLB-friendly."""
+    if sigma is None:
+        sigma = embedding_sigma(d)
     centers = synth_centers_np(seed, n_centers, d)
     assign = synth_assign_np(seed, lo, hi, n_centers)
     out = np.empty((hi - lo, d), dtype=np.float32)
@@ -153,13 +169,15 @@ def _rows_jx(lo, *, seed: int, n: int, d: int, n_centers: int, sigma: float):
 
 
 def synth_rows_jax(
-    seed: int, lo: int, hi: int, d: int, n_centers: int, sigma: float = 0.25
+    seed: int, lo: int, hi: int, d: int, n_centers: int, sigma: float | None = None
 ):
     """Device twin of synth_rows_np: [hi-lo, d] f32 ON DEVICE, generated
     by a jitted program whose only input is the scalar `lo` (a new chunk
     costs ~8 bytes of uplink)."""
     import jax.numpy as jnp
 
+    if sigma is None:
+        sigma = embedding_sigma(d)
     return _rows_jx(
         jnp.uint32(lo),
         seed=int(seed),

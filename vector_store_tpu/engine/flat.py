@@ -73,6 +73,16 @@ class SearchResult:
     epochs: np.ndarray  # [k'] int32
     distances: np.ndarray  # [k'] float32
 
+    def truncated(self, k: int) -> "SearchResult":
+        """First k entries (rows are already distance-ordered)."""
+        if self.slots.shape[0] <= k:
+            return self
+        return SearchResult(
+            slots=self.slots[:k],
+            epochs=self.epochs[:k],
+            distances=self.distances[:k],
+        )
+
 
 @dataclass
 class PendingSearch:

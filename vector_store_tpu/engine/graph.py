@@ -280,6 +280,190 @@ def _alpha_prune(
     return out_i, out_d
 
 
+# --- device-chained bulk build -------------------------------------------------
+#
+# The host bulk_build round-trips every pass through the host (pull kNN ids,
+# push candidate lists, pull pruned rows, pull/push the reverse pass); at 1M
+# nodes that is gigabytes over the host link. The device-chained path keeps
+# every intermediate in HBM: raw rank/id results feed the alpha-prune in one
+# jitted program per chunk, and reverse-edge repair is ONE jitted program
+# over the whole graph (edge list -> lexicographic sort -> per-target
+# incoming ranks -> dedup -> blocked alpha-reprune -> forced back-links).
+# This is the CAGRA construction shape on TPU: exact kNN + prune + reverse,
+# all device-resident. Reference: usearch.rs insertion-order HNSW builds the
+# same navigable structure one node at a time on CPU threads.
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "space", "quant", "m", "alpha", "k"))
+def _bulk_prune_chunk(
+    packed,  # [2|3, b_pad, k_pad] raw search output (pallas rank / xla dist)
+    lo,  # scalar i32: chunk slots are lo + iota (contiguous bulk block)
+    q2b,  # [b_pad] f32 |q|^2 per query row (euclid rank conversion; unused else)
+    vectors,
+    aux,
+    *,
+    kind: str,
+    space: SpaceType,
+    quant: Quantization,
+    m: int,
+    alpha: float,
+    k: int,
+):
+    """Raw chunk results -> ([b_pad, m] edge ids, dists) pruned on device."""
+    from vector_store_tpu.ops.pallas_scan import INVALID_CUTOFF
+
+    ids = jax.lax.bitcast_convert_type(packed[1][:, :k], jnp.int32)
+    if kind == "pallas":
+        rank = packed[0][:, :k]
+        if space is SpaceType.EUCLIDEAN:
+            dist = jnp.maximum(rank + q2b[:, None], 0.0)
+        elif space is SpaceType.COSINE:
+            dist = jnp.clip(1.0 + rank, 0.0, 2.0)
+        else:
+            dist = 1.0 + rank
+        dist = jnp.where(rank < INVALID_CUTOFF, dist, jnp.inf)
+    else:  # xla packed: row 0 is already the true distance
+        dist = packed[0][:, :k]
+    b = ids.shape[0]
+    slots = lo + jnp.arange(b, dtype=jnp.int32)
+    bad = (ids == slots[:, None]) | (ids < 0) | ~jnp.isfinite(dist)
+    dist = jnp.where(bad, jnp.inf, dist)
+    ids = jnp.where(bad, -1, ids)
+    dist, ids = jax.lax.sort((dist, ids), num_keys=1, dimension=1)
+    safe = jnp.maximum(ids, 0)
+    return _alpha_prune(
+        ids, dist, vectors[safe], aux[safe], m=m, alpha=alpha, space=space, quant=quant
+    )
+
+
+def _segment_rank(keys: jax.Array) -> jax.Array:
+    """Position of each element within its run of equal keys (keys sorted)."""
+    idx = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    first = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), keys[1:] != keys[:-1]]
+    )
+    starts = jax.lax.cummax(jnp.where(first, idx, 0))
+    return idx - starts
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("space", "quant", "m", "r", "alpha", "max_forced", "row_block"),
+)
+def _bulk_reverse(
+    adjacency,  # [cap, m] i32 forward edges of every live node (-1 pads)
+    vectors,
+    aux,
+    live,  # [cap] bool
+    *,
+    space: SpaceType,
+    quant: Quantization,
+    m: int,
+    r: int,
+    alpha: float,
+    max_forced: int,
+    row_block: int,
+):
+    """One whole-graph reverse-edge pass on device. For every target of a
+    forward edge: merge its current edges with up to ``r`` nearest incoming
+    back-links, dedup, alpha-reprune to degree ``m``, then force each new
+    node into the tail of its nearest neighbor's row (in-degree floor, at
+    most ``max_forced`` per target) so outliers stay reachable."""
+    cap = adjacency.shape[0]
+    nb = cap // row_block
+    dp = vectors.shape[1]
+
+    # edge distances d(i, adjacency[i, j]) — blocked gather to bound HBM
+    def _edge_blk(i):
+        lo = i * row_block
+        rows = jax.lax.dynamic_slice(adjacency, (lo, 0), (row_block, m))
+        srcv = jax.lax.dynamic_slice(vectors, (lo, 0), (row_block, dp))
+        sauxb = jax.lax.dynamic_slice(aux, (lo,), (row_block,))
+        safe = jnp.maximum(rows, 0)
+        d = query_block_distance(
+            srcv, vectors[safe], space, quant, sauxb, aux[safe]
+        )
+        return jnp.where(rows >= 0, d, jnp.inf)
+
+    edge_d = jax.lax.map(_edge_blk, jnp.arange(nb, dtype=jnp.int32))
+    edge_d = edge_d.reshape(cap, m)
+
+    src = jax.lax.broadcasted_iota(jnp.int32, (cap, m), 0).reshape(-1)
+    tgt = adjacency.reshape(-1)
+    dist = edge_d.reshape(-1)
+    ok = (tgt >= 0) & live[jnp.maximum(src, 0)] & jnp.isfinite(dist)
+    tgt_s = jnp.where(ok, tgt, cap)  # invalid edges sort to the end
+    dist_s = jnp.where(ok, dist, jnp.inf)
+    tgt_s, dist_s, src_s = jax.lax.sort((tgt_s, dist_s, src), num_keys=2)
+    pos = _segment_rank(tgt_s)
+    keep = (pos < r) & (tgt_s < cap)
+    wt = jnp.where(keep, tgt_s, cap)
+    wp = jnp.where(keep, pos, 0)
+    inc_i = (
+        jnp.full((cap, r), -1, jnp.int32).at[wt, wp].set(src_s, mode="drop")
+    )
+    inc_d = (
+        jnp.full((cap, r), jnp.inf, jnp.float32)
+        .at[wt, wp]
+        .set(dist_s, mode="drop")
+    )
+    touched = jnp.zeros((cap,), jnp.bool_).at[wt].set(True, mode="drop")
+
+    # candidate sets per target: current edges + incoming, dedup by id
+    all_i = jnp.concatenate([adjacency, inc_i], axis=1)
+    all_d = jnp.concatenate(
+        [jnp.where(adjacency >= 0, edge_d, jnp.inf), inc_d], axis=1
+    )
+    si, sd = jax.lax.sort((all_i, all_d), num_keys=2, dimension=1)
+    dup = jnp.concatenate(
+        [
+            jnp.zeros((cap, 1), jnp.bool_),
+            (si[:, 1:] == si[:, :-1]) & (si[:, 1:] >= 0),
+        ],
+        axis=1,
+    )
+    sd = jnp.where(dup | (si < 0), jnp.inf, sd)
+    sd, si = jax.lax.sort((sd, si), num_keys=1, dimension=1)
+    si = jnp.where(jnp.isfinite(sd), si, -1)
+
+    def _prune_blk(i):
+        lo = i * row_block
+        ci = jax.lax.dynamic_slice(si, (lo, 0), (row_block, m + r))
+        cd = jax.lax.dynamic_slice(sd, (lo, 0), (row_block, m + r))
+        safe = jnp.maximum(ci, 0)
+        oi, _ = _alpha_prune(
+            ci, cd, vectors[safe], aux[safe], m=m, alpha=alpha,
+            space=space, quant=quant,
+        )
+        return oi
+
+    new_rows = jax.lax.map(_prune_blk, jnp.arange(nb, dtype=jnp.int32))
+    new_rows = new_rows.reshape(cap, m)
+
+    # in-degree floor: force node u into the tail of its top-1 target's row,
+    # nearest-first, at most max_forced per target
+    top_v = adjacency[:, 0]
+    d0 = edge_d[:, 0]
+    u_ok = live & (top_v >= 0) & jnp.isfinite(d0)
+    tv = jnp.where(u_ok, top_v, cap)
+    d0_s = jnp.where(u_ok, d0, jnp.inf)
+    tv, d0_s, us = jax.lax.sort(
+        (tv, d0_s, jnp.arange(cap, dtype=jnp.int32)), num_keys=2
+    )
+    fpos = _segment_rank(tv)
+    f_ok = (fpos < max_forced) & (tv < cap)
+    # skip nodes already kept as an edge of their target (the reverse merge
+    # usually keeps the back-link) — forcing a duplicate would evict a
+    # long-range diversity edge from the tail
+    trows = new_rows[jnp.where(f_ok, tv, 0)]
+    f_ok &= ~jnp.any(trows == us[:, None], axis=1)
+    wt2 = jnp.where(f_ok, tv, cap)  # cap row is dropped by mode="drop"
+    wc2 = m - 1 - jnp.where(f_ok, fpos, 0)
+    new_rows = new_rows.at[wt2, wc2].set(us, mode="drop")
+
+    return jnp.where(touched[:, None], new_rows, adjacency)
+
+
 class GraphDeviceIndex:
     """Navigable-graph ANN index over a FlatDeviceIndex's storage, plus an
     exact delta buffer for not-yet-merged streaming inserts."""
@@ -385,6 +569,30 @@ class GraphDeviceIndex:
             if s not in self._delta_set:
                 self._delta_set.add(s)
                 self._delta_slots.append(s)
+
+    def upsert_bulk_device(
+        self,
+        lo: int,
+        hi: int,
+        rows_dev: jax.Array,
+        rows_host: np.ndarray,
+        partitions: np.ndarray | None = None,
+        epoch: int = 0,
+    ) -> None:
+        """Bulk-loader fast path (see FlatDeviceIndex.upsert_bulk_device):
+        contiguous fresh slots whose payload is already device-resident.
+        Staged in the delta like any upsert; drain with maintain() or
+        bulk_build_device()."""
+        n = int(hi) - int(lo)
+        if n <= 0:
+            return
+        self.store.upsert_bulk_device(
+            lo, hi, rows_dev, rows_host, partitions=partitions, epoch=epoch
+        )
+        self._sync_capacity()
+        fresh = [s for s in range(lo, hi) if s not in self._delta_set]
+        self._delta_slots.extend(fresh)
+        self._delta_set.update(fresh)
 
     def remove_batch(self, slots: np.ndarray) -> None:
         """Tombstone: mask from results; graph edges stay navigable."""
@@ -606,6 +814,108 @@ class GraphDeviceIndex:
         self._apply_reverse_edges(slots, sel_i, sel_d)
         return n
 
+    def bulk_build_device(self, efc: int | None = None, chunk: int = 2048) -> int:
+        """Device-chained bulk build: the three bulk_build passes with every
+        intermediate kept in HBM (kNN raw results -> alpha-prune per chunk,
+        then ONE whole-graph jitted reverse pass — _bulk_reverse). Host
+        traffic is a few scalars per chunk. From-empty contiguous blocks
+        only; anything else falls back to the host-pass bulk_build."""
+        if not self._delta_slots:
+            return 0
+        slots = np.asarray(sorted(self._delta_slots), dtype=np.int64)
+        n = len(slots)
+        lo0 = int(slots[0])
+        if self._graph_nodes != 0 or not np.array_equal(
+            slots, np.arange(lo0, lo0 + n)
+        ):
+            return self.bulk_build(efc)
+        self._sync_capacity()
+        store = self.store
+        cap = store.capacity
+        efc = efc or min(self.expansion_add, 63)
+        k = efc + 1  # +1 for the self-hit
+
+        sel_parts = []
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            b_real = hi - lo
+            b_pad = _bucket(b_real, _BATCH_BUCKETS)
+            # device-resident queries: the stored rows themselves (rows past
+            # the block are invalid padding — they rank +inf and their
+            # results are sliced away)
+            qidx = jnp.clip(
+                lo0 + lo + jnp.arange(b_pad, dtype=jnp.int32), 0, cap - 1
+            )
+            qd = store.vectors[qidx]
+            if store._vecs_host is not None:
+                hq = store._vecs_host[
+                    np.clip(np.arange(lo0 + lo, lo0 + lo + b_pad), 0, cap - 1)
+                ]
+            else:
+                hq = self._dequant(np.asarray(jax.device_get(qd)))[
+                    :, : self.dimensions
+                ]
+            pending = store.search_begin(hq, k, raw=True, queries_dev=qd)
+            q2b = (
+                jnp.asarray(pending.q2)
+                if pending.q2 is not None
+                else jnp.zeros((pending.packed.shape[1],), jnp.float32)
+            )
+            kind = "pallas" if pending.kind == "pallas" else "xla"
+            sel_i_c, _ = _bulk_prune_chunk(
+                pending.packed,
+                jnp.int32(lo0 + lo),
+                q2b,
+                store.vectors,
+                store.aux,
+                kind=kind,
+                space=self.space_type,
+                quant=self.quantization,
+                m=self.degree,
+                alpha=self.alpha,
+                k=k,
+            )
+            sel_parts.append(sel_i_c[:b_real])
+        sel_all = jnp.concatenate(sel_parts, axis=0)  # [n, degree] device
+
+        slots_j = jnp.asarray(slots)
+        self.adjacency = _scatter_rows(self.adjacency, slots_j, sel_all)
+
+        rb = next(
+            (d for d in (8192, 4096, 2048, 1024, 512, 256, 128, 64) if cap % d == 0),
+            cap,
+        )
+        self.adjacency = _bulk_reverse(
+            self.adjacency,
+            store.vectors,
+            store.aux,
+            store.valid,
+            space=self.space_type,
+            quant=self.quantization,
+            m=self.degree,
+            r=8,
+            alpha=self.alpha,
+            max_forced=max(1, self.degree // 4),
+            row_block=rb,
+        )
+
+        # host bookkeeping (same as bulk_build's tail)
+        self._delta_slots = []
+        self._delta_set = set()
+        self._graph_nodes += n
+        self._graph_slots.extend(int(s) for s in slots)
+        self._members[slots] = True
+        half = self.n_entries // 2
+        for s in slots:
+            self._entries_seen += 1
+            if len(self._entries) < self.n_entries:
+                self._entries.append(int(s))
+            else:
+                j = int(self._rng.integers(0, self._entries_seen))
+                if half <= j < self.n_entries:
+                    self._entries[j] = int(s)
+        return n
+
     @hotpath.measure
     def merge_delta(self, max_batch: int = 4096) -> int:
         """Wire up to max_batch pending delta vectors into the graph.
@@ -614,11 +924,12 @@ class GraphDeviceIndex:
         if not self._delta_slots:
             return 0
         # empty graph + large backlog: build in global passes instead
+        # (device-chained when the block is contiguous-from-empty)
         if (
             self._graph_nodes == 0
             and len(self._delta_slots) >= self.BULK_BUILD_THRESHOLD
         ):
-            return self.bulk_build()
+            return self.bulk_build_device()
         # upsert_batch may have grown store capacity past adjacency's row
         # count; JAX silently drops out-of-bounds scatters, which would leave
         # merged nodes edgeless (and unreachable) without an error.

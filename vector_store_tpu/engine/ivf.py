@@ -274,6 +274,13 @@ class IvfDeviceIndex:
         self.kmeans_sample_cap = kmeans_sample_cap
         self.reserve_increment = reserve_increment
         self.ingest_i8 = ingest_i8
+        # lossy-storage ranking noise: the global-scale i8 representation
+        # carries ~3 bits/component at 1536-d unit vectors, so the device
+        # scan's top-k ORDER is unreliable even though the candidate SET is
+        # good — fetch oversample*k ids and let the exact f32 host rescore
+        # (ids_postprocess) pick the true top k. 4x matches the flat
+        # engine's oversample contract (quantization_and_rescoring.rs).
+        self.oversample = 4 if quantization is Quantization.I8 else 1
         self.interpret = interpret
         self.device = device or jax.devices()[0]
         self.dp = padded_dim(dimensions, quantization)
@@ -296,11 +303,15 @@ class IvfDeviceIndex:
             host_distances=True,
             query_i8=query_i8,
             ingest_i8=ingest_i8,
-            # the IVF engine rescores exactly from its own f32 host mirror
-            # (ids path), so the flat delta's bf16 rescore tier would be
-            # pure waste — for i8 it TRIPLED ingest upload (i8 rows + bf16
-            # rescore copies) through the slow host link
-            rescore=False,
+            # float storages: the IVF engine rescores exactly from its own
+            # f32 host mirror (ids path), so the flat delta's bf16 rescore
+            # tier would be pure waste. i8 storage keeps the tier: the
+            # device rank ORDER from global-scale i8 is too noisy at high
+            # dimension (recall collapse measured at 1536-d), and the raw
+            # region merge needs delta candidates rank-accurate BEFORE the
+            # host rescore sees them. Costs 2 bf16 bytes/dim of extra
+            # upload on streaming i8 upserts (bulk device loads ship none).
+            rescore=quantization is Quantization.I8,
         )
         if interpret:
             self._set_delta_interpret()
@@ -913,7 +924,8 @@ class IvfDeviceIndex:
             host_distances=True,
             query_i8=self.query_i8,
             ingest_i8=self.ingest_i8,
-            rescore=False,  # exact rescore comes from the IVF host mirror
+            # bf16 tier for i8 only (see the constructor's delta notes)
+            rescore=self.quantization is Quantization.I8,
         )
         if self.interpret:
             self._set_delta_interpret()
@@ -1073,7 +1085,10 @@ class IvfDeviceIndex:
         b_pad = _bucket(b_real, _BATCH_BUCKETS)
         if b_pad != b_real:
             queries = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
-        k_pad = _bucket(k, _K_BUCKETS)
+        # lossy storage: fetch oversample*k ids; the exact host rescore
+        # picks the true top k (i8 rank order is noise at high dimension)
+        k_fetch = min(k * self.oversample, max(self.size, k))
+        k_pad = _bucket(k_fetch, _K_BUCKETS)
 
         qs = self._prep_queries(queries)
         q_live = np.zeros((b_pad,), dtype=bool)
@@ -1104,7 +1119,7 @@ class IvfDeviceIndex:
         if self._delta.size > 0:
             delta_pend = self._delta.search_begin(
                 queries[:b_real],
-                k,
+                k_fetch,
                 allow_mask=delta_allow,
                 raw=True,
                 queries_dev=qs,  # share one query upload across regions
@@ -1133,10 +1148,10 @@ class IvfDeviceIndex:
             k_out=k_pad,
             delta_is_rank=delta_is_rank,
         )
-        if k < k_pad:
-            # ship exactly k result columns (+ the dropped column): the
-            # device->host pull is the serving bottleneck, 4 B/query/column
-            ids = _slice_keep_last(ids, k=k)
+        if k_fetch < k_pad:
+            # ship exactly k_fetch result columns (+ the dropped column):
+            # the device->host pull is the serving bottleneck, 4 B/query/col
+            ids = _slice_keep_last(ids, k=k_fetch)
         return PendingSearch(
             packed=ids,
             b_real=b_real,
@@ -1222,7 +1237,7 @@ class IvfDeviceIndex:
         b_real = pending.b_real
         host = np.asarray(host)[:b_real]
         dropped = host[:, -1]
-        ids = host[:, :-1][:, : pending.k]
+        ids = host[:, :-1]  # all fetched columns (k * oversample)
         results = ids_postprocess(
             self._vecs_host,
             self._epochs_host,
@@ -1231,6 +1246,9 @@ class IvfDeviceIndex:
             ids,
             pending.q_f32[:b_real],
         )
+        if self.oversample > 1:
+            # exact-rescored order established; keep the requested k
+            results = [r.truncated(pending.k) for r in results]
         bad = np.flatnonzero(dropped > 0)
         if bad.size:
             self._retry_dropped(pending, bad, results)
@@ -1262,7 +1280,8 @@ class IvfDeviceIndex:
         paux = ctx.get("paux", self.main_paux)
         delta_allow = ctx.get("delta_allow")
         k = pending.k
-        k_pad = _bucket(k, _K_BUCKETS)
+        k_fetch = min(k * self.oversample, max(self.size, k))
+        k_pad = _bucket(k_fetch, _K_BUCKETS)
         for lo in range(0, bad.size, self.RETRY_S):
             idx = bad[lo : lo + self.RETRY_S]
             q = pending.q_f32[idx]  # already normalized
@@ -1289,7 +1308,7 @@ class IvfDeviceIndex:
             if self._delta.size > 0:
                 delta_pend = self._delta.search_begin(
                     q[:b_real],
-                    k,
+                    k_fetch,
                     allow_mask=delta_allow,
                     raw=True,
                     queries_dev=qs,
@@ -1315,7 +1334,7 @@ class IvfDeviceIndex:
                 k_out=k_pad,
                 delta_is_rank=delta_is_rank,
             )
-            host = pull_packed(ids)[:b_real, :k]
+            host = pull_packed(ids)[:b_real, :k_fetch]
             from vector_store_tpu.engine.flat import ids_postprocess
 
             fixed = ids_postprocess(
@@ -1329,7 +1348,7 @@ class IvfDeviceIndex:
             if np.asarray(re_dropped)[:b_real].any():  # unreachable by design
                 logger.warning("IVF retry still dropped pairs; results partial")
             for j, i in enumerate(idx):
-                results[int(i)] = fixed[j]
+                results[int(i)] = fixed[j].truncated(k)
 
 
 @jax.jit
