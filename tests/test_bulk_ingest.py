@@ -149,6 +149,50 @@ def test_ivf_bulk_serves_and_rebuilds():
     assert idx.size == n + 1
 
 
+def test_graph_device_bulk_build_matches_host():
+    from vector_store_tpu.engine.graph import GraphDeviceIndex
+
+    n, d, k = 2048, 32, 10
+    rows_host = synth.synth_rows_np(42, 0, n, d, 24)
+    rows_dev = synth.synth_rows_jax(42, 0, n, d, 24)
+    norm = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
+    gt = np.argsort(1.0 - norm[:64] @ norm.T, axis=1)[:, :k]
+
+    def build(device):
+        idx = GraphDeviceIndex(
+            d, space_type=SpaceType.COSINE, quantization=Quantization.BF16,
+            initial_capacity=n,
+        )
+        idx.upsert_bulk_device(0, n, rows_dev, rows_host)
+        (idx.bulk_build_device if device else idx.bulk_build)()
+        return idx
+
+    def recall(idx):
+        res = idx.search(rows_host[:64], k)
+        return np.mean(
+            [len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+             for i, r in enumerate(res)]
+        )
+
+    r_host, r_dev = recall(build(False)), recall(build(True))
+    # parity is the contract: the device-chained passes build an
+    # equivalent graph (absolute recall here is a property of tight
+    # near-duplicate clusters at the default beam width, not the build)
+    assert r_dev >= r_host - 0.05, (r_dev, r_host)
+    assert r_dev >= 0.7, r_dev
+
+    # no duplicate edges (the forced back-link pass guards membership)
+    import jax as _jax
+
+    idx = build(True)
+    adj = np.asarray(_jax.device_get(idx.adjacency))[:n]
+    dups = sum(
+        len(adj[i][adj[i] >= 0]) - len(set(adj[i][adj[i] >= 0]))
+        for i in range(n)
+    )
+    assert dups == 0
+
+
 def test_ivf_bulk_rejects_overlap():
     d = 16
     idx = IvfDeviceIndex(d, space_type=SpaceType.COSINE,
