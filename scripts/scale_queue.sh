@@ -18,4 +18,5 @@ run dbpedia-i8 5400
 run dbpedia-bf16 4800
 run deep10m 7200
 SCALE_N=1000000 run graph 5400
+run partition 3600
 echo "=== queue done $(date) ===" >> scale_logs/queue.log

@@ -139,6 +139,123 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     return out
 
 
+def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict:
+    """Local-index cost artifact (VERDICT r2 #6): a query against a ~1k-row
+    partition in a 1M-row table must cost O(partition), not O(N). Measures
+    the scalar-prefetch partition kernel against the masked full scan on
+    the same index, both chained-forced on device (relay-independent)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine.flat import FlatDeviceIndex
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    from vector_store_tpu.benchkit import synth
+
+    rng = np.random.default_rng(55)
+    batch = int(os.environ.get("SCALE_BATCH", 2048))
+    seed, k = 55, 10
+    out: dict = {"config": f"partition-{n // 1000}k", "n": n, "d": d,
+                 "n_parts": n_parts, "quant": "BF16"}
+    index = FlatDeviceIndex(
+        d,
+        space_type=SpaceType.COSINE,
+        quantization=Quantization.BF16,
+        initial_capacity=n + 1024,
+        block_rows=131072,
+    )
+    chunk = 131072
+    t0 = time.time()
+    sample_q = None
+    sample_p = None
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        rows_host = synth.synth_rows_np(seed, lo, hi, d, 256)
+        rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 256)
+        parts = (np.arange(lo, hi) % n_parts).astype(np.int64)
+        if sample_q is None:
+            sample_q = rows_host[:batch].copy()
+            sample_p = parts[:batch].astype(np.int32).copy()
+        index.upsert_bulk_device(lo, hi, rows_dev, rows_host, partitions=parts)
+        print(f"[scale] partition ingest {hi}/{n} ({time.time() - t0:.0f}s)",
+              file=sys.stderr, flush=True)
+    out["ingest_seconds"] = round(time.time() - t0, 1)
+    out["rows_per_partition"] = n // n_parts
+
+    # correctness spot check through the serving path
+    res = index.search(sample_q[:128], k, partitions=sample_p[:128])
+    ok = all(
+        all(int(s) % n_parts == int(sample_p[i]) for s in r.slots)
+        for i, r in enumerate(res)
+    )
+    out["partition_isolation_ok"] = bool(ok)
+
+    # chained-forced device rates: partition kernel vs masked full scan
+    from vector_store_tpu.ops.partition_scan import partition_candidates
+    from vector_store_tpu.ops.pallas_scan import pallas_rank_search
+
+    from vector_store_tpu.ops.distance import prepare_queries
+
+    qn = sample_q / np.linalg.norm(sample_q, axis=-1, keepdims=True)
+    qs, _ = prepare_queries(qn, SpaceType.COSINE, Quantization.BF16)
+    qs_dev = jnp.asarray(qs)
+    bsel = jnp.asarray(
+        np.array(
+            [index._part_bucket.get(int(p), -1) for p in sample_p],
+            dtype=np.int32,
+        )
+    )
+    pmax = index.part_rows.shape[1]
+    m_chain = 32
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def chain_part(q0, pv, pp, pr, *, m):
+        def body(_, q):
+            ids = partition_candidates(pv, pp, pr, q, bsel, k=16, pmax=pmax)
+            return q + (ids[:, :1] * 1e-30).astype(q.dtype)
+
+        q = jax.lax.fori_loop(0, m, body, q0)
+        return partition_candidates(pv, pp, pr, q, bsel, k=16, pmax=pmax)
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def chain_full(q0, vecs, paux, *, m):
+        def body(_, q):
+            packed = pallas_rank_search(
+                vecs, paux, q, k=16, block_rows=index.pallas_block
+            )
+            return q + (packed[0, :, :1] * 1e-34).astype(q.dtype)
+
+        q = jax.lax.fori_loop(0, m, body, q0)
+        return pallas_rank_search(
+            vecs, paux, q, k=16, block_rows=index.pallas_block
+        )
+
+    try:
+        index.search(sample_q[:8], k, partitions=sample_p[:8])  # sync mirror
+        args_p = (qs_dev, index.part_vecs, index.part_paux, index.part_rows)
+        np.asarray(chain_part(*args_p, m=m_chain))
+        t0 = time.time()
+        np.asarray(chain_part(*args_p, m=m_chain))
+        dt_p = time.time() - t0
+        out["partition_kernel_qps"] = round(batch * (m_chain + 1) / dt_p, 1)
+
+        args_f = (qs_dev, index.vectors, index.paux)
+        np.asarray(chain_full(*args_f, m=m_chain))
+        t0 = time.time()
+        np.asarray(chain_full(*args_f, m=m_chain))
+        dt_f = time.time() - t0
+        out["full_scan_qps"] = round(batch * (m_chain + 1) / dt_f, 1)
+        out["partition_speedup_x"] = round(dt_f / dt_p, 1)
+    except Exception as e:  # Mosaic path is TPU-only
+        out["kernel_error"] = f"{type(e).__name__}: {e}"
+    out["data"] = "synthetic clustered gaussians; slot % n_parts partitions"
+    return out
+
+
 def run(name: str) -> dict:
     from vector_store_tpu.core.types import Quantization, SpaceType
     from vector_store_tpu.engine.ivf import IvfDeviceIndex
@@ -319,6 +436,9 @@ def main() -> None:
     if name.startswith("graph"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_graph(n=n)
+    elif name.startswith("partition"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_partition(n=n)
     else:
         result = run(name)
     line = json.dumps(result)
