@@ -274,13 +274,22 @@ class IvfDeviceIndex:
         self.kmeans_sample_cap = kmeans_sample_cap
         self.reserve_increment = reserve_increment
         self.ingest_i8 = ingest_i8
-        # lossy-storage ranking noise: the global-scale i8 representation
-        # carries ~3 bits/component at 1536-d unit vectors, so the device
-        # scan's top-k ORDER is unreliable even though the candidate SET is
-        # good — fetch oversample*k ids and let the exact f32 host rescore
-        # (ids_postprocess) pick the true top k. 4x matches the flat
-        # engine's oversample contract (quantization_and_rescoring.rs).
-        self.oversample = 4 if quantization is Quantization.I8 else 1
+        # lossy-storage ranking noise: the device scan's top-k ORDER
+        # degrades with accumulated quantization error even when the
+        # candidate SET is fine — fetch oversample*k ids and let the exact
+        # f32 host rescore (ids_postprocess) pick the true top k.
+        # i8 (global 127 scale): ~3 bits/component at 1536-d -> 4x (the
+        # flat engine's contract, quantization_and_rescoring.rs). bf16/f16:
+        # dot error grows ~sqrt(d); measured at 1M x 1536-d the gate
+        # plateaus at 0.9494 across nprobe 64->512 without oversample and
+        # clears it with 2x. Low-d float keeps 1x (the 44 B/query result
+        # pull is the serving byte-floor).
+        if quantization is Quantization.I8:
+            self.oversample = 4
+        elif dimensions >= 512:
+            self.oversample = 2
+        else:
+            self.oversample = 1
         self.interpret = interpret
         self.device = device or jax.devices()[0]
         self.dp = padded_dim(dimensions, quantization)
