@@ -193,6 +193,33 @@ def test_graph_device_bulk_build_matches_host():
     assert dups == 0
 
 
+def test_ivf_high_dim_oversample_contract():
+    """Float storage at >=512 dims fetches 2x ids; results still honor k
+    and arrive in exact-rescored (strictly sorted) order."""
+    n, d, k = 3072, 512, 10
+    rows_host = synth.synth_rows_np(31, 0, n, d, 16)
+    rows_dev = synth.synth_rows_jax(31, 0, n, d, 16)
+    idx = IvfDeviceIndex(d, space_type=SpaceType.COSINE,
+                         quantization=Quantization.BF16,
+                         initial_capacity=n, min_build=1024, nprobe=8,
+                         interpret=True)
+    assert idx.oversample == 2
+    idx.upsert_bulk_device(0, n, rows_dev, rows_host)
+    while idx.maintain():
+        pass
+    res = idx.search(rows_host[:32], k)
+    norm = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
+    gt = np.argsort(1.0 - norm[:32] @ norm.T, axis=1)[:, :k]
+    recall = np.mean(
+        [len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+         for i, r in enumerate(res)]
+    )
+    for r in res:
+        assert len(r.slots) <= k
+        assert np.all(np.diff(r.distances) >= -1e-6)
+    assert recall >= 0.95, recall
+
+
 def test_ivf_bulk_rejects_overlap():
     d = 16
     idx = IvfDeviceIndex(d, space_type=SpaceType.COSINE,
