@@ -212,44 +212,58 @@ def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict
     pmax = index.part_rows.shape[1]
     m_chain = 32
 
-    @functools.partial(jax.jit, static_argnames=("m",))
-    def chain_part(q0, pv, pp, pr, *, m):
-        def body(_, q):
-            ids = partition_candidates(pv, pp, pr, q, bsel, k=16, pmax=pmax)
-            return q + (ids[:, :1] * 1e-30).astype(q.dtype)
-
-        q = jax.lax.fori_loop(0, m, body, q0)
-        return partition_candidates(pv, pp, pr, q, bsel, k=16, pmax=pmax)
-
-    @functools.partial(jax.jit, static_argnames=("m",))
-    def chain_full(q0, vecs, paux, *, m):
-        def body(_, q):
-            packed = pallas_rank_search(
-                vecs, paux, q, k=16, block_rows=index.pallas_block
-            )
-            return q + (packed[0, :, :1] * 1e-34).astype(q.dtype)
-
-        q = jax.lax.fori_loop(0, m, body, q0)
-        return pallas_rank_search(
-            vecs, paux, q, k=16, block_rows=index.pallas_block
-        )
-
     try:
         index.search(sample_q[:8], k, partitions=sample_p[:8])  # sync mirror
-        args_p = (qs_dev, index.part_vecs, index.part_paux, index.part_rows)
-        np.asarray(chain_part(*args_p, m=m_chain))
-        t0 = time.time()
-        np.asarray(chain_part(*args_p, m=m_chain))
-        dt_p = time.time() - t0
-        out["partition_kernel_qps"] = round(batch * (m_chain + 1) / dt_p, 1)
+        # Two regimes. Large batch: the masked full scan amortizes its one
+        # O(N*Dp) HBM pass across every query, while the directory reads
+        # B*pmax*Dp (no sharing) — the scan can win. Small batch (the
+        # local-index serving shape, reference usearch.rs:626-670 serves
+        # one partition per request): directory traffic is tiny and the
+        # scan still pays the full table. search_begin routes each batch
+        # to the cheaper side (the b_pad*pmax <= N crossover).
+        for tag, b in (("b2048", batch), ("b8", 8)):
+            q_b = qs_dev[:b]
+            bs = bsel[:b]
+            mc = m_chain if b == batch else 512
 
-        args_f = (qs_dev, index.vectors, index.paux)
-        np.asarray(chain_full(*args_f, m=m_chain))
-        t0 = time.time()
-        np.asarray(chain_full(*args_f, m=m_chain))
-        dt_f = time.time() - t0
-        out["full_scan_qps"] = round(batch * (m_chain + 1) / dt_f, 1)
-        out["partition_speedup_x"] = round(dt_f / dt_p, 1)
+            @functools.partial(jax.jit, static_argnames=("m",))
+            def cp(q0, pv, pp, pr, *, m, _bs=bs):
+                def body(_, q):
+                    ids = partition_candidates(
+                        pv, pp, pr, q, _bs, k=16, pmax=pmax
+                    )
+                    return q + (ids[:, :1] * 1e-30).astype(q.dtype)
+
+                q = jax.lax.fori_loop(0, m, body, q0)
+                return partition_candidates(pv, pp, pr, q, _bs, k=16, pmax=pmax)
+
+            @functools.partial(jax.jit, static_argnames=("m",))
+            def cf(q0, vecs, paux, *, m):
+                def body(_, q):
+                    packed = pallas_rank_search(
+                        vecs, paux, q, k=16, block_rows=index.pallas_block
+                    )
+                    return q + (packed[0, :, :1] * 1e-34).astype(q.dtype)
+
+                q = jax.lax.fori_loop(0, m, body, q0)
+                return pallas_rank_search(
+                    vecs, paux, q, k=16, block_rows=index.pallas_block
+                )
+
+            args_p = (q_b, index.part_vecs, index.part_paux, index.part_rows)
+            np.asarray(cp(*args_p, m=mc))
+            t0 = time.time()
+            np.asarray(cp(*args_p, m=mc))
+            dt_p = time.time() - t0
+            out[f"partition_kernel_qps_{tag}"] = round(b * (mc + 1) / dt_p, 1)
+
+            args_f = (q_b, index.vectors, index.paux)
+            np.asarray(cf(*args_f, m=mc))
+            t0 = time.time()
+            np.asarray(cf(*args_f, m=mc))
+            dt_f = time.time() - t0
+            out[f"full_scan_qps_{tag}"] = round(b * (mc + 1) / dt_f, 1)
+            out[f"partition_speedup_x_{tag}"] = round(dt_f / dt_p, 1)
     except Exception as e:  # Mosaic path is TPU-only
         out["kernel_error"] = f"{type(e).__name__}: {e}"
     out["data"] = "synthetic clustered gaussians; slot % n_parts partitions"

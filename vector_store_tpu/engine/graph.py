@@ -294,10 +294,25 @@ def _alpha_prune(
 # same navigable structure one node at a time on CPU threads.
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "space", "quant", "m", "alpha", "k"))
+def _ava_u32(x: jax.Array) -> jax.Array:
+    """lowbias32 avalanche (deterministic in-jit pseudo-randomness)."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "space", "quant", "m", "alpha", "k", "r_rand")
+)
 def _bulk_prune_chunk(
     packed,  # [2|3, b_pad, k_pad] raw search output (pallas rank / xla dist)
     lo,  # scalar i32: chunk slots are lo + iota (contiguous bulk block)
+    base,  # scalar i32: first slot of the whole bulk block
+    n_rows,  # scalar i32: total rows in the bulk block (random-bridge range)
     q2b,  # [b_pad] f32 |q|^2 per query row (euclid rank conversion; unused else)
     vectors,
     aux,
@@ -308,8 +323,19 @@ def _bulk_prune_chunk(
     m: int,
     alpha: float,
     k: int,
+    r_rand: int,
 ):
-    """Raw chunk results -> ([b_pad, m] edge ids, dists) pruned on device."""
+    """Raw chunk results -> ([b_pad, m] edge ids, dists) pruned on device.
+
+    Besides the exact-kNN candidates, each node gets ``r_rand``
+    hash-random candidates from the whole block: on clustered data every
+    one of the k nearest neighbors is intra-cluster, and a pure-kNN graph
+    fragments into cluster islands (measured: 16.5k of 131k nodes
+    reachable from the entry set; recall 0.18). Random long-range
+    candidates survive the alpha rule exactly when no kept neighbor is
+    near them — the NSW long-link construction — and re-connect the
+    islands. Exact duplicates of kNN candidates are auto-dropped by the
+    alpha rule (pair distance 0 dominates the second copy)."""
     from vector_store_tpu.ops.pallas_scan import INVALID_CUTOFF
 
     ids = jax.lax.bitcast_convert_type(packed[1][:, :k], jnp.int32)
@@ -329,6 +355,33 @@ def _bulk_prune_chunk(
     bad = (ids == slots[:, None]) | (ids < 0) | ~jnp.isfinite(dist)
     dist = jnp.where(bad, jnp.inf, dist)
     ids = jnp.where(bad, -1, ids)
+
+    if r_rand > 0:
+        rseed = _ava_u32(
+            slots[:, None] * jnp.uint32(r_rand)
+            + jnp.arange(r_rand, dtype=jnp.uint32)[None, :]
+        )
+        rand = base + (
+            rseed % jnp.maximum(n_rows.astype(jnp.uint32), 1)
+        ).astype(jnp.int32)
+        qv = vectors[jnp.minimum(slots, vectors.shape[0] - 1)].astype(
+            jnp.float32
+        )
+        rv = vectors[rand].astype(jnp.float32)  # [b, R, Dp]
+        dots = jnp.einsum(
+            "bd,brd->br", qv, rv, preferred_element_type=jnp.float32
+        )
+        if space is SpaceType.EUCLIDEAN:
+            rd = jnp.maximum(
+                (qv * qv).sum(-1)[:, None] + (rv * rv).sum(-1) - 2.0 * dots,
+                0.0,
+            )
+        else:  # cosine (normalized storage) / dot
+            rd = 1.0 - dots
+        rd = jnp.where(rand == slots[:, None], jnp.inf, rd)
+        ids = jnp.concatenate([ids, rand], axis=1)
+        dist = jnp.concatenate([dist, rd], axis=1)
+
     dist, ids = jax.lax.sort((dist, ids), num_keys=1, dimension=1)
     safe = jnp.maximum(ids, 0)
     return _alpha_prune(
@@ -865,6 +918,8 @@ class GraphDeviceIndex:
             sel_i_c, _ = _bulk_prune_chunk(
                 pending.packed,
                 jnp.int32(lo0 + lo),
+                jnp.int32(lo0),
+                jnp.int32(n),
                 q2b,
                 store.vectors,
                 store.aux,
@@ -874,6 +929,7 @@ class GraphDeviceIndex:
                 m=self.degree,
                 alpha=self.alpha,
                 k=k,
+                r_rand=8,
             )
             sel_parts.append(sel_i_c[:b_real])
         sel_all = jnp.concatenate(sel_parts, axis=0)  # [n, degree] device
