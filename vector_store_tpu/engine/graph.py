@@ -807,9 +807,35 @@ class GraphDeviceIndex:
         self_mask = cand_i == slots[:, None]
         cand_d[self_mask] = np.inf
         cand_i[self_mask] = -1
+
+        # random long-range candidates (same rationale as the device path:
+        # pure-kNN graphs fragment into cluster islands on clustered data;
+        # bridges survive the alpha rule exactly when nothing near
+        # dominates them)
+        if self.quantization is not Quantization.B1 and n > 1:
+            r_rand = 8
+            rng_pos = (
+                np.random.default_rng(0xB41D6E).integers(
+                    0, n, size=(n, r_rand)
+                )
+            )
+            rand_ids = slots[rng_pos]
+            rd = np.empty((n, r_rand), dtype=np.float32)
+            for blo in range(0, n, 65536):  # bound the [*, r, Dp] temps
+                bhi = min(blo + 65536, n)
+                qb = queries[blo:bhi]
+                rb = queries[rng_pos[blo:bhi]]
+                if self.space_type is SpaceType.EUCLIDEAN:
+                    rd[blo:bhi] = ((qb[:, None, :] - rb) ** 2).sum(-1)
+                else:
+                    rd[blo:bhi] = 1.0 - np.einsum("nd,nrd->nr", qb, rb)
+            rd = np.where(rand_ids == slots[:, None], np.inf, rd)
+            cand_i = np.concatenate([cand_i, rand_ids], axis=1)
+            cand_d = np.concatenate([cand_d, rd], axis=1)
+
         order = np.argsort(cand_d, axis=1, kind="stable")
-        cand_i = np.take_along_axis(cand_i, order, axis=1)[:, :efc]
-        cand_d = np.take_along_axis(cand_d, order, axis=1)[:, :efc]
+        cand_i = np.take_along_axis(cand_i, order, axis=1)[:, : efc + 8]
+        cand_d = np.take_along_axis(cand_d, order, axis=1)[:, : efc + 8]
         cand_i[~np.isfinite(cand_d)] = -1
 
         # pass 2: alpha-prune every neighborhood on device, batched pulls
@@ -820,8 +846,9 @@ class GraphDeviceIndex:
             hi = min(lo + 8192, n)
             n_real = hi - lo
             n_pad = _bucket(n_real, _BATCH_BUCKETS)
-            ci = np.full((n_pad, efc), -1, dtype=np.int64)
-            cd = np.full((n_pad, efc), np.inf, dtype=np.float32)
+            cw = cand_i.shape[1]  # efc + bridge candidates
+            ci = np.full((n_pad, cw), -1, dtype=np.int64)
+            cd = np.full((n_pad, cw), np.inf, dtype=np.float32)
             ci[:n_real] = cand_i[lo:hi]
             cd[:n_real] = cand_d[lo:hi]
             ci_j = jnp.asarray(ci.astype(np.int32))
