@@ -191,6 +191,23 @@ class TestPartitionDirectory:
             res_dir.distances, res_mask.distances, rtol=1e-5, atol=1e-5
         )
 
+    def test_batch_amortization_crossover(self):
+        """Large tables route batches where B*pmax exceeds N to the masked
+        scan (it reads the table once for the whole batch); small batches
+        keep the O(partition) directory. And the mask path must serve the
+        same results the directory does (test_directory_matches_mask_path
+        pins value parity)."""
+        idx, _, _ = self._mk()
+        pmax = idx._part_rows_host.shape[1]
+        # small table: always directory
+        assert idx._part_directory_wins(2048)
+        # large table, small batch: directory (B*pmax << N)
+        assert idx._part_directory_wins(8, capacity=1_000_000)
+        # large table, deep batch: scan side when B*pmax > N
+        assert not idx._part_directory_wins(
+            (1_000_000 // pmax) + 1, capacity=1_000_000
+        )
+
     def test_partition_count_and_moves(self):
         idx, vecs, parts = self._mk(n=100, nparts=4)
         assert idx.partition_count(2) == 25

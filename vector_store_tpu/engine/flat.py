@@ -1307,17 +1307,7 @@ class FlatDeviceIndex:
             and not self._part_overflow
             and allow_mask is None
             and not (np.asarray(partitions) < 0).any()
-            # batch-amortization crossover: the directory path reads each
-            # query's OWN pmax-row block (O(B*pmax*Dp) HBM traffic), while
-            # the masked scan reads the table ONCE for the whole batch
-            # (O(N*Dp)). Measured at 1M/pmax=1024: batch 8 -> directory
-            # ~wins by the N/(B*pmax) ratio; batch 2048 -> the scan moves
-            # fewer bytes. Route large-table batches to the cheaper side
-            # (small tables: both are sub-ms, keep the directory).
-            and (
-                self.capacity < 65_536
-                or b_pad * self._part_rows_host.shape[1] <= self.capacity
-            )
+            and self._part_directory_wins(b_pad)
         ):
             # every query names a partition: O(partition) directory path
             return self._part_begin(qs, queries, q_aux, psel, b_real, k, k_pad)
@@ -1369,6 +1359,19 @@ class FlatDeviceIndex:
                 k=k_pad,
             )
         return PendingSearch(packed=packed, b_real=b_real, k=k)
+
+    def _part_directory_wins(self, b_pad: int, capacity: int | None = None) -> bool:
+        """Batch-amortization crossover: the directory path reads each
+        query's OWN pmax-row block (O(B*pmax*Dp) HBM traffic), while the
+        masked scan reads the table ONCE for the whole batch (O(N*Dp)).
+        Measured at 1M rows / pmax=1024: batch 8 -> directory wins by
+        ~N/(B*pmax); batch 2048 -> the scan moves fewer bytes. Large-table
+        batches route to the cheaper side; small tables (both sub-ms)
+        always keep the directory."""
+        cap = self.capacity if capacity is None else capacity
+        if cap < 65_536:
+            return True
+        return b_pad * self._part_rows_host.shape[1] <= cap
 
     def _part_begin(
         self,
