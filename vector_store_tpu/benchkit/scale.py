@@ -88,18 +88,33 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     out["build_vectors_per_sec"] = round(n / out["build_seconds"], 0)
     out["device_bytes"] = int(index.device_bytes) if hasattr(index, "device_bytes") else None
 
-    # exact ground truth
-    q2 = (held**2).sum(-1)
-    best_d = np.full((nq, 0), np.inf, dtype=np.float32)
-    best_i = np.zeros((nq, 0), dtype=np.int64)
-    for lo in range(0, n, 500_000):
-        hi = min(lo + 500_000, n)
-        blk = all_vecs[lo:hi]
-        dist = q2[:, None] + (blk**2).sum(-1)[None, :] - 2.0 * held @ blk.T
-        top = np.argpartition(dist, k, axis=1)[:, :k]
-        best_d = np.concatenate([best_d, np.take_along_axis(dist, top, axis=1)], axis=1)
-        best_i = np.concatenate([best_i, top + lo], axis=1)
-    gt = np.take_along_axis(best_i, np.argsort(best_d, axis=1)[:, :k], axis=1)
+    # exact ground truth (cached like run()'s — deterministic in held)
+    gt = None
+    gt_cache = f"scale_logs/gt-graph-{n}.npz"
+    if os.path.exists(gt_cache):
+        try:
+            z = np.load(gt_cache)
+            if z["held"].shape == held.shape and np.allclose(z["held"], held):
+                gt = z["gt"]
+                out["gt_cached"] = True
+        except Exception:
+            pass
+    if gt is None:
+        q2 = (held**2).sum(-1)
+        best_d = np.full((nq, 0), np.inf, dtype=np.float32)
+        best_i = np.zeros((nq, 0), dtype=np.int64)
+        for lo in range(0, n, 500_000):
+            hi = min(lo + 500_000, n)
+            blk = all_vecs[lo:hi]
+            dist = q2[:, None] + (blk**2).sum(-1)[None, :] - 2.0 * held @ blk.T
+            top = np.argpartition(dist, k, axis=1)[:, :k]
+            best_d = np.concatenate([best_d, np.take_along_axis(dist, top, axis=1)], axis=1)
+            best_i = np.concatenate([best_i, top + lo], axis=1)
+        gt = np.take_along_axis(best_i, np.argsort(best_d, axis=1)[:, :k], axis=1)
+        try:
+            np.savez(gt_cache, held=held, gt=gt)
+        except Exception:
+            pass
 
     reps = max(1, -(-batch // nq))
     gate_q = np.tile(held, (reps, 1))[:batch]
@@ -341,21 +356,39 @@ def run(name: str) -> dict:
     out["device_bytes"] = int(index.device_bytes)
     index._warm_queue.clear()
 
-    # exact cosine ground truth on the stored rows (host, blocked)
+    # exact cosine ground truth on the stored rows (host, blocked).
+    # Deterministic in (name, n, seed, held), so cache it: the 10M config
+    # costs ~40 min of single-core numpy per run otherwise.
     qn = held / np.linalg.norm(held, axis=-1, keepdims=True)
     t0 = time.time()
-    best_d = np.full((nq, 0), np.inf, dtype=np.float32)
-    best_i = np.zeros((nq, 0), dtype=np.int64)
-    for lo in range(0, n, 500_000):
-        hi = min(lo + 500_000, n)
-        dist = 1.0 - qn @ all_vecs[lo:hi].T
-        top = np.argpartition(dist, k, axis=1)[:, :k]
-        best_d = np.concatenate(
-            [best_d, np.take_along_axis(dist, top, axis=1)], axis=1
-        )
-        best_i = np.concatenate([best_i, top + lo], axis=1)
-    order = np.argsort(best_d, axis=1)[:, :k]
-    gt = np.take_along_axis(best_i, order, axis=1)
+    gt = None
+    gt_cache = f"scale_logs/gt-{name}-{n}.npz"
+    if os.path.exists(gt_cache):
+        try:
+            z = np.load(gt_cache)
+            if z["held"].shape == held.shape and np.allclose(z["held"], held):
+                gt = z["gt"]
+                out["gt_cached"] = True
+        except Exception:
+            pass
+    if gt is None:
+        best_d = np.full((nq, 0), np.inf, dtype=np.float32)
+        best_i = np.zeros((nq, 0), dtype=np.int64)
+        for lo in range(0, n, 500_000):
+            hi = min(lo + 500_000, n)
+            dist = 1.0 - qn @ all_vecs[lo:hi].T
+            top = np.argpartition(dist, k, axis=1)[:, :k]
+            best_d = np.concatenate(
+                [best_d, np.take_along_axis(dist, top, axis=1)], axis=1
+            )
+            best_i = np.concatenate([best_i, top + lo], axis=1)
+        order = np.argsort(best_d, axis=1)[:, :k]
+        gt = np.take_along_axis(best_i, order, axis=1)
+        try:
+            os.makedirs("scale_logs", exist_ok=True)
+            np.savez(gt_cache, held=held, gt=gt)
+        except Exception:
+            pass
     out["gt_seconds"] = round(time.time() - t0, 1)
 
     reps = max(1, -(-batch // nq))
