@@ -50,7 +50,13 @@ def blob_json(vec):
     return bytes([4]) + json.dumps(vec).encode()
 
 
-def make_handler():
+def make_handler(dimension=str(DIMS)):
+    idx_options = {
+        "class_name": "vector_index",
+        "target": json.dumps({"tc": "v"}),
+        "dimension": dimension,
+    }
+
     def handler(cql, values, paging):
         if "system.group0_history" in cql:
             return CannedResult(
@@ -71,18 +77,7 @@ def make_handler():
                         FakeColumn("table_name", ct.T_VARCHAR),
                         FakeColumn("options", ct.T_MAP),
                     ],
-                    rows=[
-                        (
-                            KS,
-                            "idx",
-                            TBL,
-                            {
-                                "class_name": "vector_index",
-                                "target": json.dumps({"tc": "v"}),
-                                "dimension": str(DIMS),
-                            },
-                        )
-                    ],
+                    rows=[(KS, "idx", TBL, dict(idx_options))],
                 )
             # options / table lookup by (keyspace, index)
             cols = []
@@ -91,27 +86,10 @@ def make_handler():
                     FakeColumn("table_name", ct.T_VARCHAR),
                     FakeColumn("options", ct.T_MAP),
                 ]
-                rows = [
-                    (
-                        TBL,
-                        {
-                            "class_name": "vector_index",
-                            "target": json.dumps({"tc": "v"}),
-                            "dimension": str(DIMS),
-                        },
-                    )
-                ]
+                rows = [(TBL, dict(idx_options))]
             elif "options" in cql:
                 cols = [FakeColumn("options", ct.T_MAP)]
-                rows = [
-                    (
-                        {
-                            "class_name": "vector_index",
-                            "target": json.dumps({"tc": "v"}),
-                            "dimension": str(DIMS),
-                        },
-                    )
-                ]
+                rows = [(dict(idx_options),)]
             else:
                 cols = [FakeColumn("table_name", ct.T_VARCHAR)]
                 rows = [(TBL,)]
@@ -218,9 +196,10 @@ class TestAlternatorEndToEnd:
 def make_live_handler(state, dimension=str(DIMS)):
     """Stateful Alternator handler: mutable row store + CDC event queue.
     ``state`` = {"rows": {p: (blob, writetime_micros)}, "cdc": [(timeuuid,
-    op, p)]}. The CDC poll uses the ALLOW FILTERING fallback path (no
-    stream generations served)."""
-    base = make_handler()
+    op, p)]}. Optional state keys: "index_present" (False hides the index
+    from discovery — update_table delete-index parity). The CDC poll uses
+    the ALLOW FILTERING fallback path (no stream generations served)."""
+    base = make_handler(dimension)
 
     def handler(cql, values, paging):
         if "cdc$operation" in cql and "SELECT" in cql:
@@ -258,9 +237,16 @@ def make_live_handler(state, dimension=str(DIMS)):
             if entry is None:
                 return CannedResult(columns=cols, rows=[])
             return CannedResult(columns=cols, rows=[entry])
-        if dimension != str(DIMS) and "FROM system_schema.indexes" in cql:
-            # variant: index options with a missing/odd dimension value
-            pass
+        if "kind = 'CUSTOM'" in cql and not state.get("index_present", True):
+            return CannedResult(
+                columns=[
+                    FakeColumn("keyspace_name", ct.T_VARCHAR),
+                    FakeColumn("index_name", ct.T_VARCHAR),
+                    FakeColumn("table_name", ct.T_VARCHAR),
+                    FakeColumn("options", ct.T_MAP),
+                ],
+                rows=[],
+            )
         return base(cql, values, paging)
 
     return handler
@@ -369,6 +355,289 @@ class TestAlternatorCdc:
                 state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "zz"))
                 await asyncio.sleep(0.5)
                 assert await (await _wait_count(service, 3)).actor.count() == 3
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_unrelated_attribute_update_does_not_deindex(self):
+        """Alternator physically rewrites the ':attrs' map when ANY attribute
+        changes, so CDC emits an update even when the vector attribute did
+        not change. The read-after-CDC re-read returns the same blob at the
+        same writetime; the LWW table must keep the row indexed with no
+        churn (update_item.rs:210 update_item_unrelated_attribute_does_not_
+        deindex)."""
+        from vector_store_tpu.db.scylla import CDC_OP_INSERT, CDC_OP_UPDATE
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+                "c": (blob_json(VECS["c"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 3)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                # unrelated-attr update: CDC fires, row unchanged
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "a"))
+                # ordering barrier (the reference uses the same trick): a
+                # fresh insert behind it proves the update was processed
+                vd = [0.5, 0.5, 0.0]
+                state["rows"]["d"] = (blob_f32(vd), 2_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "d"))
+                await _wait_count(service, 4)
+                res = await client.ann(KS, "idx", VECS["a"], limit=1)
+                assert res.primary_keys["p"] == ["a"]
+                assert res.distances[0] < 1e-3
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_vector_attribute_removal_deindexes(self):
+        """UpdateItem REMOVE #vec keeps the item but drops the vector
+        attribute: the re-read returns a row whose target cell is NULL,
+        which must deindex (update_item.rs:252 remove_vector_and_set_
+        unrelated_deindexes; crud.rs null_vector_is_not_indexed)."""
+        from vector_store_tpu.db.scylla import CDC_OP_UPDATE
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 2)
+            state["rows"]["b"] = (None, None)  # item exists, vector attr gone
+            state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "b"))
+            await _wait_count(service, 1)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                res = await client.ann(KS, "idx", VECS["b"], limit=2)
+                assert res.primary_keys["p"] == ["a"]
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_wrong_dimension_vectors_never_index(self):
+        """Vectors whose length differs from the index dimension must be
+        dropped row-locally — in the scan AND when a CDC update rewrites a
+        previously valid vector to a wrong-length one (the old value must
+        go away, not linger at its old epoch). Alternator rejects these at
+        the API (update_item.rs:154 ValidationException) but raw CQL writes
+        can still produce them, and the engine boundary is the last line."""
+        from vector_store_tpu.db.scylla import CDC_OP_UPDATE
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "short": (blob_f32([1.0, 0.0]), 1_000_000),
+                "long": (blob_f32([1.0, 0.0, 0.0, 0.0]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 2)  # only a and b index
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                res = await client.ann(KS, "idx", VECS["a"], limit=4)
+                assert set(res.primary_keys["p"]) == {"a", "b"}
+
+                # valid -> wrong-dim via CDC: "a" must be deindexed
+                state["rows"]["a"] = (blob_f32([9.9] * 7), 2_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "a"))
+                await _wait_count(service, 1)
+                res = await client.ann(KS, "idx", VECS["a"], limit=2)
+                assert res.primary_keys["p"] == ["b"]
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_batch_write_mixed_validity(self):
+        """BatchWriteItem lands several CDC rows in one window; valid items
+        index, an invalid one among them is skipped without poisoning the
+        batch (batch_write_item.rs:68,136)."""
+        from vector_store_tpu.db.scylla import CDC_OP_INSERT
+
+        state = {
+            "rows": {"a": (blob_f32(VECS["a"]), 1_000_000)},
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 1)
+            vd = [0.5, 0.5, 0.0]
+            ve = [0.0, 0.5, 0.5]
+            state["rows"]["d"] = (blob_f32(vd), 2_000_000)
+            state["rows"]["bad"] = (bytes([9]) + b"junk", 2_000_000)
+            state["rows"]["e"] = (blob_json(ve), 2_000_000)
+            state["cdc"].extend(
+                [
+                    (uuid.uuid1(), CDC_OP_INSERT, "d"),
+                    (uuid.uuid1(), CDC_OP_INSERT, "bad"),
+                    (uuid.uuid1(), CDC_OP_INSERT, "e"),
+                ]
+            )
+            await _wait_count(service, 3)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                for p, vec in (("d", vd), ("e", ve)):
+                    res = await client.ann(KS, "idx", vec, limit=1)
+                    assert res.primary_keys["p"] == [p]
+        finally:
+            await _teardown(server, session, service, http)
+
+
+class TestAlternatorTableLifecycle:
+    async def test_index_deleted_via_update_table_is_dropped(self):
+        """Deleting the vector index (UpdateTable in Alternator, DROP INDEX
+        in CQL) makes it disappear from system_schema.indexes; discovery
+        must tear it down and ANN must 404 (update_table.rs:186)."""
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 2)
+            state["index_present"] = False
+            deadline = time.time() + 10
+            while service.indexes.get_vs((KS, "idx")) is not None:
+                assert time.time() < deadline
+                await asyncio.sleep(0.05)
+            import aiohttp
+
+            async with aiohttp.ClientSession() as s:
+                async with s.post(
+                    f"http://127.0.0.1:{http.port}/api/v1/indexes/{KS}/idx/ann",
+                    json={"vector": VECS["a"], "limit": 1},
+                ) as resp:
+                    assert resp.status == 404
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_bad_dimension_option_skips_only_that_index(self):
+        """A sibling index whose Alternator 'dimension' option is garbage
+        must be skipped per-index — the valid index still reaches SERVING
+        (reference validates per index: db.rs get_index_* -> None; the
+        boundary-dimension cases live in create_table.rs:403)."""
+        base = make_handler()
+        bad_options = {
+            "class_name": "vector_index",
+            "target": json.dumps({"tc": "v"}),
+            "dimension": "oops",
+        }
+
+        def handler(cql, values, paging):
+            if "FROM system_schema.indexes" in cql and "kind = 'CUSTOM'" in cql:
+                return CannedResult(
+                    columns=[
+                        FakeColumn("keyspace_name", ct.T_VARCHAR),
+                        FakeColumn("index_name", ct.T_VARCHAR),
+                        FakeColumn("table_name", ct.T_VARCHAR),
+                        FakeColumn("options", ct.T_MAP),
+                    ],
+                    rows=[
+                        (
+                            KS,
+                            "badidx",
+                            TBL,
+                            dict(bad_options),
+                        ),
+                        (
+                            KS,
+                            "idx",
+                            TBL,
+                            {
+                                "class_name": "vector_index",
+                                "target": json.dumps({"tc": "v"}),
+                                "dimension": str(DIMS),
+                            },
+                        ),
+                    ],
+                )
+            if "FROM system_schema.indexes" in cql and values and len(values) >= 2:
+                name = values[1].decode("utf-8", "replace")
+                if name == "badidx":
+                    if "table_name" in cql and "options" in cql:
+                        return CannedResult(
+                            columns=[
+                                FakeColumn("table_name", ct.T_VARCHAR),
+                                FakeColumn("options", ct.T_MAP),
+                            ],
+                            rows=[(TBL, dict(bad_options))],
+                        )
+                    if "options" in cql:
+                        return CannedResult(
+                            columns=[FakeColumn("options", ct.T_MAP)],
+                            rows=[(dict(bad_options),)],
+                        )
+                    return CannedResult(
+                        columns=[FakeColumn("table_name", ct.T_VARCHAR)],
+                        rows=[(TBL,)],
+                    )
+            return base(cql, values, paging)
+
+        server = FakeCqlServer(handler)
+        await server.start()
+        session = CqlSession(f"127.0.0.1:{server.port}")
+        session.start()
+        db = ScyllaDb(session)
+        service = await build_service(db, Config(monitor_indexes_interval=0.05))
+        http = TestServer(service.app)
+        await http.start_server()
+        try:
+            await _wait_count(service, 3)
+            assert service.indexes.get_vs((KS, "badidx")) is None
+            assert service.node_state.get_status() is NodeStatus.SERVING
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_boundary_dimension_one(self):
+        """dimension=1 from index options must serve (create_table.rs:403
+        boundary dimensions)."""
+        state = {
+            "rows": {
+                "lo": (blob_f32([-1.0]), 1_000_000),
+                "hi": (blob_f32([1.0]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state, dimension="1")
+        )
+        try:
+            await _wait_count(service, 2)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                res = await client.ann(KS, "idx", [0.9], limit=1)
+                assert res.primary_keys["p"] == ["hi"]
         finally:
             await _teardown(server, session, service, http)
 

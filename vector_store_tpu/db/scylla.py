@@ -320,7 +320,18 @@ class ScyllaDb(Db):
             # Alternator: dimensions live in index options (db_index_backend
             # dimensions-from-options path)
             raw = options.get("dimension") or options.get("dimensions")
-            return int(raw) if raw else None
+            if not raw:
+                return None
+            try:
+                dims = int(raw)
+            except (TypeError, ValueError):
+                logger.warning(
+                    "index %s has a non-numeric dimension option %r; skipping",
+                    key,
+                    raw,
+                )
+                return None
+            return dims if dims > 0 else None
         rs = await self.session.execute_prepared(
             "SELECT type FROM system_schema.columns "
             "WHERE keyspace_name = ? AND table_name = ? AND column_name = ?",

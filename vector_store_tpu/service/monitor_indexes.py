@@ -117,7 +117,14 @@ class MonitorIndexes:
     async def _discover(self) -> dict:
         out = {}
         for custom in await self.db.get_indexes():
-            metadata = await self._resolve(custom)
+            # one poisoned index (bad options, invalid params) must not take
+            # down the whole discovery tick for its siblings — the reference
+            # validates per index and skips (db.rs get_index_* returning None)
+            try:
+                metadata = await self._resolve(custom)
+            except Exception:
+                logger.exception("skipping undiscoverable index %s", custom.key)
+                continue
             if metadata is not None:
                 out[metadata.key] = metadata
         return out
