@@ -566,3 +566,69 @@ class TestIvfI8:
         assert ivf_supports(SpaceType.EUCLIDEAN, Quantization.I8)
         assert not ivf_supports(SpaceType.HAMMING, Quantization.I8)
         assert not ivf_supports(SpaceType.COSINE, Quantization.B1)
+
+    def test_windowed_upload_matches_plain_search(self, interp_pallas):
+        """upload_queries + split_query_windows + search_begin(queries_dev=
+        slice) — the super-batched uplink (one h2d transfer for W dispatch
+        windows) — must return exactly what per-batch search returns, incl.
+        a delta region and a cosine variant with host-side normalization."""
+        from vector_store_tpu.engine.flat import split_query_windows
+
+        for space in (SpaceType.EUCLIDEAN, SpaceType.COSINE):
+            n, d = 2048, 32
+            vecs, _ = clustered(n, d, seed=5)
+            idx = make_index(d=d, space=space)
+            idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+            assert idx.maintain()
+            # post-build upserts so the delta region participates too
+            extra = clustered(16, d, seed=9)[0]
+            idx.upsert_batch(
+                np.arange(n, n + 16), np.ones(16, np.int32), extra
+            )
+
+            queries = clustered(48, d, seed=7)[0]
+            plain = idx.search(queries, 5)
+
+            qs_all = idx.upload_queries(queries)
+            slices = split_query_windows(qs_all, 16)
+            assert len(slices) == 3
+            pends = [
+                idx.search_begin(
+                    queries[i * 16 : (i + 1) * 16], 5, queries_dev=s
+                )
+                for i, s in enumerate(slices)
+            ]
+            windowed = [r for rs in idx.collect_many(pends) for r in rs]
+            assert len(windowed) == len(plain)
+            for p, w in zip(plain, windowed):
+                assert list(p.slots) == list(w.slots)
+                assert list(p.epochs) == list(w.epochs)
+                np.testing.assert_allclose(
+                    p.distances, w.distances, rtol=1e-5, atol=1e-6
+                )
+
+    def test_windowed_upload_delegate_path(self, interp_pallas):
+        """queries_dev must flow through the pre-build delegate (flat
+        delta) path too."""
+        from vector_store_tpu.engine.flat import split_query_windows
+
+        n, d = 256, 32
+        vecs, _ = clustered(n, d, seed=3)
+        idx = make_index(d=d, min_build=100_000)  # never builds: delegate
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        queries = clustered(32, d, seed=11)[0]
+        plain = idx.search(queries, 4)
+        qs_all = idx.upload_queries(queries)
+        slices = split_query_windows(qs_all, 16)
+        pends = [
+            idx.search_begin(
+                queries[i * 16 : (i + 1) * 16], 4, queries_dev=s
+            )
+            for i, s in enumerate(slices)
+        ]
+        windowed = [r for rs in idx.collect_many(pends) for r in rs]
+        for p, w in zip(plain, windowed):
+            assert list(p.slots) == list(w.slots)
+            np.testing.assert_allclose(
+                p.distances, w.distances, rtol=1e-5, atol=1e-6
+            )

@@ -365,6 +365,31 @@ def _dequant_queries(qi8: jax.Array, scale: jax.Array, *, dt: str) -> jax.Array:
     return (qi8.astype(jnp.float32) * scale[:, None]).astype(dt)
 
 
+@functools.partial(jax.jit, static_argnames=("window",))
+def _split_windows(qs_all: jax.Array, *, window: int) -> tuple:
+    n = qs_all.shape[0]
+    return tuple(
+        jax.lax.dynamic_slice_in_dim(qs_all, lo, window)
+        for lo in range(0, n - window + 1, window)
+    )
+
+
+def split_query_windows(qs_all: jax.Array, window: int) -> list:
+    """Slice a super-batch query upload into per-dispatch windows in ONE
+    device dispatch (a jitted program with W outputs — no per-slice RPC,
+    no transfer). Complements upload_queries: one h2d transfer carries W
+    windows, each slice feeds search_begin(queries_dev=...)."""
+    n = int(qs_all.shape[0])
+    out = list(_split_windows(qs_all, window=window))
+    if n % window:
+        out.append(
+            jax.lax.dynamic_slice_in_dim(
+                qs_all, n - (n % window), n % window
+            )
+        )
+    return out
+
+
 def ids_postprocess(
     vecs_host: np.ndarray,  # [cap, D] f32 storage-representation mirror
     epochs_host: np.ndarray,  # [cap] i32
@@ -1282,6 +1307,13 @@ class FlatDeviceIndex:
         k_pad = _bucket(k, _K_BUCKETS)
         if b_pad != b_real:
             queries = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
+        if queries_dev is not None and int(queries_dev.shape[0]) != b_pad:
+            # pad on device so the kernel keeps its bucketed program shape
+            # (a fresh shape is a fresh Mosaic/XLA compile on hardware)
+            queries_dev = jnp.pad(
+                queries_dev,
+                [(0, b_pad - int(queries_dev.shape[0])), (0, 0)],
+            )
         qs, q_aux = prepare_queries(queries, self.space_type, self.quantization)
 
         if partitions is None:
@@ -1541,6 +1573,24 @@ class FlatDeviceIndex:
         return PendingSearch(
             packed=packed, b_real=b_real, k=k, kind="pallas", q2=q2, engine=self
         )
+
+    def upload_queries(self, queries_f32: np.ndarray) -> jax.Array:
+        """ONE h2d transfer for a whole window of query batches; slices of
+        the returned [M, Dp] storage-dtype array (split_query_windows)
+        feed search_begin(queries_dev=...). Amortizes the relay's fixed
+        per-transfer cost across W dispatch windows, mirroring the
+        aggregated result pull (collect_many) on the downlink."""
+        q = np.atleast_2d(np.asarray(queries_f32, dtype=np.float32))
+        if self.space_type is SpaceType.COSINE and self.quantization not in (
+            Quantization.B1,
+        ):
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=-1, keepdims=True), 1e-30
+            )
+        if self.query_i8:
+            return self._query_device_array(None, q)
+        qs, _ = prepare_queries(q, self.space_type, self.quantization)
+        return jnp.asarray(qs)
 
     def _query_device_array(
         self, qs: np.ndarray, queries_f32: np.ndarray

@@ -1060,6 +1060,23 @@ class IvfDeviceIndex:
             qpad.astype(np.dtype(storage_dtype(self.quantization)))
         )
 
+    def upload_queries(self, queries_f32: np.ndarray) -> jax.Array:
+        """ONE h2d transfer for a whole window of query batches.
+
+        The relay between host and device charges a fixed cost per
+        transfer (30-120 ms here) on top of bytes; uploading W dispatch
+        windows of queries in one super-batch amortizes that cost W-fold.
+        Slice the returned [M, Dp] device array per window (see
+        flat.split_query_windows — one dispatch, W buffers) and pass each
+        slice to search_begin(queries_dev=...). Mirrors the aggregated
+        result pull on the downlink side (collect_many)."""
+        q = np.atleast_2d(np.asarray(queries_f32, dtype=np.float32))
+        if self.space_type is SpaceType.COSINE:
+            q = q / np.maximum(
+                np.linalg.norm(q, axis=-1, keepdims=True), 1e-30
+            )
+        return self._prep_queries(q)
+
     @hotpath.measure
     def search_begin(
         self,
@@ -1067,6 +1084,7 @@ class IvfDeviceIndex:
         k: int,
         partitions: np.ndarray | None = None,
         allow_mask: np.ndarray | None = None,
+        queries_dev: jax.Array | None = None,
     ) -> PendingSearch:
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if partitions is not None and (np.asarray(partitions) >= 0).any():
@@ -1084,7 +1102,9 @@ class IvfDeviceIndex:
 
         if self.main_vecs is None or not self._ivf_ok:
             return _DelegatePending(
-                self._delta.search_begin(queries, k, allow_mask=delta_allow)
+                self._delta.search_begin(
+                    queries, k, allow_mask=delta_allow, queries_dev=queries_dev
+                )
             )
 
         if self.space_type is SpaceType.COSINE:
@@ -1099,7 +1119,13 @@ class IvfDeviceIndex:
         k_fetch = min(k * self.oversample, max(self.size, k))
         k_pad = _bucket(k_fetch, _K_BUCKETS)
 
-        qs = self._prep_queries(queries)
+        if queries_dev is not None:
+            qs = queries_dev
+            if int(qs.shape[0]) != b_pad:
+                # pad on device: the super-batch slice carries b_real rows
+                qs = jnp.pad(qs, [(0, b_pad - int(qs.shape[0])), (0, 0)])
+        else:
+            qs = self._prep_queries(queries)
         q_live = np.zeros((b_pad,), dtype=bool)
         q_live[:b_real] = True
 
