@@ -202,3 +202,59 @@ async def test_low_selectivity_filter_uses_exact_escalation(monkeypatch):
     finally:
         await client.close()
         await service.stop()
+
+
+async def test_begin_window_single_upload_matches_per_batch(monkeypatch):
+    """The actor's windowed uplink (_begin_window: several dispatch batches
+    behind ONE upload_queries transfer) must resolve exactly what the
+    normal per-request path resolves."""
+    import vector_store_tpu.ops.pallas_scan as ps
+
+    orig = ps.pallas_rank_search
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ps, "pallas_rank_search", interp)
+
+    n = 600
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    base = RNG.normal(size=(n, DIMS)).astype(np.float32)
+    rows = [vector_row((i,), base[i].tolist(), 100) for i in range(n)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=DIMS), scan=rows))
+    service = await build_service(db, Config(monitor_indexes_interval=0.05))
+    server = TestServer(service.app)
+    await server.start_server()
+    client = TestClient(server)
+    try:
+        await _wait_serving(client, n)
+        entry = service.indexes.get_vs(IndexKey("ks", "idx"))
+        actor = entry.actor
+        from vector_store_tpu.service.vs_index import _SearchRequest
+
+        loop = asyncio.get_event_loop()
+        qs = base[:24] + 0.01 * RNG.normal(size=(24, DIMS)).astype(np.float32)
+
+        ref = [await actor._submit(q, 3, None, None) for q in qs]
+
+        batches = [
+            [
+                _SearchRequest(qs[i * 8 + j], 3, None, None, loop.create_future())
+                for j in range(8)
+            ]
+            for i in range(3)
+        ]
+        items = await loop.run_in_executor(None, actor._begin_window, batches)
+        assert len(items) == 3
+        await loop.run_in_executor(None, actor._collect_batches, items)
+        got = [await r.future for b in batches for r in b]
+        assert len(got) == len(ref)
+        for rres, gres in zip(ref, got):
+            assert [pk for pk, _ in rres] == [pk for pk, _ in gres]
+            for (_, rd), (_, gd) in zip(rres, gres):
+                assert abs(float(rd.value) - float(gd.value)) < 1e-5
+    finally:
+        await client.close()
+        await service.stop()

@@ -59,6 +59,7 @@ MAX_SEARCH_BATCH = 2048
 MAX_MODIFY_BATCH = 8192
 MERGE_BATCH = 4096
 OVERSAMPLE_STEPS = (4, 16, 64)
+UPLINK_WINDOW = 4  # max dispatch batches behind one query upload
 
 
 class DimensionMismatch(ValueError):
@@ -279,13 +280,16 @@ class VsIndexActor:
 
     async def _run(self) -> None:
         """Scheduling loop. Searches are pipelined: kernel dispatches
-        (search_begin, ~ms) happen as batches arrive, while a single
-        collector task pulls ALL finished batches in one aggregated
-        device->host transfer (engine.collect_many — the relay's fixed
-        per-pull cost made per-batch pulls the bottleneck). Mutations wait
-        for the pipeline to drain (the reference's exclusive modify permits
-        become this scheduling). Engines without search_begin (simulator,
-        opensearch) run the legacy one-executor-call-per-batch path."""
+        (search_begin, ~ms) happen as batches arrive — when the queue runs
+        deeper than one batch, up to UPLINK_WINDOW batches dispatch behind
+        ONE query upload (_begin_window) — while a single collector task
+        pulls ALL finished batches in one aggregated device->host transfer
+        (engine.collect_many — the relay's fixed per-transfer cost made
+        per-batch transfers the bottleneck in both directions). Mutations
+        wait for the pipeline to drain (the reference's exclusive modify
+        permits become this scheduling). Engines without search_begin
+        (simulator, opensearch) run the legacy one-executor-call-per-batch
+        path."""
         loop = asyncio.get_running_loop()
         inflight: set[asyncio.Future] = set()
 
@@ -303,24 +307,31 @@ class VsIndexActor:
             fut.add_done_callback(_done)
             inflight.add(fut)
 
-        def launch_pipelined(batch: list[_SearchRequest]) -> asyncio.Future:
-            fut = loop.run_in_executor(None, self._begin_batch, batch)
+        def launch_pipelined(
+            batches: list[list[_SearchRequest]],
+        ) -> asyncio.Future:
+            fut = loop.run_in_executor(None, self._begin_window, batches)
 
-            def _done(f: asyncio.Future, batch=batch) -> None:
+            def _done(f: asyncio.Future, batches=batches) -> None:
                 inflight.discard(f)
                 if f.cancelled():
                     return
                 exc = f.exception()
                 if exc is not None:
-                    for req in batch:
-                        if not req.future.done():
-                            req.future.set_exception(exc)
+                    for b in batches:
+                        for req in b:
+                            if not req.future.done():
+                                req.future.set_exception(exc)
                     return
-                pending = f.result()
-                if pending is not None:
-                    self._inflight_collects.append((batch, pending))
-                    if self._collector is None or self._collector.done():
-                        self._collector = loop.create_task(self._collect_loop())
+                added = False
+                for b, pending in f.result():
+                    if pending is not None:
+                        self._inflight_collects.append((b, pending))
+                        added = True
+                if added and (
+                    self._collector is None or self._collector.done()
+                ):
+                    self._collector = loop.create_task(self._collect_loop())
 
             fut.add_done_callback(_done)
             inflight.add(fut)
@@ -351,7 +362,18 @@ class VsIndexActor:
                         ):
                             await asyncio.sleep(0.002)
                             continue  # re-check: collector done or queue grown
-                        await launch_pipelined(self._drain_searches())
+                        # queue deeper than one batch: dispatch up to
+                        # UPLINK_WINDOW batches behind one query upload
+                        batches = [self._drain_searches()]
+                        while (
+                            not self._search_queue.empty()
+                            and len(batches) < UPLINK_WINDOW
+                        ):
+                            nxt = self._drain_searches()
+                            if not nxt:
+                                break
+                            batches.append(nxt)
+                        await launch_pipelined(batches)
                         continue
                 elif len(inflight) < 2:
                     launch(self._drain_searches())
@@ -429,7 +451,7 @@ class VsIndexActor:
                 req = getter.result()
                 batch = [req] + self._drain_searches()
                 if self._pipelined:
-                    await launch_pipelined(batch)
+                    await launch_pipelined([batch])
                 else:
                     launch(batch)
 
@@ -465,7 +487,7 @@ class VsIndexActor:
 
     # executed in a worker thread
     @hotpath.measure
-    def _begin_batch(self, batch: list[_SearchRequest]):
+    def _begin_batch(self, batch: list[_SearchRequest], queries_dev=None):
         """Dispatch one device search for the batch (no waiting)."""
         if not batch:
             return None
@@ -478,7 +500,39 @@ class VsIndexActor:
                 [r.partition.slot if r.partition else -1 for r in batch],
                 dtype=np.int32,
             )
+        if queries_dev is not None:
+            return self.engine.search_begin(
+                queries, k, partitions=partitions, queries_dev=queries_dev
+            )
         return self.engine.search_begin(queries, k, partitions=partitions)
+
+    # executed in a worker thread
+    def _begin_window(self, batches: list[list[_SearchRequest]]):
+        """Dispatch several batches behind ONE uplink transfer: all their
+        queries ride one upload_queries super-batch, each batch's kernel
+        consumes a device-resident slice. The relay charges a fixed
+        30-120 ms per transfer, so under load (queue deeper than one
+        MAX_SEARCH_BATCH) this amortizes the uplink the way collect_many
+        already amortizes the downlink. Engines without upload_queries
+        (graph, simulator, opensearch) fall back to per-batch uploads."""
+        batches = [b for b in batches if b]
+        if (
+            len(batches) > 1
+            and not self.is_local
+            and hasattr(self.engine, "upload_queries")
+        ):
+            big = np.concatenate(
+                [np.stack([r.vector for r in b]) for b in batches]
+            )
+            qs_all = self.engine.upload_queries(big)
+            out = []
+            lo = 0
+            for b in batches:
+                hi = lo + len(b)
+                out.append((b, self._begin_batch(b, queries_dev=qs_all[lo:hi])))
+                lo = hi
+            return out
+        return [(b, self._begin_batch(b)) for b in batches]
 
     # executed in a worker thread
     @hotpath.measure
