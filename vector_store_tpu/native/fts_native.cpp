@@ -3,8 +3,12 @@
 // The reference embeds tantivy (Rust, SIMD-heavy) for its full-text engine;
 // this is the rebuild's native equivalent: analysis chain (simple tokenizer,
 // lowercase, English stopwords), staged commits, and BM25 (k1=1.2, b=0.75)
-// disjunctive scoring. The Python InvertedIndex in fts/__init__.py is the
-// behavior-identical fallback when no C++ toolchain is available.
+// scoring under tantivy-QueryParser boolean semantics — bare terms SHOULD,
+// `+term` MUST, `-term` MUST_NOT, `"quoted text"` phrase (terms adjacent in
+// order, positions are post-stopword-filter indices; phrase scoring follows
+// Lucene's PhraseQuery: tf = phrase frequency, idf = summed member idfs).
+// The Python InvertedIndex in fts/__init__.py is the behavior-identical
+// fallback when no C++ toolchain is available.
 
 #include <algorithm>
 #include <cctype>
@@ -54,9 +58,52 @@ std::vector<std::string> analyze(const char* text) {
     return out;
 }
 
+struct Clause {
+    int occur = 0;  // -1 MUST_NOT, 0 SHOULD, +1 MUST
+    std::vector<std::string> terms;
+    bool is_phrase = false;
+};
+
+// Query string -> clause list; bare multi-token fragments expand to one
+// clause per token, quoted fragments stay one phrase clause.
+std::vector<Clause> parse_query(const char* query) {
+    std::vector<Clause> out;
+    const std::string q(query);
+    size_t i = 0, n = q.size();
+    while (i < n) {
+        while (i < n && std::isspace(static_cast<unsigned char>(q[i]))) ++i;
+        if (i >= n) break;
+        int occur = 0;
+        if (q[i] == '+') {
+            occur = 1;
+            ++i;
+        } else if (q[i] == '-') {
+            occur = -1;
+            ++i;
+        }
+        if (i < n && q[i] == '"') {
+            size_t j = q.find('"', i + 1);
+            if (j == std::string::npos) j = n;
+            auto terms = analyze(q.substr(i + 1, j - i - 1).c_str());
+            i = (j < n) ? j + 1 : n;
+            if (!terms.empty()) out.push_back({occur, std::move(terms), true});
+        } else {
+            size_t j = i;
+            while (j < n && !std::isspace(static_cast<unsigned char>(q[j]))) ++j;
+            for (auto& t : analyze(q.substr(i, j - i).c_str())) {
+                out.push_back({occur, {t}, false});
+            }
+            i = j;
+        }
+    }
+    return out;
+}
+
 struct Index {
-    // committed state
-    std::unordered_map<std::string, std::unordered_map<int64_t, int32_t>> postings;
+    // committed state: term -> doc -> positions (post-stopword indices)
+    std::unordered_map<std::string,
+                       std::unordered_map<int64_t, std::vector<int32_t>>>
+        postings;
     std::unordered_map<int64_t, int32_t> doc_len;
     int64_t total_len = 0;
     // staged state
@@ -84,9 +131,10 @@ struct Index {
         for (auto& [doc_id, body] : pending_add) {
             remove_doc(doc_id);
             auto tokens = analyze(body.c_str());
-            std::unordered_map<std::string, int32_t> tf;
-            for (auto& t : tokens) tf[t]++;
-            for (auto& [term, count] : tf) postings[term][doc_id] = count;
+            for (size_t pos = 0; pos < tokens.size(); ++pos) {
+                postings[tokens[pos]][doc_id].push_back(
+                    static_cast<int32_t>(pos));
+            }
             doc_len[doc_id] = static_cast<int32_t>(tokens.size());
             total_len += static_cast<int64_t>(tokens.size());
         }
@@ -95,22 +143,120 @@ struct Index {
         return n;
     }
 
+    double bm25(double idf, int32_t tf, int64_t doc_id, double avg_len) {
+        double dl = doc_len[doc_id];
+        double denom =
+            avg_len > 0 ? tf + K1 * (1 - B + B * dl / avg_len) : tf + K1;
+        return idf * (tf * (K1 + 1)) / denom;
+    }
+
+    std::unordered_map<int64_t, double> match_clause(const Clause& c, int64_t n,
+                                                     double avg_len) {
+        std::unordered_map<int64_t, double> out;
+        if (!c.is_phrase || c.terms.size() == 1) {
+            auto pit = postings.find(c.terms[0]);
+            if (pit == postings.end()) return out;
+            double df = static_cast<double>(pit->second.size());
+            double idf = std::log(1.0 + (n - df + 0.5) / (df + 0.5));
+            for (auto& [doc_id, positions] : pit->second) {
+                out[doc_id] = bm25(
+                    idf, static_cast<int32_t>(positions.size()), doc_id,
+                    avg_len);
+            }
+            return out;
+        }
+        // phrase: every term present at consecutive positions, in order
+        std::vector<const std::unordered_map<int64_t, std::vector<int32_t>>*>
+            plists;
+        for (auto& t : c.terms) {
+            auto pit = postings.find(t);
+            if (pit == postings.end()) return out;
+            plists.push_back(&pit->second);
+        }
+        double idf = 0.0;
+        for (auto* p : plists) {
+            double df = static_cast<double>(p->size());
+            idf += std::log(1.0 + (n - df + 0.5) / (df + 0.5));
+        }
+        const auto* smallest = *std::min_element(
+            plists.begin(), plists.end(),
+            [](auto* a, auto* b) { return a->size() < b->size(); });
+        for (auto& [doc_id, _] : *smallest) {
+            std::vector<const std::vector<int32_t>*> docpos;
+            bool all = true;
+            for (auto* p : plists) {
+                auto dit = p->find(doc_id);
+                if (dit == p->end()) {
+                    all = false;
+                    break;
+                }
+                docpos.push_back(&dit->second);
+            }
+            if (!all) continue;
+            std::vector<std::unordered_set<int32_t>> rest;
+            for (size_t t = 1; t < docpos.size(); ++t) {
+                rest.emplace_back(docpos[t]->begin(), docpos[t]->end());
+            }
+            int32_t tf = 0;
+            for (int32_t p0 : *docpos[0]) {
+                bool hit = true;
+                for (size_t o = 0; o < rest.size(); ++o) {
+                    if (!rest[o].count(p0 + static_cast<int32_t>(o) + 1)) {
+                        hit = false;
+                        break;
+                    }
+                }
+                if (hit) ++tf;
+            }
+            if (tf) out[doc_id] = bm25(idf, tf, doc_id, avg_len);
+        }
+        return out;
+    }
+
     int64_t search(const char* query, int32_t limit, int64_t* out_ids,
                    float* out_scores) {
         int64_t n = static_cast<int64_t>(doc_len.size());
         if (n == 0 || limit <= 0) return 0;
         double avg_len = n ? static_cast<double>(total_len) / n : 0.0;
+        std::vector<std::unordered_map<int64_t, double>> pos_scores;
+        std::vector<std::unordered_set<int64_t>> must_sets;
+        std::unordered_set<int64_t> banned;
+        for (auto& clause : parse_query(query)) {
+            auto matches = match_clause(clause, n, avg_len);
+            if (clause.occur < 0) {
+                for (auto& [doc_id, _] : matches) banned.insert(doc_id);
+            } else {
+                if (clause.occur > 0) {
+                    std::unordered_set<int64_t> s;
+                    for (auto& [doc_id, _] : matches) s.insert(doc_id);
+                    must_sets.push_back(std::move(s));
+                }
+                pos_scores.push_back(std::move(matches));
+            }
+        }
+        if (pos_scores.empty()) return 0;
+        std::unordered_set<int64_t> allowed;
+        if (!must_sets.empty()) {
+            allowed = must_sets[0];
+            for (size_t i = 1; i < must_sets.size(); ++i) {
+                for (auto it = allowed.begin(); it != allowed.end();) {
+                    if (!must_sets[i].count(*it)) {
+                        it = allowed.erase(it);
+                    } else {
+                        ++it;
+                    }
+                }
+            }
+        } else {
+            for (auto& m : pos_scores) {
+                for (auto& [doc_id, _] : m) allowed.insert(doc_id);
+            }
+        }
+        for (int64_t doc_id : banned) allowed.erase(doc_id);
         std::unordered_map<int64_t, double> scores;
-        for (auto& term : analyze(query)) {
-            auto pit = postings.find(term);
-            if (pit == postings.end()) continue;
-            double df = static_cast<double>(pit->second.size());
-            double idf = std::log(1.0 + (n - df + 0.5) / (df + 0.5));
-            for (auto& [doc_id, tf] : pit->second) {
-                double dl = doc_len[doc_id];
-                double denom =
-                    avg_len > 0 ? tf + K1 * (1 - B + B * dl / avg_len) : tf + K1;
-                scores[doc_id] += idf * (tf * (K1 + 1)) / denom;
+        for (auto& m : pos_scores) {
+            for (auto& [doc_id, s] : m) {
+                if (allowed.count(doc_id)) scores[doc_id] += s;
             }
         }
         std::vector<std::pair<int64_t, double>> ranked(scores.begin(),
@@ -130,7 +276,10 @@ struct Index {
     int64_t size_bytes() const {
         int64_t total = 0;
         for (auto& [term, plist] : postings) {
-            total += static_cast<int64_t>(term.size()) + 16 * plist.size() + 48;
+            total += static_cast<int64_t>(term.size()) + 48;
+            for (auto& [_, positions] : plist) {
+                total += 16 + 4 * static_cast<int64_t>(positions.size());
+            }
         }
         total += 16 * static_cast<int64_t>(doc_len.size());
         return total;
