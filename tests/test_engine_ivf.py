@@ -632,3 +632,24 @@ class TestIvfI8:
             np.testing.assert_allclose(
                 p.distances, w.distances, rtol=1e-5, atol=1e-6
             )
+
+    def test_u24_id_packing_roundtrip(self):
+        """The packed downlink (ids+1 as 3 little-endian uint8 planes) must
+        round-trip every id value incl. the -1 empty sentinel and the
+        dropped-count column."""
+        import jax.numpy as jnp
+
+        from vector_store_tpu.engine.ivf import _pack_ids_u24
+
+        ids = np.array(
+            [[-1, 0, 1, 255, 256, 65535, 65536, (1 << 24) - 2]],
+            dtype=np.int32,
+        )
+        packed = np.asarray(_pack_ids_u24(jnp.asarray(ids)))
+        assert packed.dtype == np.uint8 and packed.shape == (1, 8, 3)
+        un = (
+            packed[..., 0].astype(np.int32)
+            | (packed[..., 1].astype(np.int32) << 8)
+            | (packed[..., 2].astype(np.int32) << 16)
+        ) - 1
+        np.testing.assert_array_equal(un, ids)

@@ -1187,6 +1187,8 @@ class IvfDeviceIndex:
             # ship exactly k_fetch result columns (+ the dropped column):
             # the device->host pull is the serving bottleneck, 4 B/query/col
             ids = _slice_keep_last(ids, k=k_fetch)
+        if self.capacity + 1 < (1 << 24):
+            ids = _pack_ids_u24(ids)  # 3 B/id on the wire
         return PendingSearch(
             packed=ids,
             b_real=b_real,
@@ -1271,6 +1273,12 @@ class IvfDeviceIndex:
 
         b_real = pending.b_real
         host = np.asarray(host)[:b_real]
+        if host.dtype == np.uint8:  # u24-packed pull (_pack_ids_u24)
+            host = (
+                host[..., 0].astype(np.int32)
+                | (host[..., 1].astype(np.int32) << 8)
+                | (host[..., 2].astype(np.int32) << 16)
+            ) - 1
         dropped = host[:, -1]
         ids = host[:, :-1]  # all fetched columns (k * oversample)
         results = ids_postprocess(
@@ -1400,6 +1408,19 @@ def _slice_keep_last(ids: jax.Array, *, k: int) -> jax.Array:
     """[B, k_pad+1] -> [B, k+1]: first k result columns + the trailing
     dropped-count column."""
     return jnp.concatenate([ids[:, :k], ids[:, -1:]], axis=1)
+
+
+@jax.jit
+def _pack_ids_u24(ids: jax.Array) -> jax.Array:
+    """[B, C] int32 (values >= -1, < 2^24 - 1) -> [B, C, 3] uint8
+    little-endian byte planes of ids+1. Drops the result pull from 4 to
+    3 bytes per id — the downlink is pure transport cost per query, and
+    slot ids fit 24 bits until capacity reaches 16.7M. Unpacked host-side
+    in _postprocess (dtype-dispatched)."""
+    u = (ids + 1).astype(jnp.uint32)
+    return jnp.stack(
+        [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF], axis=-1
+    ).astype(jnp.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("b",))
