@@ -419,12 +419,20 @@ def run(name: str) -> dict:
     out["recall_gate_passed"] = bool(recall >= 0.95)
     out["nprobe"] = index.nprobe
 
-    # throughput: pipelined begins + one aggregated pull per window
+    # throughput: windowed uplink (8 batches per query upload), pipelined
+    # begins, one aggregated pull
     queries = gate_q
     index.search(queries, k)  # warm
-    reps = 24
+    from vector_store_tpu.engine.flat import split_query_windows
+
+    reps, uplink = 24, 8
+    big = np.tile(queries, (uplink, 1))
+    split_query_windows(index.upload_queries(big), batch)  # warm shapes
     t0 = time.time()
-    pends = [index.search_begin(queries, k) for _ in range(reps)]
+    pends = []
+    for _ in range(reps // uplink):
+        for s in split_query_windows(index.upload_queries(big), batch):
+            pends.append(index.search_begin(queries, k, queries_dev=s))
     index.collect_many(pends)
     out["e2e_qps_burst"] = round(batch * reps / (time.time() - t0), 1)
 
