@@ -133,10 +133,17 @@ async def run() -> dict:
         out["ingest_seconds"] = round(ingest_s, 2)
         out["ingest_rows_per_sec"] = round(n / ingest_s, 1)
 
-        # warm the query path (first engine dispatch compiles)
+        # warm the query path: a concurrent burst so the actor's batch
+        # WINDOW shapes compile too (sequential posts only warm batch=1;
+        # the measured phase dispatches windows of up to `concurrency`)
         warm = {"vector": base[0].tolist(), "limit": 10}
         for _ in range(3):
-            await client.post("/api/v1/indexes/ks/idx/ann", json=warm)
+            await asyncio.gather(
+                *(
+                    client.post("/api/v1/indexes/ks/idx/ann", json=warm)
+                    for _ in range(concurrency)
+                )
+            )
 
         # ── query: closed-loop concurrent ANN ──
         out["query"] = await _query_phase(client, dims, concurrency, seconds, rng)
