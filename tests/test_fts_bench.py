@@ -15,7 +15,9 @@ def test_fts_bench_smoke():
     assert out["docs"] == 400
     assert out["python"]["index_docs_per_sec"] > 0
     assert out["python"]["search_qps"] > 0
+    assert out["python"]["churn_ops_per_sec"] > 0
     if "native" in out:
-        # identical corpus + scoring rules -> identical result cardinality
+        # identical corpus + scoring rules -> identical result cardinality,
+        # and churn (delete + re-add) must restore identical size accounting
         assert out["native"]["avg_hits"] == out["python"]["avg_hits"]
         assert out["native"]["size_bytes"] == out["python"]["size_bytes"]

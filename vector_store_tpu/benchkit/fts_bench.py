@@ -66,11 +66,23 @@ def bench_impl(make_index, docs: list[str], queries: list[str], limit: int) -> d
     for q in queries:
         hits += len(idx.search(q, limit))
     t_search = time.monotonic() - t0
+    # churn: the CDC steady state is deletes + re-adds against a large
+    # committed index (each op touches only its own doc's postings)
+    n_churn = min(5_000, len(docs) // 2)
+    t0 = time.monotonic()
+    for i in range(n_churn):
+        idx.delete_document(i)
+    idx.commit()
+    for i in range(n_churn):
+        idx.add_document(i, docs[i])
+    idx.commit()
+    t_churn = time.monotonic() - t0
     return {
         "index_docs_per_sec": round(len(docs) / (t_add + t_commit), 1),
         "commit_seconds": round(t_commit, 3),
         "search_qps": round(len(queries) / t_search, 1),
         "avg_hits": round(hits / len(queries), 1),
+        "churn_ops_per_sec": round(2 * n_churn / t_churn, 1),
         "size_bytes": int(idx.size_bytes()),
     }
 

@@ -82,6 +82,9 @@ class InvertedIndex:
     def __init__(self) -> None:
         self.postings: dict[str, dict[int, list[int]]] = defaultdict(dict)
         self.doc_len: dict[int, int] = {}
+        # doc -> its unique terms, so removal walks O(|doc|) postings
+        # instead of every term in the vocabulary (CDC delete churn)
+        self._doc_terms: dict[int, list[str]] = {}
         self._total_len = 0
         # staged (uncommitted) state
         self._pending_add: dict[int, str] = {}
@@ -110,6 +113,7 @@ class InvertedIndex:
             tokens = analyze(body)
             for pos, t in enumerate(tokens):
                 self.postings[t].setdefault(doc_id, []).append(pos)
+            self._doc_terms[doc_id] = list(dict.fromkeys(tokens))
             self.doc_len[doc_id] = len(tokens)
             self._total_len += len(tokens)
         self._pending_add.clear()
@@ -120,9 +124,9 @@ class InvertedIndex:
         if doc_id not in self.doc_len:
             return
         self._total_len -= self.doc_len.pop(doc_id)
-        for term in list(self.postings):
-            plist = self.postings[term]
-            if doc_id in plist:
+        for term in self._doc_terms.pop(doc_id, ()):
+            plist = self.postings.get(term)
+            if plist is not None and doc_id in plist:
                 del plist[doc_id]
                 if not plist:
                     del self.postings[term]

@@ -99,29 +99,52 @@ std::vector<Clause> parse_query(const char* query) {
     return out;
 }
 
+using Plist = std::unordered_map<int64_t, std::vector<int32_t>>;
+
 struct Index {
-    // committed state: term -> doc -> positions (post-stopword indices)
-    std::unordered_map<std::string,
-                       std::unordered_map<int64_t, std::vector<int32_t>>>
-        postings;
+    // committed state, term-interned: term string -> stable id; postings
+    // indexed by id (term -> doc -> positions, post-stopword indices).
+    // doc_terms remembers each doc's unique term ids so removal walks
+    // O(|doc|) postings instead of the whole vocabulary — the difference
+    // between O(1)-ish and O(vocab) per delete under CDC churn.
+    std::unordered_map<std::string, uint32_t> term_ids;
+    std::vector<std::string> term_str;
+    std::vector<Plist> postings;
+    std::unordered_map<int64_t, std::vector<uint32_t>> doc_terms;
     std::unordered_map<int64_t, int32_t> doc_len;
     int64_t total_len = 0;
     // staged state
     std::unordered_map<int64_t, std::string> pending_add;
     std::unordered_set<int64_t> pending_del;
 
+    uint32_t intern(const std::string& t) {
+        auto [it, inserted] =
+            term_ids.emplace(t, static_cast<uint32_t>(term_str.size()));
+        if (inserted) {
+            term_str.push_back(t);
+            postings.emplace_back();
+        }
+        return it->second;
+    }
+
+    // nullptr when the term is unknown or currently has no documents
+    // (interned ids outlive their last document, like a segment dictionary)
+    const Plist* find_postings(const std::string& t) const {
+        auto it = term_ids.find(t);
+        if (it == term_ids.end()) return nullptr;
+        const Plist& m = postings[it->second];
+        return m.empty() ? nullptr : &m;
+    }
+
     void remove_doc(int64_t doc_id) {
         auto it = doc_len.find(doc_id);
         if (it == doc_len.end()) return;
         total_len -= it->second;
         doc_len.erase(it);
-        for (auto pit = postings.begin(); pit != postings.end();) {
-            pit->second.erase(doc_id);
-            if (pit->second.empty()) {
-                pit = postings.erase(pit);
-            } else {
-                ++pit;
-            }
+        auto dt = doc_terms.find(doc_id);
+        if (dt != doc_terms.end()) {
+            for (uint32_t tid : dt->second) postings[tid].erase(doc_id);
+            doc_terms.erase(dt);
         }
     }
 
@@ -131,9 +154,13 @@ struct Index {
         for (auto& [doc_id, body] : pending_add) {
             remove_doc(doc_id);
             auto tokens = analyze(body.c_str());
+            auto& terms = doc_terms[doc_id];
+            terms.clear();
             for (size_t pos = 0; pos < tokens.size(); ++pos) {
-                postings[tokens[pos]][doc_id].push_back(
-                    static_cast<int32_t>(pos));
+                uint32_t tid = intern(tokens[pos]);
+                auto& positions = postings[tid][doc_id];
+                if (positions.empty()) terms.push_back(tid);
+                positions.push_back(static_cast<int32_t>(pos));
             }
             doc_len[doc_id] = static_cast<int32_t>(tokens.size());
             total_len += static_cast<int64_t>(tokens.size());
@@ -154,11 +181,11 @@ struct Index {
                                                      double avg_len) {
         std::unordered_map<int64_t, double> out;
         if (!c.is_phrase || c.terms.size() == 1) {
-            auto pit = postings.find(c.terms[0]);
-            if (pit == postings.end()) return out;
-            double df = static_cast<double>(pit->second.size());
+            const Plist* plist = find_postings(c.terms[0]);
+            if (plist == nullptr) return out;
+            double df = static_cast<double>(plist->size());
             double idf = std::log(1.0 + (n - df + 0.5) / (df + 0.5));
-            for (auto& [doc_id, positions] : pit->second) {
+            for (auto& [doc_id, positions] : *plist) {
                 out[doc_id] = bm25(
                     idf, static_cast<int32_t>(positions.size()), doc_id,
                     avg_len);
@@ -166,12 +193,11 @@ struct Index {
             return out;
         }
         // phrase: every term present at consecutive positions, in order
-        std::vector<const std::unordered_map<int64_t, std::vector<int32_t>>*>
-            plists;
+        std::vector<const Plist*> plists;
         for (auto& t : c.terms) {
-            auto pit = postings.find(t);
-            if (pit == postings.end()) return out;
-            plists.push_back(&pit->second);
+            const Plist* plist = find_postings(t);
+            if (plist == nullptr) return out;
+            plists.push_back(plist);
         }
         double idf = 0.0;
         for (auto* p : plists) {
@@ -261,11 +287,19 @@ struct Index {
         }
         std::vector<std::pair<int64_t, double>> ranked(scores.begin(),
                                                        scores.end());
-        std::sort(ranked.begin(), ranked.end(), [](auto& a, auto& b) {
+        auto better = [](const std::pair<int64_t, double>& a,
+                         const std::pair<int64_t, double>& b) {
             if (a.second != b.second) return a.second > b.second;
             return a.first < b.first;
-        });
+        };
         int64_t count = std::min<int64_t>(limit, ranked.size());
+        if (static_cast<int64_t>(ranked.size()) > count) {
+            // partial selection: matches can be 1000x the limit
+            std::nth_element(ranked.begin(), ranked.begin() + count,
+                             ranked.end(), better);
+            ranked.resize(count);
+        }
+        std::sort(ranked.begin(), ranked.end(), better);
         for (int64_t i = 0; i < count; ++i) {
             out_ids[i] = ranked[i].first;
             out_scores[i] = static_cast<float>(ranked[i].second);
@@ -275,9 +309,10 @@ struct Index {
 
     int64_t size_bytes() const {
         int64_t total = 0;
-        for (auto& [term, plist] : postings) {
-            total += static_cast<int64_t>(term.size()) + 48;
-            for (auto& [_, positions] : plist) {
+        for (size_t i = 0; i < postings.size(); ++i) {
+            if (postings[i].empty()) continue;  // retired dictionary entry
+            total += static_cast<int64_t>(term_str[i].size()) + 48;
+            for (auto& [_, positions] : postings[i]) {
                 total += 16 + 4 * static_cast<int64_t>(positions.size());
             }
         }
