@@ -17,6 +17,7 @@ from vector_store_tpu.fts import COMMIT_DOCS, COMMIT_INTERVAL, InvertedIndex
 from vector_store_tpu.table import (
     AddDocument,
     AddVector,
+    AddVectorBlock,
     Operation,
     RemoveBeforeAddValue,
     RemoveValue,
@@ -80,8 +81,8 @@ class FtsIndexActor:
                 self._epochs.pop(op.primary_id.slot, None)
             elif isinstance(op, RemoveBeforeAddValue):
                 continue  # the following AddDocument replaces in place
-            elif isinstance(op, AddVector):
-                logger.warning("AddVector sent to an FTS index; ignoring")
+            elif isinstance(op, (AddVector, AddVectorBlock)):
+                logger.warning("vector op sent to an FTS index; ignoring")
         if self.index.uncommitted >= COMMIT_DOCS:
             self._maybe_commit(force=True)
 

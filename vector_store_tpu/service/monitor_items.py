@@ -11,7 +11,14 @@ import time
 from typing import Optional
 
 from vector_store_tpu.core.types import DbIndexedRow, IndexKey
-from vector_store_tpu.table import AddDocument, AddVector, Operation, RemoveValue, Table
+from vector_store_tpu.table import (
+    AddDocument,
+    AddVector,
+    AddVectorBlock,
+    Operation,
+    RemoveValue,
+    Table,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -84,13 +91,32 @@ class MonitorItems:
                 except asyncio.QueueEmpty:
                     break
             ops: list[Operation] = []
+            # consecutive upserts go through the table's bulk scan path
+            # (fresh rows compress into columnar AddVectorBlocks); a delete
+            # is a run boundary so arrival order is preserved exactly
+            run: list[tuple] = []  # (primary_key, values) upsert run
+
+            def flush_run() -> None:
+                if not run:
+                    return
+                try:
+                    ops.extend(self.table.upsert_scan(self.index_key, run))
+                except Exception:
+                    logger.exception("monitor_items: failed to apply upsert run")
+                run.clear()
+
             for row, marker in items:
                 try:
-                    ops.extend(self._apply(row))
+                    if row.operation.kind == "upsert":
+                        run.append((row.primary_key, row.operation.values))
+                    else:
+                        flush_run()
+                        ops.extend(self._apply(row))
                 except Exception:
                     logger.exception("monitor_items: failed to apply row")
                 finally:
                     marker.complete(self.metrics, self.index_key)
+            flush_run()
             if ops:
                 self.index_actor.apply_operations(ops)
                 self._count_ops(ops)
@@ -111,7 +137,9 @@ class MonitorItems:
             return
         ins = upd = rem = 0
         for op in ops:
-            if isinstance(op, (AddVector, AddDocument)):
+            if isinstance(op, AddVectorBlock):
+                ins += len(op)  # bulk inserts are never updates
+            elif isinstance(op, (AddVector, AddDocument)):
                 if op.is_update:
                     upd += 1
                 else:

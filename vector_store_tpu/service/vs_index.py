@@ -46,6 +46,7 @@ from vector_store_tpu.utils import hotpath
 from vector_store_tpu.table import (
     AddDocument,
     AddVector,
+    AddVectorBlock,
     Operation,
     RemoveBeforeAddValue,
     RemovePartition,
@@ -724,9 +725,25 @@ class VsIndexActor:
         remove_slots: list[int] = []
         seen_add: dict[int, int] = {}  # slot -> position in add arrays
         rm_before_add: set[int] = set()  # slots whose old value must go away
+        blocks: list[AddVectorBlock] = []  # columnar bulk inserts (fresh slots)
 
         for op in ops:
-            if isinstance(op, AddVector):
+            if isinstance(op, AddVectorBlock):
+                # fresh unique slots by construction (Table.upsert_scan), so
+                # no interaction with per-row dedup in this batch
+                if not can_add:
+                    self._dropped_adds += len(op)
+                    continue
+                if op.vectors.shape[1] != self.dimensions:
+                    logger.warning(
+                        "dropping %d-row bulk insert with wrong dimensions %d != %d",
+                        len(op),
+                        op.vectors.shape[1],
+                        self.dimensions,
+                    )
+                    continue
+                blocks.append(op)
+            elif isinstance(op, AddVector):
                 if not can_add:
                     self._dropped_adds += 1
                     continue
@@ -778,27 +795,34 @@ class VsIndexActor:
         remove_slots.extend(orphaned)
         if remove_slots:
             self.engine.remove_batch(np.asarray(remove_slots, dtype=np.int64))
+        # ONE engine dispatch for per-row adds + columnar blocks together:
+        # block slots are fresh and unique (Table.upsert_scan invariant),
+        # so they cannot collide with the deduped per-row adds
         live = [i for i, s in enumerate(add_slots) if s >= 0]
-        if live:
-            slots = np.asarray([add_slots[i] for i in live], dtype=np.int64)
-            epochs = np.asarray([add_epochs[i] for i in live], dtype=np.int32)
-            vecs = np.stack([add_vecs[i] for i in live])
-            parts = np.asarray([add_parts[i] for i in live], dtype=np.int32)
+        if live or blocks:
+            slot_parts = [b.slots for b in blocks]
+            epoch_parts = [b.epochs for b in blocks]
+            vec_parts = [b.vectors for b in blocks]
+            part_parts = [
+                np.full((len(b),), b.partition_id.slot, dtype=np.int32)
+                for b in blocks
+            ]
+            if live:
+                slot_parts.append(np.asarray([add_slots[i] for i in live], dtype=np.int64))
+                epoch_parts.append(np.asarray([add_epochs[i] for i in live], dtype=np.int32))
+                vec_parts.append(np.stack([add_vecs[i] for i in live]))
+                part_parts.append(np.asarray([add_parts[i] for i in live], dtype=np.int32))
+            slots = slot_parts[0] if len(slot_parts) == 1 else np.concatenate(slot_parts)
+            epochs = epoch_parts[0] if len(epoch_parts) == 1 else np.concatenate(epoch_parts)
+            vecs = vec_parts[0] if len(vec_parts) == 1 else np.concatenate(vec_parts)
+            parts = part_parts[0] if len(part_parts) == 1 else np.concatenate(part_parts)
             self.engine.upsert_batch(
                 slots, epochs, vecs, partitions=parts if self.is_local else None
             )
-        if self.metrics is not None:
-            key = self.metadata.key
-            n_add = len(live)
-            n_rm = len(remove_slots)
-            if n_add:
-                self.metrics.modified.with_labels(
-                    key.keyspace, key.index, "insert"
-                ).inc(n_add)
-            if n_rm:
-                self.metrics.modified.with_labels(key.keyspace, key.index, "remove").inc(
-                    n_rm
-                )
+        # NOTE: index_modified{insert,update,remove} is counted ONCE, by
+        # monitor_items (reference parity: monitor_items.rs:280-335 is the
+        # only incrementer and its tests assert exact per-row counts).
+        # The actor used to double-count every landed add here.
 
 
 deque_t = asyncio.Queue

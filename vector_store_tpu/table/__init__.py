@@ -59,6 +59,26 @@ class AddVector:
 
 
 @dataclass(frozen=True)
+class AddVectorBlock:
+    """Columnar bulk insert: N brand-new rows of one global index as ONE
+    operation ([n] slots + [n] epochs + [n, d] f32 matrix) instead of N
+    AddVector objects. Emitted only by Table.upsert_scan for rows whose
+    full state machine provably reduces to UpdateWork::Add (fresh primary
+    key, global partition, valid vector, no filtering columns) — the
+    full-scan ingest hot path. The TPU-native analog of the reference's
+    per-row Operation stream (table/mod.rs:1394-1419): the device engines
+    consume columns, so the delta stays columnar end to end."""
+
+    slots: object  # np.ndarray int64 [n]
+    epochs: object  # np.ndarray int32 [n]
+    partition_id: PartitionId
+    vectors: object  # np.ndarray f32 [n, d]
+
+    def __len__(self) -> int:
+        return int(self.slots.shape[0])
+
+
+@dataclass(frozen=True)
 class AddDocument:
     primary_id: PrimaryId
     partition_id: PartitionId
@@ -83,7 +103,14 @@ class RemovePartition:
     partition_id: PartitionId
 
 
-Operation = AddVector | AddDocument | RemoveBeforeAddValue | RemoveValue | RemovePartition
+Operation = (
+    AddVector
+    | AddVectorBlock
+    | AddDocument
+    | RemoveBeforeAddValue
+    | RemoveValue
+    | RemovePartition
+)
 
 
 # ---------------------------------------------------------------------------
@@ -497,6 +524,112 @@ class Table:
             primary_id, lambda col: self._column_value(primary_id, col)
         )
         return self._update_index(primary_id, processing, index, target, timestamps)
+
+    @hotpath.measure
+    def upsert_scan(
+        self,
+        index_key: IndexKey,
+        rows: list[tuple[PrimaryKey, tuple[Timestamped, ...]]],
+    ) -> list[Operation]:
+        """Bulk upsert for the full-scan ingest path. Rows whose state
+        machine provably reduces to UpdateWork::Add — fresh primary key
+        (not in the table, unique within the batch), global index with no
+        non-pk partition-key or filtering columns, exactly the target
+        value, valid non-null vector — are applied with vectorized slot
+        state writes and compressed into ONE AddVectorBlock. Every other
+        row goes through the canonical per-row upsert, in arrival order.
+        Behavior is identical to calling upsert per row (asserted by
+        tests); only the operation encoding differs."""
+        index_id = self.index_ids.get(index_key)
+        if index_id is None:
+            raise KeyError(f"Index key {index_key} not found")
+        index = self.indexes[index_id]
+
+        bulk_capable = (
+            index.data.is_global
+            and not index.data.nonpk_partition_key_columns
+            and not index.filtering_columns
+        )
+        # PKs seen more than once in the batch must replay in arrival
+        # order through the canonical path (LWW between duplicates)
+        pk_counts: dict[PrimaryKey, int] = {}
+        if bulk_capable:
+            for pk, _ in rows:
+                pk_counts[pk] = pk_counts.get(pk, 0) + 1
+
+        fast: list[tuple[PrimaryKey, int, np.ndarray]] = []  # pk, packed ts, row
+        d0 = -1
+        operations: list[Operation] = []
+
+        def flush_fast() -> None:
+            nonlocal fast, d0
+            if not fast:
+                return
+            n = len(fast)
+            while len(self.free_primary_ids) < n:
+                start = self._next_primary_slot
+                end = start + max(RESERVE_PRIMARY_IDS, n)
+                for slot in range(start, end):
+                    self.free_primary_ids.append(PrimaryId.new(slot, 0))
+                self._next_primary_slot = end
+                self.primary_keys.extend([None] * (end - len(self.primary_keys)))
+                for vec in self.columns.values():
+                    vec.resize(end)
+                for ix in self.indexes.values():
+                    ix.resize_primary_ids(end)
+            slots = np.empty((n,), dtype=np.int64)
+            packed = np.empty((n,), dtype=np.uint64)
+            vecs = np.empty((n, d0), dtype=np.float32)
+            for i, (pk, pk_packed, row) in enumerate(fast):
+                pid = self.free_primary_ids.popleft()
+                self.primary_ids[pk] = pid
+                self.primary_keys[pid.slot] = pk
+                slots[i] = pid.slot
+                packed[i] = pk_packed
+                vecs[i] = row
+            # fresh slots: epoch -1 -> initialized 0 by slot_state, the
+            # incoming valid value is strictly newer than the tombstone-at-
+            # MIN baseline -> work=add with epoch bumped to 1
+            index.epochs[slots] = 1
+            index.value_ts[slots, 0] = packed
+            operations.append(
+                AddVectorBlock(
+                    slots=slots,
+                    epochs=np.ones((n,), dtype=np.int32),
+                    partition_id=PartitionId.global_for(index.index_id),
+                    vectors=vecs,
+                )
+            )
+            fast, d0 = [], -1
+
+        for pk, values in rows:
+            head = values[0] if values else None
+            target = head.value if head is not None else None
+            eligible = (
+                bulk_capable
+                and len(values) == 1
+                and head is not None
+                and head.is_valid
+                and target is not None
+                and target.kind == "vector"
+                and target.value is not None
+                and pk_counts.get(pk) == 1
+                and pk not in self.primary_ids
+            )
+            if eligible:
+                row = np.asarray(target.value, dtype=np.float32)
+                if row.ndim == 1 and (d0 < 0 or row.shape[0] == d0):
+                    if d0 < 0:
+                        d0 = int(row.shape[0])
+                    fast.append((pk, head.packed, row))
+                    continue
+            # keep arrival order: a slow row flushes the pending block
+            # (fast rows are unique fresh PKs, so only engine-visible
+            # ordering matters, never same-PK LWW ordering)
+            flush_fast()
+            operations.extend(self.upsert(index_key, pk, values))
+        flush_fast()
+        return operations
 
     @hotpath.measure
     def delete(
