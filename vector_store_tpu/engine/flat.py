@@ -400,17 +400,21 @@ def ids_postprocess(
 ) -> list[SearchResult]:
     """Shared ids-only resolution: recompute exact f32 distances from the
     host mirror, attach epochs, restore strict distance order."""
+    from vector_store_tpu.engine.rescore import native_rescore
+
     i = np.asarray(ids)
     safe = np.maximum(i, 0)
-    v = vecs_host[safe]  # [b, k, D]
     q = q_f32[:, :dims]
-    if space is SpaceType.EUCLIDEAN:
-        d = ((q[:, None, :] - v) ** 2).sum(-1)
-    else:
-        dot = np.einsum("bd,bkd->bk", q, v)
-        d = 1.0 - dot
-        if space is SpaceType.COSINE:
-            d = np.clip(d, 0.0, 2.0)
+    d = native_rescore(vecs_host, i, q, space)
+    if d is None:  # no native toolchain / layout mismatch: numpy fallback
+        v = vecs_host[safe]  # [b, k, D]
+        if space is SpaceType.EUCLIDEAN:
+            d = ((q[:, None, :] - v) ** 2).sum(-1)
+        else:
+            dot = np.einsum("bd,bkd->bk", q, v)
+            d = 1.0 - dot
+            if space is SpaceType.COSINE:
+                d = np.clip(d, 0.0, 2.0)
     e = epochs_host[safe]
     # one batched stable sort with invalid ids pushed to +inf, then per-row
     # slicing — this loop used to argsort per row, which at 1-core host

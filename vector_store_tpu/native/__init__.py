@@ -28,9 +28,12 @@ def load_native(name: str) -> ctypes.CDLL | None:
         lib: ctypes.CDLL | None = None
         try:
             if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+                # -march=native is safe by construction: the library is
+                # compiled on demand on the machine that will run it
                 cmd = [
                     "g++",
-                    "-O2",
+                    "-O3",
+                    "-march=native",
                     "-std=c++17",
                     "-shared",
                     "-fPIC",
