@@ -306,7 +306,8 @@ def _ava_u32(x: jax.Array) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "space", "quant", "m", "alpha", "k", "r_rand")
+    jax.jit,
+    static_argnames=("kind", "space", "quant", "m", "alpha", "k", "r_rand", "m_bridge"),
 )
 def _bulk_prune_chunk(
     packed,  # [2|3, b_pad, k_pad] raw search output (pallas rank / xla dist)
@@ -324,18 +325,21 @@ def _bulk_prune_chunk(
     alpha: float,
     k: int,
     r_rand: int,
+    m_bridge: int = 0,
 ):
-    """Raw chunk results -> ([b_pad, m] edge ids, dists) pruned on device.
+    """Raw chunk results -> ([b_pad, m + m_bridge] edge ids, dists), pruned
+    on device: the first ``m`` columns are alpha-pruned exact-kNN near
+    edges, the last ``m_bridge`` columns are hash-random NSW bridges pruned
+    only against EACH OTHER.
 
-    Besides the exact-kNN candidates, each node gets ``r_rand``
-    hash-random candidates from the whole block: on clustered data every
+    Bridges get their own protected region because on clustered data every
     one of the k nearest neighbors is intra-cluster, and a pure-kNN graph
-    fragments into cluster islands (measured: 16.5k of 131k nodes
-    reachable from the entry set; recall 0.18). Random long-range
-    candidates survive the alpha rule exactly when no kept neighbor is
-    near them — the NSW long-link construction — and re-connect the
-    islands. Exact duplicates of kNN candidates are auto-dropped by the
-    alpha rule (pair distance 0 dominates the second copy)."""
+    fragments into cluster islands (measured: 16.5k of 131k nodes reachable
+    from the entry set; recall 0.18). Letting bridges merely COMPETE in one
+    alpha prune only works while the kNN shell is wide enough to
+    self-dominate: at ~2k rows/cluster nothing dominates, the near
+    candidates fill every slot, and zero bridges survive (graph-at-1M
+    recall 0.087). The quota makes island re-connection structural."""
     from vector_store_tpu.ops.pallas_scan import INVALID_CUTOFF
 
     ids = jax.lax.bitcast_convert_type(packed[1][:, :k], jnp.int32)
@@ -356,36 +360,53 @@ def _bulk_prune_chunk(
     dist = jnp.where(bad, jnp.inf, dist)
     ids = jnp.where(bad, -1, ids)
 
-    if r_rand > 0:
-        rseed = _ava_u32(
-            slots[:, None] * jnp.uint32(r_rand)
-            + jnp.arange(r_rand, dtype=jnp.uint32)[None, :]
-        )
-        rand = base + (
-            rseed % jnp.maximum(n_rows.astype(jnp.uint32), 1)
-        ).astype(jnp.int32)
-        qv = vectors[jnp.minimum(slots, vectors.shape[0] - 1)].astype(
-            jnp.float32
-        )
-        rv = vectors[rand].astype(jnp.float32)  # [b, R, Dp]
-        dots = jnp.einsum(
-            "bd,brd->br", qv, rv, preferred_element_type=jnp.float32
-        )
-        if space is SpaceType.EUCLIDEAN:
-            rd = jnp.maximum(
-                (qv * qv).sum(-1)[:, None] + (rv * rv).sum(-1) - 2.0 * dots,
-                0.0,
-            )
-        else:  # cosine (normalized storage) / dot
-            rd = 1.0 - dots
-        rd = jnp.where(rand == slots[:, None], jnp.inf, rd)
-        ids = jnp.concatenate([ids, rand], axis=1)
-        dist = jnp.concatenate([dist, rd], axis=1)
-
     dist, ids = jax.lax.sort((dist, ids), num_keys=1, dimension=1)
     safe = jnp.maximum(ids, 0)
-    return _alpha_prune(
+    near_i, near_d = _alpha_prune(
         ids, dist, vectors[safe], aux[safe], m=m, alpha=alpha, space=space, quant=quant
+    )
+    if r_rand <= 0 or m_bridge <= 0:
+        return near_i, near_d
+
+    rseed = _ava_u32(
+        slots[:, None] * jnp.uint32(r_rand)
+        + jnp.arange(r_rand, dtype=jnp.uint32)[None, :]
+    )
+    rand = base + (
+        rseed % jnp.maximum(n_rows.astype(jnp.uint32), 1)
+    ).astype(jnp.int32)
+    qv = vectors[jnp.minimum(slots, vectors.shape[0] - 1)].astype(
+        jnp.float32
+    )
+    rv = vectors[rand].astype(jnp.float32)  # [b, R, Dp]
+    dots = jnp.einsum(
+        "bd,brd->br", qv, rv, preferred_element_type=jnp.float32
+    )
+    if space is SpaceType.EUCLIDEAN:
+        rd = jnp.maximum(
+            (qv * qv).sum(-1)[:, None] + (rv * rv).sum(-1) - 2.0 * dots,
+            0.0,
+        )
+    else:  # cosine (normalized storage) / dot
+        rd = 1.0 - dots
+    rd = jnp.where(rand == slots[:, None], jnp.inf, rd)
+    # bridges compete only with each other (alpha keeps them in distinct
+    # clusters); nearest-first order so the kept set biases mildly local
+    rd, rand = jax.lax.sort((rd, rand), num_keys=1, dimension=1)
+    rsafe = jnp.maximum(rand, 0)
+    br_i, br_d = _alpha_prune(
+        rand,
+        rd,
+        vectors[rsafe],
+        aux[rsafe],
+        m=m_bridge,
+        alpha=alpha,
+        space=space,
+        quant=quant,
+    )
+    return (
+        jnp.concatenate([near_i, br_i], axis=1),
+        jnp.concatenate([near_d, br_d], axis=1),
     )
 
 
@@ -549,6 +570,18 @@ class GraphDeviceIndex:
         self.dimensions = dimensions
         self.connectivity = connectivity
         self.degree = 2 * connectivity  # like HNSW level-0 (2*M)
+        # Protected long-range region: the LAST bridge_q columns of every
+        # adjacency row hold hash-random NSW bridges that near-neighbor
+        # pruning may never evict. Rationale (measured, scripts/graph_diag.py):
+        # at ~2k rows/cluster the exact-kNN candidates sit in a thin
+        # intra-cluster shell where the alpha rule dominates nothing, so the
+        # nearest `degree` candidates fill every slot and ZERO random bridges
+        # survive -> cluster islands (graph-at-1M recall collapsed to 0.087
+        # while the same build at ~256 rows/cluster measured 0.985). A quota
+        # makes cross-cluster navigability structural instead of hoping the
+        # alpha rule leaves tail slots free.
+        self.bridge_q = max(2, self.degree // 8)
+        self.near_deg = self.degree - self.bridge_q
         self.expansion_add = expansion_add
         self.expansion_search = expansion_search
         self.alpha = alpha
@@ -595,9 +628,43 @@ class GraphDeviceIndex:
     def graph_nodes(self) -> int:
         return self._graph_nodes
 
+    _ENTRY_BUCKETS = (32, 128, 512, 2048, 4096)
+
+    def _entry_target(self) -> int:
+        """Entry-set size, scaled with the graph (~2*sqrt(N), bucketed so the
+        jitted search program compiles once per bucket). On clustered data
+        with C clusters, navigation toward an unseeded cluster has no
+        distance gradient (inter-cluster distances concentrate), so coverage
+        must come from the entry set itself: E entries seed a query's cluster
+        with p ~= 1-(1-1/C)^E. This is the lockstep equivalent of HNSW's
+        upper layers (usearch.rs descends ~N/M upper-layer nodes; here the
+        descent is one [B, E] distance block on the MXU)."""
+        want = int(2.0 * np.sqrt(max(self._graph_nodes, 1)))
+        want = max(self.n_entries, min(want, self._ENTRY_BUCKETS[-1]))
+        for b in self._ENTRY_BUCKETS:
+            if want <= b:
+                return b
+        return self._ENTRY_BUCKETS[-1]
+
+    def _note_entries(self, batch) -> None:
+        """Reservoir-maintain the entry set over all merged nodes: the oldest
+        half stays pinned (old nodes acquire dense in-link sets and anchor
+        small graphs), the younger half is a uniform sample of the rest."""
+        target = self._entry_target()
+        half = target // 2
+        for s in batch:
+            self._entries_seen += 1
+            if len(self._entries) < target:
+                self._entries.append(int(s))
+            else:
+                j = int(self._rng.integers(0, self._entries_seen))
+                if half <= j < target:
+                    self._entries[j] = int(s)
+
     def _entries_array(self) -> jnp.ndarray:
-        e = np.full((self.n_entries,), -1, dtype=np.int32)
-        n = min(len(self._entries), self.n_entries)
+        n = len(self._entries)
+        pad = next((b for b in self._ENTRY_BUCKETS if n <= b), n)
+        e = np.full((pad,), -1, dtype=np.int32)
         if n:
             e[:n] = self._entries[:n]
         return jnp.asarray(e)
@@ -808,10 +875,13 @@ class GraphDeviceIndex:
         cand_d[self_mask] = np.inf
         cand_i[self_mask] = -1
 
-        # random long-range candidates (same rationale as the device path:
-        # pure-kNN graphs fragment into cluster islands on clustered data;
-        # bridges survive the alpha rule exactly when nothing near
-        # dominates them)
+        # random long-range bridges into the protected tail region (same
+        # rationale as the device path: pure-kNN graphs fragment into
+        # cluster islands on clustered data, and at high per-cluster density
+        # bridges that merely COMPETE in the alpha prune never survive —
+        # see _bulk_prune_chunk)
+        bridge_i = np.full((n, self.bridge_q), -1, dtype=np.int32)
+        bridge_d = np.full((n, self.bridge_q), np.inf, dtype=np.float32)
         if self.quantization is not Quantization.B1 and n > 1:
             r_rand = 8
             rng_pos = (
@@ -830,8 +900,19 @@ class GraphDeviceIndex:
                 else:
                     rd[blo:bhi] = 1.0 - np.einsum("nd,nrd->nr", qb, rb)
             rd = np.where(rand_ids == slots[:, None], np.inf, rd)
-            cand_i = np.concatenate([cand_i, rand_ids], axis=1)
-            cand_d = np.concatenate([cand_d, rd], axis=1)
+            # dedup repeated draws per row, nearest-first
+            order = np.argsort(rd, axis=1, kind="stable")
+            rand_ids = np.take_along_axis(rand_ids, order, axis=1)
+            rd = np.take_along_axis(rd, order, axis=1)
+            dup = np.zeros_like(rd, dtype=bool)
+            dup[:, 1:] = rand_ids[:, 1:] == rand_ids[:, :-1]
+            rd[dup] = np.inf
+            order = np.argsort(rd, axis=1, kind="stable")
+            rand_ids = np.take_along_axis(rand_ids, order, axis=1)
+            rd = np.take_along_axis(rd, order, axis=1)
+            bridge_i[:] = rand_ids[:, : self.bridge_q]
+            bridge_d[:] = rd[:, : self.bridge_q]
+            bridge_i[~np.isfinite(bridge_d)] = -1
 
         order = np.argsort(cand_d, axis=1, kind="stable")
         cand_i = np.take_along_axis(cand_i, order, axis=1)[:, : efc + 8]
@@ -841,6 +922,8 @@ class GraphDeviceIndex:
         # pass 2: alpha-prune every neighborhood on device, batched pulls
         sel_i = np.empty((n, self.degree), dtype=np.int32)
         sel_d = np.empty((n, self.degree), dtype=np.float32)
+        sel_i[:, self.near_deg :] = bridge_i
+        sel_d[:, self.near_deg :] = bridge_d
         out_devs = []
         for lo in range(0, n, 8192):
             hi = min(lo + 8192, n)
@@ -858,7 +941,7 @@ class GraphDeviceIndex:
                 jnp.asarray(cd),
                 store.vectors[csafe],
                 store.aux[csafe],
-                m=self.degree,
+                m=self.near_deg,
                 alpha=self.alpha,
                 space=self.space_type,
                 quant=self.quantization,
@@ -868,8 +951,8 @@ class GraphDeviceIndex:
             [x for _, _, oi, od in out_devs for x in (oi, od)]
         )
         for idx, (lo, hi, _, _) in enumerate(out_devs):
-            sel_i[lo:hi] = hosts[2 * idx][: hi - lo]
-            sel_d[lo:hi] = hosts[2 * idx + 1][: hi - lo]
+            sel_i[lo:hi, : self.near_deg] = hosts[2 * idx][: hi - lo]
+            sel_d[lo:hi, : self.near_deg] = hosts[2 * idx + 1][: hi - lo]
 
         self.adjacency = _scatter_rows(
             self.adjacency, slots_j, jnp.asarray(sel_i)
@@ -880,15 +963,7 @@ class GraphDeviceIndex:
         self._graph_nodes += n
         self._graph_slots.extend(int(s) for s in slots)
         self._members[slots] = True
-        half = self.n_entries // 2
-        for s in slots:
-            self._entries_seen += 1
-            if len(self._entries) < self.n_entries:
-                self._entries.append(int(s))
-            else:
-                j = int(self._rng.integers(0, self._entries_seen))
-                if half <= j < self.n_entries:
-                    self._entries[j] = int(s)
+        self._note_entries(slots)
 
         # pass 3: one global reverse-edge pass
         self._apply_reverse_edges(slots, sel_i, sel_d)
@@ -953,10 +1028,11 @@ class GraphDeviceIndex:
                 kind=kind,
                 space=self.space_type,
                 quant=self.quantization,
-                m=self.degree,
+                m=self.near_deg,
                 alpha=self.alpha,
                 k=k,
                 r_rand=8,
+                m_bridge=self.bridge_q,
             )
             sel_parts.append(sel_i_c[:b_real])
         sel_all = jnp.concatenate(sel_parts, axis=0)  # [n, degree] device
@@ -968,18 +1044,25 @@ class GraphDeviceIndex:
             (d for d in (8192, 4096, 2048, 1024, 512, 256, 128, 64) if cap % d == 0),
             cap,
         )
-        self.adjacency = _bulk_reverse(
-            self.adjacency,
+        # reverse pass repairs the NEAR region only; the bridge columns are
+        # protected (re-pruning them against dense incoming intra-cluster
+        # links would evict exactly the long-range edges that keep islands
+        # connected)
+        near = _bulk_reverse(
+            self.adjacency[:, : self.near_deg],
             store.vectors,
             store.aux,
             store.valid,
             space=self.space_type,
             quant=self.quantization,
-            m=self.degree,
+            m=self.near_deg,
             r=8,
             alpha=self.alpha,
-            max_forced=max(1, self.degree // 4),
+            max_forced=max(1, self.near_deg // 4),
             row_block=rb,
+        )
+        self.adjacency = jnp.concatenate(
+            [near, self.adjacency[:, self.near_deg :]], axis=1
         )
 
         # host bookkeeping (same as bulk_build's tail)
@@ -988,15 +1071,7 @@ class GraphDeviceIndex:
         self._graph_nodes += n
         self._graph_slots.extend(int(s) for s in slots)
         self._members[slots] = True
-        half = self.n_entries // 2
-        for s in slots:
-            self._entries_seen += 1
-            if len(self._entries) < self.n_entries:
-                self._entries.append(int(s))
-            else:
-                j = int(self._rng.integers(0, self._entries_seen))
-                if half <= j < self.n_entries:
-                    self._entries[j] = int(s)
+        self._note_entries(slots)
         return n
 
     @hotpath.measure
@@ -1041,15 +1116,7 @@ class GraphDeviceIndex:
         # the densest in-link sets through reverse passes and anchor small
         # graphs), the younger half is a reservoir sample over everything
         # else so entries still spread across clustered distributions
-        half = self.n_entries // 2
-        for s in batch:
-            self._entries_seen += 1
-            if len(self._entries) < self.n_entries:
-                self._entries.append(int(s))
-            else:
-                j = int(self._rng.integers(0, self._entries_seen))
-                if half <= j < self.n_entries:
-                    self._entries[j] = int(s)
+        self._note_entries(batch)
         return n
 
     def _bootstrap(self, slots: np.ndarray, vecs: np.ndarray, aux: np.ndarray) -> None:
@@ -1146,14 +1213,16 @@ class GraphDeviceIndex:
 
         if include_current:
             # refinement: the node itself is in the graph — drop self-hits
-            # and add its CURRENT edges as candidates so good old links
-            # survive the re-prune
+            # and add its CURRENT near edges as candidates so good old links
+            # survive the re-prune; bridge columns are redrawn fresh below
+            # (bridges are hash-random by definition, so refresh > preserve)
             padded_slots = np.full((n_pad,), -2, dtype=np.int64)
             padded_slots[: len(slots)] = slots
             self_mask = cand_i == padded_slots[:, None]
             cand_d[self_mask] = np.inf
             cand_i[self_mask] = -1
             cur_rows = np.array(self.adjacency[jnp.asarray(slots)])  # [n_real, deg]
+            cur_rows = cur_rows[:, : self.near_deg]
             qv = store.vectors[jnp.asarray(slots)]
             qa = store.aux[jnp.asarray(slots)]
             safe = jnp.maximum(jnp.asarray(cur_rows), 0)
@@ -1206,49 +1275,45 @@ class GraphDeviceIndex:
             cand_d = np.take_along_axis(cand_d, order, axis=1)
             cand_i[~np.isfinite(cand_d)] = -1
 
-        # 2. alpha-prune to degree (still padded; sliced after)
+        # 2/3. alpha-prune + assemble rows. Bridges only pay off once the
+        # graph is large enough that clusters outnumber entry points; below
+        # that, near candidates may use the whole degree (a small graph
+        # navigates fine without long links, and the 2 extra near edges are
+        # worth more recall than empty columns).
+        use_bridges = len(self._graph_slots) >= 4096
+        m_near = self.near_deg if use_bridges else self.degree
         ci_j = jnp.asarray(cand_i.astype(np.int32))
         safe = jnp.maximum(ci_j, 0)
         cvecs = store.vectors[safe]
         caux = store.aux[safe]
-        sel_i, sel_d = _alpha_prune(
+        sel_near_i, sel_near_d = _alpha_prune(
             ci_j,
             jnp.asarray(cand_d),
             cvecs,
             caux,
-            m=self.degree,
+            m=m_near,
             alpha=self.alpha,
             space=self.space_type,
             quant=self.quantization,
         )
-        sel_i, sel_d = jax.device_get((sel_i, sel_d))  # one batched pull
-        sel_i = np.array(sel_i[:n_real])  # writable host copies
-        sel_d = np.array(sel_d[:n_real])
+        sel_near_i, sel_near_d = jax.device_get((sel_near_i, sel_near_d))
 
-        # 3. forward edges + a couple of random long-range edges per node
-        # (small-world shortcuts: clustered data otherwise yields purely
-        # intra-cluster neighborhoods with no inter-cluster navigability)
-        # shortcuts only pay off once the graph is large enough that
-        # clusters outnumber entry points; on small graphs the stolen edge
-        # slot costs more recall than the shortcut adds
-        if len(self._graph_slots) >= 4096:
-            n_rand = min(2, self.degree // 8) or 1
+        sel_i = np.full((n_real, self.degree), -1, dtype=np.int32)
+        sel_d = np.full((n_real, self.degree), np.inf, dtype=np.float32)
+        sel_i[:, :m_near] = sel_near_i[:n_real]
+        sel_d[:, :m_near] = sel_near_d[:n_real]
+        if use_bridges:
+            # protected bridge region (see _bulk_prune_chunk: bridges may
+            # never compete with near edges); redrawn fresh on refinement
             pool = np.asarray(self._graph_slots, dtype=np.int32)
             rand_edges = pool[
-                self._rng.integers(0, pool.size, size=(n_real, n_rand))
+                self._rng.integers(0, pool.size, size=(n_real, self.bridge_q))
             ]
-            for j in range(n_rand):
-                col = self.degree - 1 - j
-                # fill empty tail slots; only force-overwrite one slot when
-                # the list is full (keeps near-neighbor edges intact on
-                # small graphs while guaranteeing one long-range shortcut)
-                empty = sel_i[:, col] < 0
-                if j == 0:
-                    sel_i[:, col] = rand_edges[:, j]
-                    sel_d[:, col] = np.float32(1e30)
-                else:
-                    sel_i[:, col] = np.where(empty, rand_edges[:, j], sel_i[:, col])
-                    sel_d[:, col] = np.where(empty, np.float32(1e30), sel_d[:, col])
+            ok = rand_edges != np.asarray(slots)[:, None]
+            tail = sel_i[:, self.near_deg :]
+            tail[ok] = rand_edges[ok]
+            sel_i[:, self.near_deg :] = tail
+            sel_d[:, self.near_deg :][ok] = np.float32(1e30)
         self.adjacency = _scatter_rows(
             self.adjacency, jnp.asarray(slots), jnp.asarray(sel_i)
         )
@@ -1319,9 +1384,13 @@ class GraphDeviceIndex:
             cur_d[lo : lo + len(r_h)] = hosts[2 * idx + 1]
         cur_d[cur_rows < 0] = np.inf
 
-        # candidate sets: current edges + incoming back-links
-        all_i = np.concatenate([cur_rows.astype(np.int64), incoming_i], axis=1)
-        all_d = np.concatenate([cur_d, incoming_d], axis=1)
+        # candidate sets: current NEAR edges + incoming back-links; the
+        # bridge tail columns are protected (see _bulk_prune_chunk) and
+        # re-attached verbatim after the prune
+        all_i = np.concatenate(
+            [cur_rows[:, : self.near_deg].astype(np.int64), incoming_i], axis=1
+        )
+        all_d = np.concatenate([cur_d[:, : self.near_deg], incoming_d], axis=1)
         # dedup (incoming may already be an edge)
         sort_i = np.argsort(all_i, axis=1, kind="stable")
         si = np.take_along_axis(all_i, sort_i, axis=1)
@@ -1343,7 +1412,7 @@ class GraphDeviceIndex:
 
         u_total = uniq.size
         chunk = 4096
-        new_rows = np.empty((u_total, self.degree), dtype=np.int32)
+        new_rows = np.empty((u_total, self.near_deg), dtype=np.int32)
         out_devs = []  # dispatch all chunks, pull once (relay fixed cost)
         for lo in range(0, u_total, chunk):
             hi = min(lo + chunk, u_total)
@@ -1362,7 +1431,7 @@ class GraphDeviceIndex:
                 jnp.asarray(cd),
                 cvecs,
                 caux,
-                m=self.degree,
+                m=self.near_deg,
                 alpha=self.alpha,
                 space=self.space_type,
                 quant=self.quantization,
@@ -1381,7 +1450,7 @@ class GraphDeviceIndex:
         # lists would orphan outliers (unreachable until a future rebuild).
         # Force each new node into the tail slots of its top-1 target.
         top_v = sel_i[:, 0].astype(np.int64)  # nearest graph neighbor per new node
-        max_forced = max(1, self.degree // 4)
+        max_forced = max(1, self.near_deg // 4)
         forced_count: dict[int, int] = {}
         vpos = {int(v): j for j, v in enumerate(uniq)}
         for row_idx in np.argsort(sel_d[:, 0], kind="stable"):
@@ -1398,11 +1467,14 @@ class GraphDeviceIndex:
             c = forced_count.get(v, 0)
             if c >= max_forced:
                 continue
-            row[self.degree - 1 - c] = u
+            row[self.near_deg - 1 - c] = u
             forced_count[v] = c + 1
 
+        full_rows = np.concatenate(
+            [new_rows, cur_rows[:, self.near_deg :]], axis=1
+        )
         self.adjacency = _scatter_rows(
-            self.adjacency, jnp.asarray(uniq), jnp.asarray(new_rows)
+            self.adjacency, jnp.asarray(uniq), jnp.asarray(full_rows)
         )
 
     # -- capacity ------------------------------------------------------------

@@ -49,6 +49,11 @@ from vector_store_tpu.ops.quantize import (
 from vector_store_tpu.ops.topk import merge_min_k
 
 N_ENTRIES = 16
+
+
+def _shard_entries(n_local: int) -> int:
+    """Per-shard entry count: ~2*sqrt(n), floored at N_ENTRIES."""
+    return int(min(512, max(N_ENTRIES, 2 * np.sqrt(max(n_local, 1)))))
 R_RAND = 8  # hash-random bridge candidates per node (NSW long links)
 
 
@@ -125,42 +130,64 @@ def _build_local(
             (rand == slots[:, None]) | ~valid[rand], inf, rd
         )
 
-        cand_d = jnp.concatenate([best_d, rd], axis=1)
-        cand_i = jnp.concatenate([best_i, rand], axis=1)
-        cand_d, cand_i = jax.lax.sort((cand_d, cand_i), num_keys=1, dimension=1)
-        safe = jnp.maximum(cand_i, 0)
-        adj_i, _ = _alpha_prune(
-            cand_i,
-            cand_d,
+        # near region: alpha-pruned exact kNN; bridge region: hash-random
+        # long links pruned only against each other (engine/graph.py
+        # _bulk_prune_chunk rationale — at high per-cluster density bridges
+        # that merely compete in one prune never survive)
+        m_bridge = max(2, m // 8)
+        m_near = m - m_bridge
+        best_d, best_i = jax.lax.sort((best_d, best_i), num_keys=1, dimension=1)
+        safe = jnp.maximum(best_i, 0)
+        near_i, _ = _alpha_prune(
+            best_i,
+            best_d,
             vectors[safe],
             aux[safe],
-            m=m,
+            m=m_near,
             alpha=alpha,
             space=space,
             quant=quant,
         )
+        rd_s, rand_s = jax.lax.sort((rd, rand), num_keys=1, dimension=1)
+        rsafe = jnp.maximum(rand_s, 0)
+        br_i, _ = _alpha_prune(
+            rand_s,
+            rd_s,
+            vectors[rsafe],
+            aux[rsafe],
+            m=m_bridge,
+            alpha=alpha,
+            space=space,
+            quant=quant,
+        )
+        adj_i = jnp.concatenate([near_i, br_i], axis=1)
         # dead rows get no edges (they'd poison the reverse pass)
         live_row = jax.lax.dynamic_slice_in_dim(valid, lo, rows_per, 0)
         return jnp.where(live_row[:, None], adj_i, -1)
 
+    m_bridge = max(2, m // 8)
+    m_near = m - m_bridge
     adjacency = jax.lax.map(knn_block, jnp.arange(nb, dtype=jnp.int32))
     adjacency = adjacency.reshape(n_local, m)
-    adjacency = _bulk_reverse(
-        adjacency,
+    near = _bulk_reverse(
+        adjacency[:, :m_near],
         vectors,
         aux,
         valid,
         space=space,
         quant=quant,
-        m=m,
-        r=m,
+        m=m_near,
+        r=m_near,
         alpha=alpha,
         max_forced=4,
         row_block=rows_per,
     )
-    # entry points: hash-spread over the shard
-    stride = max(n_local // N_ENTRIES, 1)
-    entries = (jnp.arange(N_ENTRIES, dtype=jnp.int32) * stride) % n_local
+    adjacency = jnp.concatenate([near, adjacency[:, m_near:]], axis=1)
+    # entry points: hash-spread over the shard, scaled ~2*sqrt(n) so
+    # clustered data gets per-cluster seeding (engine/graph.py rationale)
+    n_e = _shard_entries(n_local)
+    stride = max(n_local // n_e, 1)
+    entries = (jnp.arange(n_e, dtype=jnp.int32) * stride) % n_local
     entries = jnp.where(valid[entries], entries, -1)
     return adjacency, entries
 
@@ -289,6 +316,7 @@ class ShardedGraphIndex:
         model = mesh.shape["model"]
         per = -(-capacity // (model * row_block)) * row_block
         self.capacity = per * model
+        self.cap_local = per
 
         dt = storage_dtype(quantization)
         vspec = NamedSharding(mesh, P("model", None))
@@ -309,7 +337,10 @@ class ShardedGraphIndex:
             jnp.full((self.capacity, self.m), -1, dtype=jnp.int32), vspec
         )
         self.entries = jax.device_put(
-            jnp.full((model * N_ENTRIES,), -1, dtype=jnp.int32), sspec
+            jnp.full(
+                (model * _shard_entries(self.cap_local),), -1, dtype=jnp.int32
+            ),
+            sspec,
         )
         self._search_cache: dict[tuple, object] = {}
 
