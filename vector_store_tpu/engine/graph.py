@@ -82,7 +82,15 @@ class GraphPendingSearch:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("space", "quant", "k", "beam_width", "iters", "filtered"),
+    static_argnames=(
+        "space",
+        "quant",
+        "k",
+        "beam_width",
+        "iters",
+        "filtered",
+        "expand",
+    ),
 )
 def _graph_beam_search(
     vectors: jax.Array,  # [cap, Dp]
@@ -101,11 +109,21 @@ def _graph_beam_search(
     beam_width: int,
     iters: int,
     filtered: bool,
+    expand: int = 1,
 ):
+    """Lockstep beam search. ``iters`` is the TOTAL expansion budget;
+    ``expand`` nodes are expanded per round (rounds = iters/expand), which
+    shortens the serialized HBM-gather dependency chain ``expand``-fold at
+    identical bytes gathered — the traversal is gather-latency-bound, not
+    bandwidth-bound, at the batch sizes the actor serves. Neighbors drawn
+    from the same round's ``expand`` lists are dedup'd by an in-round sort
+    so beam slots and result top-k never hold duplicate ids."""
     b = queries.shape[0]
     e = entries.shape[0]
     deg = adjacency.shape[1]
     el = beam_width
+    ex = max(1, min(expand, el))
+    rounds = max(1, iters // ex)
     inf = jnp.float32(jnp.inf)
 
     # --- init beam from entry points ---------------------------------------
@@ -133,25 +151,45 @@ def _graph_beam_search(
     rd0 = jnp.where(res_ok0, d0, inf)
     res_d, res_i = min_k(rd0, eids, k)
 
-    visited = jnp.full((b, iters), -1, dtype=jnp.int32)
+    visited = jnp.full((b, rounds * ex), -1, dtype=jnp.int32)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]  # [B, 1]
 
     def body(t, state):
         beam_d, beam_i, expanded, visited, res_d, res_i = state
 
         cand_d = jnp.where(expanded | (beam_i < 0), inf, beam_d)
-        j = jnp.argmin(cand_d, axis=1)  # [B]
-        has = jnp.isfinite(jnp.min(cand_d, axis=1))
-        u = jnp.take_along_axis(beam_i, j[:, None], axis=1)[:, 0]  # [B]
+        sel_negd, j = jax.lax.top_k(-cand_d, ex)  # [B, ex] nearest unexpanded
+        has = jnp.isfinite(-sel_negd)  # [B, ex]
+        u = jnp.take_along_axis(beam_i, j, axis=1)  # [B, ex]
         u = jnp.where(has, u, -1)
 
         # mark expanded + record in visited ring
-        expanded = expanded.at[jnp.arange(b), j].set(
-            expanded[jnp.arange(b), j] | has
+        expanded = expanded.at[bidx, j].set(
+            jnp.take_along_axis(expanded, j, axis=1) | has
         )
-        visited = visited.at[:, t].set(u)
+        visited = jax.lax.dynamic_update_slice(visited, u, (0, t * ex))
 
-        nbrs = adjacency[jnp.maximum(u, 0)]  # [B, deg]
-        nbrs = jnp.where(has[:, None], nbrs, -1)
+        nbrs = adjacency[jnp.maximum(u, 0)]  # [B, ex, deg]
+        nbrs = jnp.where(has[:, :, None], nbrs, -1).reshape(b, ex * deg)
+        if ex > 1:
+            # dedup neighbors drawn from different expanded nodes this round
+            # (cluster neighbors overlap heavily): sort by id, mask repeats
+            srt = jnp.sort(nbrs, axis=1)
+            rep = jnp.concatenate(
+                [
+                    jnp.zeros((b, 1), jnp.bool_),
+                    (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            # map the repeat mask back: a neighbor is kept iff it is the
+            # FIRST occurrence of its id — compare each nbr against the
+            # sorted-unique set via searchsorted-free trick: mark repeats
+            # in sorted order, then scatter back through the argsort
+            order = jnp.argsort(nbrs, axis=1)
+            dup_intra = jnp.zeros_like(rep)
+            dup_intra = dup_intra.at[bidx, order].set(rep)
+            nbrs = jnp.where(dup_intra, -1, nbrs)
 
         # drop duplicates already in beam or already expanded
         dup_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=-1)
@@ -159,7 +197,7 @@ def _graph_beam_search(
         fresh = (nbrs >= 0) & ~dup_beam & ~dup_vis
 
         safe = jnp.maximum(nbrs, 0)
-        nvecs = vectors[safe]  # [B, deg, Dp]
+        nvecs = vectors[safe]  # [B, ex*deg, Dp]
         naux = aux[safe]
         nd = query_block_distance(queries, nvecs, space, quant, q_aux, naux)
         nd_beam = jnp.where(fresh, nd, inf)
@@ -168,7 +206,7 @@ def _graph_beam_search(
         all_d = jnp.concatenate([beam_d, nd_beam], axis=1)
         all_i = jnp.concatenate([beam_i, nfresh], axis=1)
         all_x = jnp.concatenate(
-            [expanded, jnp.zeros((b, deg), dtype=jnp.bool_)], axis=1
+            [expanded, jnp.zeros((b, ex * deg), dtype=jnp.bool_)], axis=1
         )
         negd, pos = jax.lax.top_k(-all_d, el)
         beam_d = -negd
@@ -184,7 +222,7 @@ def _graph_beam_search(
         return beam_d, beam_i, expanded, visited, res_d, res_i
 
     state = (beam_d, beam_i, expanded, visited, res_d, res_i)
-    _, _, _, _, res_d, res_i = jax.lax.fori_loop(0, iters, body, state)
+    _, _, _, _, res_d, res_i = jax.lax.fori_loop(0, rounds, body, state)
 
     res_i = jnp.where(jnp.isfinite(res_d), res_i, -1)
     safe_i = jnp.maximum(res_i, 0)
@@ -582,6 +620,9 @@ class GraphDeviceIndex:
         # alpha rule leaves tail slots free.
         self.bridge_q = max(2, self.degree // 8)
         self.near_deg = self.degree - self.bridge_q
+        # expansions per lockstep round (see _graph_beam_search: shortens
+        # the serialized gather chain at identical bytes gathered)
+        self.beam_expand = 4
         self.expansion_add = expansion_add
         self.expansion_search = expansion_search
         self.alpha = alpha
@@ -1571,6 +1612,7 @@ class GraphDeviceIndex:
                 beam_width=ef,
                 iters=ef,
                 filtered=filtered,
+                expand=self.beam_expand,
             )
             if store.host_distances and store._vecs_host is not None:
                 # ship winner ids only (the [3,B,k] dist/id/epoch pack is

@@ -249,6 +249,7 @@ def sharded_graph_search_step(
             beam_width=beam_width,
             iters=iters,
             filtered=False,
+            expand=4,
         )
         d = packed[0]
         i = jax.lax.bitcast_convert_type(packed[1], jnp.int32)
