@@ -442,6 +442,12 @@ def _bulk_prune_chunk(
         space=space,
         quant=quant,
     )
+    # a random draw can collide with a kept near edge; rows must stay
+    # duplicate-free (the beam dedup logic and the forced-back-link guard
+    # both assume it)
+    dup = jnp.any(br_i[:, :, None] == near_i[:, None, :], axis=-1)
+    br_i = jnp.where(dup, -1, br_i)
+    br_d = jnp.where(dup, jnp.inf, br_d)
     return (
         jnp.concatenate([near_i, br_i], axis=1),
         jnp.concatenate([near_d, br_d], axis=1),
