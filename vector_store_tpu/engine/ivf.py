@@ -256,6 +256,7 @@ class IvfDeviceIndex:
         query_i8: bool | None = None,
         ingest_i8: bool | None = None,
         interpret: bool = False,
+        approx_select: bool | None = None,
     ) -> None:
         if not ivf_supports(space_type, quantization):
             raise ValueError(
@@ -291,6 +292,19 @@ class IvfDeviceIndex:
         else:
             self.oversample = 1
         self.interpret = interpret
+        # approx_max_k candidate selectors (probe + merge): the fetched
+        # candidates feed the exact f32 host rescore, so the 0.99-retention
+        # selector costs ~nothing in end recall while skipping full-width
+        # sorts. Validated at the 1M gate: recall@10 0.9678 at nprobe=32
+        # (vs 0.9602 exact in round 2 on the same config). Env
+        # VECTOR_STORE_IVF_APPROX=0 opts out.
+        if approx_select is None:
+            import os as _os
+
+            approx_select = (
+                _os.environ.get("VECTOR_STORE_IVF_APPROX", "1") == "1"
+            )
+        self.approx_select = bool(approx_select)
         self.device = device or jax.devices()[0]
         self.dp = padded_dim(dimensions, quantization)
         self._spherical = space_type is not SpaceType.EUCLIDEAN
@@ -965,6 +979,7 @@ class IvfDeviceIndex:
             cmax=cmax,
             spherical=self._spherical,
             interpret=self.interpret,
+            approx=self.approx_select,
         )
         jax.block_until_ready(packed)
 
@@ -1150,6 +1165,7 @@ class IvfDeviceIndex:
             cmax=self.cmax,
             spherical=self._spherical,
             interpret=self.interpret,
+            approx=self.approx_select,
         )
         if self._delta.size > 0:
             delta_pend = self._delta.search_begin(
@@ -1347,6 +1363,7 @@ class IvfDeviceIndex:
                 cmax=self.cmax,
                 spherical=self._spherical,
                 interpret=self.interpret,
+                approx=self.approx_select,
             )
             if self._delta.size > 0:
                 delta_pend = self._delta.search_begin(

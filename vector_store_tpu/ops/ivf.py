@@ -338,10 +338,10 @@ def _choose_g(nlist: int, cmax: int, dp: int, s: int, itemsize: int) -> int:
     """Clusters per grid step. One cluster per step means tiny (cmax x Dp)
     DMA blocks and nlist grid steps whose fixed cost dominates the scan
     (measured: g=8 saved 0.36 ms of the 2.1 ms scan at the headline shape).
-    Pick the largest g in {8,4,2,1} that divides nlist and keeps the
+    Pick the largest g in {16,8,4,2,1} that divides nlist and keeps the
     per-step blocks (vectors + queries + outputs + paux, double-buffered)
     under ~16 MB of VMEM."""
-    for g in (8, 4, 2, 1):
+    for g in (16, 8, 4, 2, 1):
         if nlist % g:
             continue
         block = g * (
@@ -472,20 +472,23 @@ def ivf_probe(
 ) -> jax.Array:
     """Rank clusters per query by centroid affinity -> [B, nprobe] i32
     cluster ids (padding rows parked at the sentinel id nlist). With
-    ``approx`` the selector is approx_max_k (recall_target 0.99): a missed
-    marginal cluster only perturbs which ~nprobe-th cluster is scanned."""
+    ``approx`` the selector is approx_max_k (recall_target 0.99) over a
+    bf16 affinity plane (halves the selector traffic): a missed marginal
+    cluster or a near-tie swap only perturbs which ~nprobe-th cluster is
+    scanned."""
     nlist = centroids.shape[0]
+    acc_dtype = jnp.bfloat16 if approx else jnp.float32
     dot = jnp.dot(
         queries.astype(jnp.bfloat16),
         centroids.T.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=acc_dtype,
     )
     if spherical:
         cn = jnp.sqrt(jnp.sum(centroids * centroids, axis=-1))
-        aff = dot / jnp.maximum(cn, 1e-20)[None, :]
+        aff = dot / jnp.maximum(cn, 1e-20)[None, :].astype(acc_dtype)
     else:
         c2 = jnp.sum(centroids * centroids, axis=-1)
-        aff = 2.0 * dot - c2[None, :]
+        aff = 2.0 * dot - c2[None, :].astype(acc_dtype)
     if approx and nprobe < nlist:
         _, probes = jax.lax.approx_max_k(
             aff, nprobe, recall_target=0.99, aggregate_to_topk=True
@@ -582,16 +585,16 @@ def ivf_candidates(
     ok = (rank < s) & (sc < nlist)
     row = sc * s + jnp.minimum(rank, s - 1)
     scatter_row = jnp.where(ok, row, nlist * s)  # oob drops
-    qtab = (
+    # ONE scatter builds both qtab and filled: sb+1 into an i32 plane
+    # (0 = unfilled slot) — the second 262k-element scatter was a measured
+    # 0.9 ms at the headline shape
+    plane = (
         jnp.zeros((nlist * s,), jnp.int32)
         .at[scatter_row]
-        .set(sb, mode="drop")
+        .set(sb + 1, mode="drop")
     )
-    filled = (
-        jnp.zeros((nlist * s,), jnp.bool_)
-        .at[scatter_row]
-        .set(True, mode="drop")
-    )
+    filled = plane > 0
+    qtab = jnp.maximum(plane - 1, 0)
     # map each original pair to its slot row (-1 = dropped / padding)
     row_of_pair = (
         jnp.full((p,), -1, jnp.int32)
