@@ -312,6 +312,75 @@ class TestIvfOps:
         assert len(set(labels[half:].tolist())) == 1
         assert labels[0] != labels[-1]
 
+    def test_regroup_packed_matches_argsort_fallback(self):
+        """The packed-key sort and the argsort fallback must assign
+        identical slots (both rank pairs by (cluster, pair index))."""
+        from vector_store_tpu.ops.ivf import _regroup_pairs
+
+        b, nprobe, nlist, s = 64, 8, 16, 16  # saturates several clusters
+        probes = jnp.asarray(
+            RNG.integers(0, nlist + 1, size=(b, nprobe)).astype(np.int32)
+        )  # includes sentinel ids == nlist
+        fast = _regroup_pairs(probes, nlist=nlist, s=s, nprobe=nprobe)
+        slow = _regroup_pairs(
+            probes, nlist=nlist, s=s, nprobe=nprobe, force_fallback=True
+        )
+        for a, c in zip(fast, slow):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        qtab, filled, row_of_pair = (np.asarray(x) for x in fast)
+        # every filled slot's qtab entry must point at a query whose
+        # row_of_pair maps back to that slot
+        rows = np.flatnonzero(filled)
+        for r in rows.tolist():
+            q = qtab[r]
+            assert r in row_of_pair[q].tolist()
+
+    def test_ivf_candidates_approx_matches_exact_on_cpu(self):
+        """approx=True lowers to the exact selector off-TPU; the flag must
+        not change the candidate contract (ids + rank values)."""
+        from vector_store_tpu.ops.ivf import ivf_candidates
+
+        nlist, cmax, d, b, nprobe, s, k = 8, 128, 16, 32, 4, 16, 8
+        rng = np.random.default_rng(7)
+        # well-separated cluster geometry: probe choice is unambiguous, so
+        # the bf16 affinity plane must pick the same clusters as f32
+        cent = (rng.normal(size=(nlist, d)) * 20.0).astype(np.float32)
+        labels = rng.integers(0, nlist, size=nlist * cmax)
+        vecs = (
+            cent[labels] + rng.normal(size=(nlist * cmax, d)) * 0.1
+        ).astype(np.float32)
+        paux = np.zeros((8, nlist * cmax), np.float32)
+        paux[0] = -2.0
+        paux[1] = (vecs**2).sum(-1)
+        qs = (
+            cent[rng.integers(0, nlist, size=b)]
+            + rng.normal(size=(b, d)) * 0.1
+        ).astype(np.float32)
+        q_live = jnp.ones((b,), jnp.bool_)
+        kw = dict(
+            k=k, nprobe=nprobe, s=s, cmax=cmax, spherical=False,
+            interpret=True,
+        )
+        pe, de = ivf_candidates(
+            jnp.asarray(vecs), jnp.asarray(paux), jnp.asarray(cent),
+            jnp.asarray(qs), q_live, approx=False, **kw
+        )
+        pa, da = ivf_candidates(
+            jnp.asarray(vecs), jnp.asarray(paux), jnp.asarray(cent),
+            jnp.asarray(qs), q_live, approx=True, **kw
+        )
+        # candidate SETS per query must be near-identical; bf16 affinity
+        # may swap near-tie marginal probes (fixed seed => deterministic;
+        # the hard recall guarantee is the 1M hardware gate)
+        ids_e = np.sort(
+            np.asarray(jax.lax.bitcast_convert_type(pe[1], jnp.int32)), 1
+        )
+        ids_a = np.sort(
+            np.asarray(jax.lax.bitcast_convert_type(pa[1], jnp.int32)), 1
+        )
+        assert (ids_e == ids_a).mean() > 0.9
+        np.testing.assert_array_equal(np.asarray(de), np.asarray(da))
+
     def test_choose_geometry(self):
         from vector_store_tpu.ops.ivf import (
             choose_budget,

@@ -499,6 +499,66 @@ def ivf_probe(
     return jnp.where(q_live[:, None], probes, nlist)
 
 
+def _regroup_pairs(
+    probes: jax.Array,  # [B, nprobe] i32 cluster ids (sentinel >= nlist)
+    *,
+    nlist: int,
+    s: int,
+    nprobe: int,
+    force_fallback: bool = False,
+):
+    """Regroup (query, cluster) pairs into per-cluster query slots.
+
+    Returns (qtab [nlist*s] i32 query index per slot, filled [nlist*s]
+    bool, row_of_pair [B, nprobe] i32 slot row or -1 for dropped/sentinel
+    pairs). Pairs are ranked within their cluster by pair index (b-major
+    first-come), the first `s` winning slots.
+
+    When (cluster id, pair index) fits one int32, the regroup is a
+    single-array non-stable sort of unique packed keys (measured 1.8 ms
+    faster than the stable argsort at the headline shape — argsort sorts
+    (key, iota) pairs through a wider comparator); otherwise it falls back
+    to the argsort. Both orders rank pairs identically. One scatter builds
+    qtab+filled together (sb+1 into an i32 plane, 0 = unfilled): the
+    second 262k-element scatter was a measured 0.9 ms/batch.
+    """
+    b = probes.shape[0]
+    p = b * nprobe
+    pairs_c = probes.reshape(-1).astype(jnp.int32)
+    idx = jnp.arange(p, dtype=jnp.int32)
+    pbits = max(1, (p - 1).bit_length())
+    if not force_fallback and ((nlist + 1) << pbits) < 2**31:
+        packed = (pairs_c << pbits) | idx
+        sp = jnp.sort(packed)
+        sc = sp >> pbits
+        sidx = sp & ((1 << pbits) - 1)
+    else:
+        sidx = jnp.argsort(pairs_c, stable=True)
+        sc = pairs_c[sidx]
+    sb = sidx // nprobe
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sc[1:] != sc[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    rank = idx - seg_start
+    ok = (rank < s) & (sc < nlist)
+    row = sc * s + jnp.minimum(rank, s - 1)
+    scatter_row = jnp.where(ok, row, nlist * s)  # oob drops
+    plane = (
+        jnp.zeros((nlist * s,), jnp.int32)
+        .at[scatter_row]
+        .set(sb + 1, mode="drop")
+    )
+    filled = plane > 0
+    qtab = jnp.maximum(plane - 1, 0)
+    # map each original pair to its slot row (-1 = dropped / padding)
+    row_of_pair = (
+        jnp.full((p,), -1, jnp.int32)
+        .at[sidx]
+        .set(jnp.where(ok, row, -1))
+        .reshape(b, nprobe)
+    )
+    return qtab, filled, row_of_pair
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -558,49 +618,9 @@ def ivf_candidates(
         # precomputed (sharded path): ids are local, sentinel >= nlist
         nprobe = probes.shape[1]
 
-    # 2) regroup pairs by cluster into per-cluster query slots. When
-    # (cluster id, pair index) fits one int32 this is a single-array
-    # non-stable sort of unique packed keys (measured 1.8 ms faster than
-    # the stable argsort at the headline shape — the argsort sorts
-    # (key, iota) pairs through a wider comparator); otherwise fall back
-    # to the argsort. Both orders rank pairs by (cluster, pair index), so
-    # slot assignment under saturation is identical.
-    p = b * nprobe
-    pairs_c = probes.reshape(-1).astype(jnp.int32)
-    idx = jnp.arange(p, dtype=jnp.int32)
-    pbits = max(1, (p - 1).bit_length())
-    if (nlist + 1) << pbits > 0 and ((nlist + 1) << pbits) < 2**31:
-        packed = (pairs_c << pbits) | idx
-        sp = jnp.sort(packed)
-        sc = sp >> pbits
-        sidx = sp & ((1 << pbits) - 1)
-        sb = sidx // nprobe
-    else:
-        sidx = jnp.argsort(pairs_c, stable=True)
-        sc = pairs_c[sidx]
-        sb = sidx // nprobe
-    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sc[1:] != sc[:-1]])
-    seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
-    rank = idx - seg_start
-    ok = (rank < s) & (sc < nlist)
-    row = sc * s + jnp.minimum(rank, s - 1)
-    scatter_row = jnp.where(ok, row, nlist * s)  # oob drops
-    # ONE scatter builds both qtab and filled: sb+1 into an i32 plane
-    # (0 = unfilled slot) — the second 262k-element scatter was a measured
-    # 0.9 ms at the headline shape
-    plane = (
-        jnp.zeros((nlist * s,), jnp.int32)
-        .at[scatter_row]
-        .set(sb + 1, mode="drop")
-    )
-    filled = plane > 0
-    qtab = jnp.maximum(plane - 1, 0)
-    # map each original pair to its slot row (-1 = dropped / padding)
-    row_of_pair = (
-        jnp.full((p,), -1, jnp.int32)
-        .at[sidx]
-        .set(jnp.where(ok, row, -1))
-        .reshape(b, nprobe)
+    # 2) regroup pairs by cluster into per-cluster query slots
+    qtab, filled, row_of_pair = _regroup_pairs(
+        probes, nlist=nlist, s=s, nprobe=nprobe
     )
     # live pairs that lost the slot race (cluster already held S queries)
     dropped = jnp.sum(
