@@ -291,6 +291,46 @@ class TestIvfOps:
         assert pos[4] == -1 and not overflow[4]  # dead row: no spill
         assert pos[5] == 4  # cluster 2 first slot
 
+    def test_ivf_layout_second_choice(self):
+        from vector_store_tpu.ops.ivf import ivf_layout
+
+        labels = jnp.asarray(np.array([0, 0, 0, 0, 1, 3], dtype=np.int32))
+        labels2 = jnp.asarray(np.array([1, 1, 1, 2, 0, 0], dtype=np.int32))
+        live = jnp.asarray(np.ones(6, dtype=bool))
+        pos, overflow = ivf_layout(
+            labels, live, nlist=4, cmax=2, labels2=labels2
+        )
+        pos = np.asarray(pos)
+        overflow = np.asarray(overflow)
+        # rows 0,1 fill cluster 0; row 4 takes cluster 1 slot 0 (round 1).
+        assert set(pos[:2].tolist()) == {0, 1}
+        assert pos[4] == 2
+        assert pos[5] == 6  # cluster 3 first slot
+        # overflow rows 2,3: row 2 -> cluster 1 after its round-1 row
+        # (position 3); row 3 -> cluster 2 (empty, position 4)
+        assert pos[2] == 3 and not overflow[2]
+        assert pos[3] == 4 and not overflow[3]
+        # second choice saturated: three rows overflowing into one
+        # single-slot cluster spill the losers to the delta
+        labels = jnp.asarray(np.array([0, 0, 0, 0], dtype=np.int32))
+        labels2 = jnp.asarray(np.array([1, 1, 1, 1], dtype=np.int32))
+        live = jnp.asarray(np.ones(4, dtype=bool))
+        pos, overflow = ivf_layout(
+            labels, live, nlist=2, cmax=2, labels2=labels2
+        )
+        pos = np.asarray(pos)
+        overflow = np.asarray(overflow)
+        assert set(pos[:2].tolist()) == {0, 1}
+        assert (pos[2:] >= 0).sum() == 2  # both cluster-1 slots taken
+        assert overflow.sum() == 0
+        labels = jnp.asarray(np.array([0, 0, 0, 0, 0], dtype=np.int32))
+        labels2 = jnp.asarray(np.array([1, 1, 1, 1, 1], dtype=np.int32))
+        live = jnp.asarray(np.ones(5, dtype=bool))
+        pos, overflow = ivf_layout(
+            labels, live, nlist=2, cmax=2, labels2=labels2
+        )
+        assert np.asarray(overflow).sum() == 1  # one loser spills
+
     def test_kmeans_clusters_separate_data(self):
         from vector_store_tpu.ops.ivf import kmeans
 

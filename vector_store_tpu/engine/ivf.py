@@ -138,8 +138,9 @@ def _clear_pos2slot(pos2slot: jax.Array, pos: jax.Array) -> jax.Array:
 def _build_main_arrays(
     rows: jax.Array,  # [Npad, Dp] storage dtype (gathered live rows + pads)
     live: jax.Array,  # [Npad] bool
-    labels: jax.Array,  # [Npad] i32
+    labels: jax.Array,  # [Npad] i32 (nearest centroid)
     slot_of_row: jax.Array,  # [Npad] i32 engine slot (-1 pad)
+    labels2: jax.Array,  # [Npad] i32 (second-nearest, for overflow)
     *,
     nlist: int,
     cmax: int,
@@ -159,7 +160,9 @@ def _build_main_arrays(
     For float storage scale == 1 and cosine rows are unit-normalized, so
     the coefficients reduce to the original (-2, |v|^2) / (-1, 0) forms."""
     npos = nlist * cmax
-    pos, overflow = ivf_layout(labels, live, nlist=nlist, cmax=cmax)
+    pos, overflow = ivf_layout(
+        labels, live, nlist=nlist, cmax=cmax, labels2=labels2
+    )
     tgt = jnp.where(pos >= 0, pos, npos)  # oob rows dropped by mode="drop"
     vecs = (
         jnp.zeros((npos, rows.shape[1]), dtype=jnp.dtype(dt))
@@ -246,7 +249,7 @@ class IvfDeviceIndex:
         initial_capacity: int = 8192,
         reserve_increment: int = 1_000_000,
         nprobe: int = 32,
-        headroom: float = 1.6,
+        headroom: float = 1.25,
         min_build: int = 65_536,
         rebuild_fraction: float = 0.2,
         kmeans_iters: int = 8,
@@ -789,12 +792,14 @@ class IvfDeviceIndex:
         n_live = st["n_live"]
         nlist, cmax = st["nlist"], st["cmax"]
         centroids = st["cent"]
-        labels = kmeans_assign(
+        labels2w = kmeans_assign(
             st["rows"],
             centroids,
             block=self.kmeans_block,
             spherical=self._spherical,
+            top2=True,
         )
+        labels = labels2w[:, 0]
         dt = np.dtype(storage_dtype(self.quantization)).name
         if self.space_type is SpaceType.EUCLIDEAN:
             space_kind = "euclid"
@@ -807,6 +812,7 @@ class IvfDeviceIndex:
             st["live_dev"],
             labels,
             jnp.asarray(st["slot_of_row"].astype(np.int32)),
+            labels2w[:, 1],
             nlist=nlist,
             cmax=cmax,
             space_kind=space_kind,

@@ -237,18 +237,22 @@ def kmeans_step(
     return jnp.where((counts > 0.5)[:, None], newc, cent)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "spherical"))
+@functools.partial(jax.jit, static_argnames=("block", "spherical", "top2"))
 def kmeans_assign(
     x: jax.Array,  # [N, Dp] (N multiple of block)
     cent: jax.Array,  # [nlist, Dp] f32
     *,
     block: int = 16384,
     spherical: bool = False,
+    top2: bool = False,
 ) -> jax.Array:
-    """Blocked nearest-centroid assignment -> labels [N] i32. Lets rebuilds
-    run k-means on a row sample, then label the full set in one pass."""
+    """Blocked nearest-centroid assignment -> labels [N] i32 (or [N, 2]
+    with ``top2``: nearest + second-nearest, feeding the layout's
+    capacity-constrained second-choice placement). Lets rebuilds run
+    k-means on a row sample, then label the full set in one pass."""
     n, _ = x.shape
     nblk = n // block
+    width = 2 if top2 else 1
 
     def label_blk(i, lbls):
         xb = jax.lax.dynamic_slice_in_dim(x, i * block, block, 0)
@@ -263,10 +267,17 @@ def kmeans_assign(
         else:
             c2 = jnp.sum(cent * cent, axis=-1)
             aff = 2.0 * dot - c2[None, :]
-        lbl = jnp.argmax(aff, axis=-1).astype(jnp.int32)
-        return jax.lax.dynamic_update_slice(lbls, lbl, (i * block,))
+        if top2:
+            _, lbl = jax.lax.top_k(aff, 2)  # [block, 2] i32
+            lbl = lbl.astype(jnp.int32)
+        else:
+            lbl = jnp.argmax(aff, axis=-1).astype(jnp.int32)[:, None]
+        return jax.lax.dynamic_update_slice(lbls, lbl, (i * block, 0))
 
-    return jax.lax.fori_loop(0, nblk, label_blk, jnp.zeros((n,), jnp.int32))
+    lbls = jax.lax.fori_loop(
+        0, nblk, label_blk, jnp.zeros((n, width), jnp.int32)
+    )
+    return lbls if top2 else lbls[:, 0]
 
 
 def kmeans(
@@ -297,30 +308,70 @@ def kmeans(
 # -- cluster-major layout ------------------------------------------------------
 
 
+def _rank_in_cluster(key: jax.Array, nlist: int):
+    """Stable-sort rows by cluster key -> (order, sorted keys, rank within
+    each key's run). Shared by the layout's placement rounds."""
+    n = key.shape[0]
+    order = jnp.argsort(key, stable=True)
+    sk = key[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
+    rank = idx - seg_start
+    return order, sk, rank
+
+
 @functools.partial(jax.jit, static_argnames=("nlist", "cmax"))
-def ivf_layout(labels: jax.Array, live: jax.Array, *, nlist: int, cmax: int):
+def ivf_layout(
+    labels: jax.Array,
+    live: jax.Array,
+    *,
+    nlist: int,
+    cmax: int,
+    labels2: jax.Array | None = None,
+):
     """Compute cluster-major positions for each row.
 
     labels: [N] i32 cluster per row; live: [N] bool. Returns
     (pos [N] i32 — target position `label*cmax + rank` or -1 for dead rows
     and overflow rows beyond cmax, overflow [N] bool — live rows that did
     not fit their cluster and must spill to the delta region).
+
+    With ``labels2`` (second-nearest centroid per row), rows overflowing
+    their first cluster take a slot in their second cluster when it has
+    room — capacity-constrained placement that lets choose_cmax run a much
+    tighter headroom (padding rows cost full scan bandwidth + HBM). A row
+    in its second-best cell is still found whenever a query's nprobe
+    probes reach that cell, and every such candidate is exact-rescored.
+    Only rows overflowing BOTH choices spill to the delta region.
     """
     n = labels.shape[0]
     key = jnp.where(live, labels, nlist)  # dead rows sort last
-    order = jnp.argsort(key, stable=True)
-    sk = key[order]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    is_new = jnp.concatenate(
-        [jnp.ones((1,), jnp.bool_), sk[1:] != sk[:-1]]
-    )
-    seg_start = jax.lax.cummax(jnp.where(is_new, idx, 0))
-    rank = idx - seg_start
+    order, sk, rank = _rank_in_cluster(key, nlist)
     fits = (rank < cmax) & (sk < nlist)
     pos_sorted = jnp.where(fits, sk * cmax + rank, -1)
     pos = jnp.zeros((n,), jnp.int32).at[order].set(pos_sorted)
     overflow_sorted = (~fits) & (sk < nlist)
     overflow = jnp.zeros((n,), jnp.bool_).at[order].set(overflow_sorted)
+    if labels2 is None:
+        return pos, overflow
+
+    # round 2: place first-round overflow into its second-choice cluster
+    # after that cluster's round-1 rows
+    count1 = (
+        jnp.zeros((nlist + 1,), jnp.int32)
+        .at[jnp.where(fits, sk, nlist)]
+        .add(1, mode="drop")
+    )
+    key2 = jnp.where(overflow, labels2, nlist)
+    order2, sk2, rank2 = _rank_in_cluster(key2, nlist)
+    base2 = count1[jnp.minimum(sk2, nlist)]
+    fits2 = (rank2 + base2 < cmax) & (sk2 < nlist)
+    pos2_sorted = jnp.where(fits2, sk2 * cmax + base2 + rank2, -1)
+    pos2 = jnp.zeros((n,), jnp.int32).at[order2].set(pos2_sorted)
+    placed2 = pos2 >= 0
+    pos = jnp.where(overflow & placed2, pos2, pos)
+    overflow = overflow & ~placed2
     return pos, overflow
 
 
