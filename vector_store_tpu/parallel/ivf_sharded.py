@@ -294,23 +294,25 @@ class ShardedIvfIndex:
             s = int(s)
             self._vecs_host[s] = vectors[i]
             self._epochs_host[s] = int(epochs[i])
-        if self.main_vecs is not None:
-            # post-build: new rows serve from the sharded flat delta
-            dpos = np.empty((slots.size,), dtype=np.int64)
-            for i, s in enumerate(slots):
-                s = int(s)
-                p = self._delta_pos_of_slot.get(s)
-                if p is None:
-                    p = self._delta_next
-                    self._delta_next += 1
-                    self._delta_pos_of_slot[s] = p
-                    self._delta_slot_of_pos[p] = s
-                dpos[i] = p
-            if self._delta_next > self._delta.capacity:
-                raise RuntimeError(
-                    "sharded IVF delta full; call build() to recluster"
-                )
-            self._delta.upsert_batch(dpos, epochs, vectors)
+        # rows serve from the sharded flat delta until the next build folds
+        # them into the clustered main region; pre-build this IS the engine
+        # (exact sharded scan), matching the single-chip IvfDeviceIndex's
+        # flat-until-build serving policy
+        dpos = np.empty((slots.size,), dtype=np.int64)
+        for i, s in enumerate(slots):
+            s = int(s)
+            p = self._delta_pos_of_slot.get(s)
+            if p is None:
+                p = self._delta_next
+                self._delta_next += 1
+                self._delta_pos_of_slot[s] = p
+                self._delta_slot_of_pos[p] = s
+            dpos[i] = p
+        if self._delta_next > self._delta.capacity:
+            raise RuntimeError(
+                "sharded IVF delta full; call build() to recluster"
+            )
+        self._delta.upsert_batch(dpos, epochs, vectors)
 
     def remove_batch(self, slots: np.ndarray) -> None:
         gone_main = []

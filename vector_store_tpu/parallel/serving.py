@@ -1,0 +1,387 @@
+"""Serving adapters: sharded engines behind the VsIndexActor protocol.
+
+The reference's engine factory picks the index implementation per index
+(vs_index/mod.rs:47-68); this module gives the service the same choice for
+the beyond-HBM scale-out engines (parallel/ivf_sharded.py,
+parallel/graph_sharded.py), adapting their array-tuple search results to
+the per-query SearchResult lists the actor consumes
+(service/vs_index.py::VsIndexActor) and providing the maintain() hook the
+actor schedules in idle slots (the reference's exclusive-permit phases).
+
+Freshness contract:
+- ivf-sharded: every upsert is searchable immediately (it lands in the
+  sharded flat delta; builds recluster in idle slots once the delta grows).
+- graph-sharded: upserts land in the device arrays immediately AND in a
+  bounded host-side delta that search() brute-forces exactly until the
+  next idle-slot build folds them into the per-shard graphs.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from vector_store_tpu.core.types import Quantization, SpaceType
+from vector_store_tpu.engine.flat import SearchResult
+from vector_store_tpu.parallel.graph_sharded import ShardedGraphIndex
+from vector_store_tpu.parallel.ivf_sharded import ShardedIvfIndex
+
+logger = logging.getLogger(__name__)
+
+
+def _to_results(dist, slot, epoch, b_real: int) -> list[SearchResult]:
+    """(dist [B,k], slot [B,k], epoch [B,k]) arrays -> per-query
+    SearchResult lists with invalid (-1 / inf) lanes stripped."""
+    out: list[SearchResult] = []
+    for row in range(b_real):
+        ok = (slot[row] >= 0) & np.isfinite(dist[row])
+        out.append(
+            SearchResult(
+                slots=slot[row][ok].astype(np.int64),
+                epochs=epoch[row][ok].astype(np.int32),
+                distances=dist[row][ok].astype(np.float32),
+            )
+        )
+    return out
+
+
+class ShardedIvfServingEngine:
+    """ShardedIvfIndex behind the actor's engine protocol (global indexes
+    only — the factory routes local indexes to the flat engine)."""
+
+    def __init__(
+        self,
+        mesh,
+        dimensions: int,
+        *,
+        space_type: SpaceType = SpaceType.COSINE,
+        quantization: Quantization = Quantization.BF16,
+        nprobe: int = 32,
+        min_build: int = 4096,
+        interpret: bool = False,
+    ) -> None:
+        self.mesh = mesh
+        self.dimensions = dimensions
+        self._idx = ShardedIvfIndex(
+            mesh,
+            dimensions,
+            space_type=space_type,
+            quantization=quantization,
+            nprobe=nprobe,
+            interpret=interpret,
+        )
+        self.min_build = min_build
+        self._pending = 0  # rows upserted since the last build
+
+    @property
+    def size(self) -> int:
+        return self._idx.size
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.mesh.shape["model"]) * int(self.mesh.shape["data"])
+
+    @property
+    def device_bytes(self) -> int:
+        total = 0
+        for arr in (
+            self._idx.main_vecs,
+            self._idx.main_paux,
+            self._idx.main_pos2slot,
+            self._idx.centroids,
+            self._idx._delta.vectors,
+            self._idx._delta.aux,
+            self._idx._delta.valid,
+            self._idx._delta.epochs,
+        ):
+            if arr is not None:
+                total += arr.size * arr.dtype.itemsize
+        return total
+
+    def upsert_batch(self, slots, epochs, vectors, partitions=None) -> None:
+        if partitions is not None and (np.asarray(partitions) >= 0).any():
+            raise ValueError("sharded IVF engine serves global indexes only")
+        n_new = int(np.asarray(slots).size)
+        # the flat delta is bounded; recluster rather than overflow it
+        if self._idx._delta_next + n_new > (self._idx._delta.capacity * 3) // 4:
+            self._idx.build()
+            self._pending = 0
+        self._idx.upsert_batch(slots, epochs, vectors)
+        self._pending += n_new
+
+    def remove_batch(self, slots) -> None:
+        self._idx.remove_batch(np.asarray(slots, dtype=np.int64))
+
+    def maintain(self, budget: int = 0) -> bool:
+        """Recluster when the delta has grown past min_build (or is nearing
+        capacity); called from the actor's idle slots."""
+        near_full = self._idx._delta_next >= self._idx._delta.capacity // 2
+        if self._pending >= self.min_build or near_full:
+            n = self._idx.size
+            self._idx.build()
+            self._pending = 0
+            logger.info("sharded IVF rebuild: %d rows, nlist=%d", n, self._idx.nlist)
+            return True
+        return False
+
+    def search(self, queries, k: int, partitions=None) -> list[SearchResult]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b = queries.shape[0]
+        k = max(1, min(k, max(self.size, 1)))
+        # a nearly-full delta cannot wait for an idle slot
+        if self._idx._delta_next >= self._idx._delta.capacity - 1024:
+            self.maintain()
+        d, s, e = self._idx.search(queries, k)
+        return _to_results(d, s, e, b)
+
+    def search_exact_host(self, query, k: int) -> SearchResult:
+        """Exact host-side ranking over every live row (the actor's
+        terminal escalation step for low-selectivity filters)."""
+        idx = self._idx
+        slots = np.fromiter(idx._vecs_host.keys(), dtype=np.int64)
+        if slots.size == 0:
+            z = np.zeros((0,))
+            return SearchResult(
+                slots=z.astype(np.int64),
+                epochs=z.astype(np.int32),
+                distances=z.astype(np.float32),
+            )
+        rows = np.stack([idx._vecs_host[int(s)] for s in slots])
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        if idx.space_type is SpaceType.COSINE:
+            q = q / max(float(np.linalg.norm(q)), 1e-30)
+            dist = 1.0 - rows @ q  # stored rows are unit-normalized
+        elif idx.space_type is SpaceType.EUCLIDEAN:
+            dist = ((rows - q[None, :]) ** 2).sum(-1)
+        else:  # dot product
+            dist = -(rows @ q)
+        order = np.argsort(dist, kind="stable")[:k]
+        sel = slots[order]
+        return SearchResult(
+            slots=sel,
+            epochs=np.asarray(
+                [idx._epochs_host.get(int(s), -1) for s in sel], np.int32
+            ),
+            distances=dist[order].astype(np.float32),
+        )
+
+
+class ShardedGraphServingEngine:
+    """ShardedGraphIndex behind the actor's engine protocol. The host is
+    the capacity tier (slot -> row, like ShardedIvfIndex's host dicts);
+    the sharded device graph is (re)built from it in idle slots, sized to
+    the live slot range. Rows not yet folded into the per-shard graphs are
+    brute-forced exactly from the host until the next build, so every
+    upsert is searchable immediately."""
+
+    def __init__(
+        self,
+        mesh,
+        dimensions: int,
+        *,
+        space_type: SpaceType = SpaceType.COSINE,
+        quantization: Quantization = Quantization.BF16,
+        connectivity: int = 16,
+        expansion_add: int = 64,
+        expansion_search: int = 64,
+        row_block: int = 512,
+        min_build: int = 1024,
+    ) -> None:
+        self.mesh = mesh
+        self.dimensions = dimensions
+        self.space_type = space_type
+        self.quantization = quantization
+        self.connectivity = connectivity
+        self.expansion_add = expansion_add
+        self.expansion_search = expansion_search
+        self.row_block = row_block
+        self.min_build = min_build
+        self._idx: ShardedGraphIndex | None = None
+        # slot -> (f32 vector, epoch): every live row (capacity tier)
+        self._store: dict[int, tuple[np.ndarray, int]] = {}
+        # slots not yet reachable through the built per-shard graphs
+        self._delta: set[int] = set()
+
+    @property
+    def size(self) -> int:
+        return len(self._store)
+
+    @property
+    def n_shards(self) -> int:
+        return int(self.mesh.shape["model"]) * int(self.mesh.shape["data"])
+
+    @property
+    def device_bytes(self) -> int:
+        if self._idx is None:
+            return 0
+        total = 0
+        for arr in (
+            self._idx.vectors,
+            self._idx.aux,
+            self._idx.valid,
+            self._idx.epochs,
+            self._idx.adjacency,
+            self._idx.entries,
+        ):
+            total += arr.size * arr.dtype.itemsize
+        return total
+
+    def upsert_batch(self, slots, epochs, vectors, partitions=None) -> None:
+        if partitions is not None and (np.asarray(partitions) >= 0).any():
+            raise ValueError("sharded graph engine serves global indexes only")
+        slots = np.asarray(slots, dtype=np.int64)
+        epochs = np.asarray(epochs, dtype=np.int32)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        for i, s in enumerate(slots):
+            s = int(s)
+            self._store[s] = (vectors[i], int(epochs[i]))
+            self._delta.add(s)
+        if self._idx is not None and slots.size:
+            fits = slots < self._idx.capacity
+            if fits.any():
+                # rows land in the device arrays now (searchable via the
+                # host delta until the next build wires their edges);
+                # slots past capacity wait for the next build's resize
+                self._idx.load_rows(slots[fits], epochs[fits], vectors[fits])
+
+    def remove_batch(self, slots) -> None:
+        import jax.numpy as jnp
+
+        slots = np.asarray(slots, dtype=np.int64)
+        for s in slots:
+            self._store.pop(int(s), None)
+            self._delta.discard(int(s))
+        if self._idx is not None:
+            keep = slots[(slots >= 0) & (slots < self._idx.capacity)]
+            if keep.size:
+                # beam search skips ~valid nodes; edges rebuild lazily
+                self._idx.valid = self._idx.valid.at[jnp.asarray(keep)].set(
+                    False
+                )
+
+    def maintain(self, budget: int = 0) -> bool:
+        """(Re)build the per-shard graphs from the host store; called from
+        the actor's idle slots."""
+        if not self._delta:
+            return False
+        if self._idx is not None and len(self._delta) < self.min_build:
+            return False
+        self._build()
+        return True
+
+    def _build(self) -> None:
+        if not self._store:
+            return
+        model = int(self.mesh.shape["model"])
+        need = max(self._store.keys()) + 1
+        align = model * self.row_block
+        cap = -(-need // align) * align
+        if self._idx is None or self._idx.capacity < cap:
+            self._idx = ShardedGraphIndex(
+                self.mesh,
+                self.dimensions,
+                space_type=self.space_type,
+                quantization=self.quantization,
+                capacity=cap,
+                connectivity=self.connectivity,
+                expansion_add=self.expansion_add,
+                expansion_search=self.expansion_search,
+                row_block=self.row_block,
+            )
+            slots = np.fromiter(self._store.keys(), dtype=np.int64)
+            self._idx.load_rows(
+                slots,
+                np.asarray([self._store[int(s)][1] for s in slots], np.int32),
+                np.stack([self._store[int(s)][0] for s in slots]),
+            )
+        self._idx.build()
+        self._delta.clear()
+        logger.info(
+            "sharded graph rebuild: %d rows over %d shards",
+            len(self._store),
+            self.n_shards,
+        )
+
+    def search(self, queries, k: int, partitions=None) -> list[SearchResult]:
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        b = queries.shape[0]
+        k = max(1, min(k, max(self.size, 1)))
+        main = None
+        if self._idx is not None:
+            d, s, e = self._idx.search(queries, k)
+            main = (d, s.astype(np.int64), e)
+        delta = self._delta_exact(queries, k)
+        if main is None and delta is None:
+            z = np.zeros((b, 0))
+            return _to_results(z, z.astype(np.int64), z.astype(np.int32), b)
+        if delta is None:
+            d, s, e = main
+        elif main is None:
+            d, s, e = delta
+        else:
+            # the same slot can appear in both (re-upserted after a build);
+            # the delta copy is newer — poison the stale main lane
+            md, ms, me = main
+            dd, ds, de = delta
+            in_delta = np.isin(ms, ds[ds >= 0])
+            md = np.where(in_delta, np.inf, md)
+            d = np.concatenate([md, dd], axis=1)
+            s = np.concatenate([ms, ds], axis=1)
+            e = np.concatenate([me, de], axis=1)
+        d = np.where(s >= 0, d, np.inf)
+        sel = np.argsort(d, axis=1, kind="stable")[:, :k]
+        d = np.take_along_axis(d, sel, axis=1)
+        s = np.take_along_axis(s, sel, axis=1)
+        e = np.take_along_axis(e, sel, axis=1)
+        s = np.where(np.isfinite(d), s, -1)
+        return _to_results(d, s, e, b)
+
+    def search_exact_host(self, query, k: int) -> SearchResult:
+        """Exact host-side ranking over every live row (terminal
+        escalation step for low-selectivity filters)."""
+        q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+        saved = self._delta
+        self._delta = set(self._store.keys())
+        try:
+            d, s, e = self._delta_exact(q, min(k, max(self.size, 1)))
+        finally:
+            self._delta = saved
+        ok = s[0] >= 0
+        return SearchResult(
+            slots=s[0][ok].astype(np.int64),
+            epochs=e[0][ok].astype(np.int32),
+            distances=d[0][ok].astype(np.float32),
+        )
+
+    def _delta_exact(self, queries: np.ndarray, k: int):
+        """Exact host scan over the unbuilt delta rows (bounded by
+        min_build + one modify batch after the first build)."""
+        if not self._delta:
+            return None
+        slots = np.fromiter(self._delta, dtype=np.int64)
+        rows = np.stack([self._store[int(s)][0] for s in slots])
+        eps = np.asarray([self._store[int(s)][1] for s in slots], np.int32)
+        if self.space_type is SpaceType.COSINE:
+            qn = queries / np.maximum(
+                np.linalg.norm(queries, axis=-1, keepdims=True), 1e-30
+            )
+            rn = rows / np.maximum(
+                np.linalg.norm(rows, axis=-1, keepdims=True), 1e-30
+            )
+            dist = 1.0 - qn @ rn.T
+        elif self.space_type is SpaceType.EUCLIDEAN:
+            dist = (
+                (queries**2).sum(-1)[:, None]
+                + (rows**2).sum(-1)[None, :]
+                - 2.0 * queries @ rows.T
+            )
+            dist = np.maximum(dist, 0.0)
+        else:
+            dist = -(queries @ rows.T)
+        kk = min(k, slots.size)
+        sel = np.argsort(dist, axis=1, kind="stable")[:, :kk]
+        d = np.take_along_axis(dist, sel, axis=1).astype(np.float32)
+        s = slots[sel]
+        e = eps[sel]
+        return d, s, e

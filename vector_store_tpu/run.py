@@ -145,6 +145,7 @@ async def build_service(db: Db, config: Config | None = None) -> Service:
         metrics=metrics,
         internals=internals,
         engine_kind=engine_kind,
+        shards=config.shards,
     )
     monitor = MonitorIndexes(
         db,

@@ -68,7 +68,9 @@ class Config:
     usearch_simulator: Optional[str] = None
     alter_index_simulator: bool = False
     # TPU-native extensions
-    engine_kind: str = "auto"  # auto|flat|graph
+    engine_kind: str = "auto"  # auto|flat|ivf|graph|ivf-sharded|graph-sharded
+    # device count for the sharded engines' mesh (0 = every visible device)
+    shards: int = 0
 
     @property
     def host(self) -> str:
@@ -138,6 +140,8 @@ def load_config() -> Config:
         c.alter_index_simulator = v.lower() == "true"
     if v := _env("ENGINE"):
         c.engine_kind = v
+    if v := _env("SHARDS"):
+        c.shards = int(v)
     return c
 
 

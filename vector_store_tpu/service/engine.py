@@ -37,6 +37,7 @@ class Engine:
         metrics=None,
         internals=None,
         engine_kind: str = "auto",
+        shards: int = 0,
     ) -> None:
         self.db = db
         self.indexes = indexes
@@ -45,6 +46,7 @@ class Engine:
         self.metrics = metrics
         self.internals = internals
         self.engine_kind = engine_kind
+        self.shards = shards
         self._task: asyncio.Task | None = None
         self._stopped = False
 
@@ -81,6 +83,7 @@ class Engine:
                 memory=self.memory,
                 metrics=self.metrics,
                 engine_kind=self.engine_kind,
+                shards=self.shards,
             )
             actor.start()
             monitor = MonitorItems(

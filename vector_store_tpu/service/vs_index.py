@@ -86,7 +86,8 @@ class VsIndexActor:
         table: Table,
         memory=None,  # MemoryGovernor | None
         metrics=None,  # Metrics | None
-        engine_kind: str = "auto",  # auto|flat|graph
+        engine_kind: str = "auto",  # auto|flat|ivf|graph|ivf-sharded|graph-sharded
+        shards: int = 0,  # mesh size for sharded engines (0 = all devices)
     ) -> None:
         self.metadata = metadata
         self.table = table
@@ -126,6 +127,11 @@ class VsIndexActor:
             # indexes (its search() rejects per-query partitions, which
             # would 500 every filtered query)
             engine_kind = "flat"
+        elif engine_kind.endswith("-sharded") and is_local:
+            # sharded engines are the global-index beyond-HBM path; local
+            # indexes stay per-partition on one chip (reference parity:
+            # per-partition sub-indexes, usearch.rs:626-670)
+            engine_kind = "flat"
         self.engine_kind = engine_kind
         if engine_kind.startswith("sim"):
             # simulator mode (reference usearch_simulator): exact host-side
@@ -153,6 +159,41 @@ class VsIndexActor:
                 expansion_add=int(vs.expansion_add),
                 expansion_search=int(vs.expansion_search),
             )
+        elif engine_kind.endswith("-sharded"):
+            # beyond-HBM scale-out: one index sharded across a device mesh
+            # (reference factory parity: vs_index/mod.rs:47-68 picks the
+            # engine per index; here the mesh engines are first-class picks)
+            import jax
+
+            from vector_store_tpu.parallel import make_mesh
+            from vector_store_tpu.parallel.serving import (
+                ShardedGraphServingEngine,
+                ShardedIvfServingEngine,
+            )
+
+            devices = jax.devices()
+            n_dev = shards or len(devices)
+            mesh = make_mesh(n_dev, data=1, devices=devices[:n_dev])
+            on_cpu = devices[0].platform == "cpu"
+            if engine_kind == "graph-sharded":
+                self.engine = ShardedGraphServingEngine(
+                    mesh,
+                    self.dimensions,
+                    space_type=vs.space_type,
+                    quantization=vs.quantization,
+                    connectivity=int(vs.connectivity),
+                    expansion_add=int(vs.expansion_add),
+                    expansion_search=int(vs.expansion_search),
+                )
+            else:
+                self.engine = ShardedIvfServingEngine(
+                    mesh,
+                    self.dimensions,
+                    space_type=vs.space_type,
+                    quantization=vs.quantization,
+                    nprobe=max(8, int(vs.expansion_search) // 2),
+                    interpret=on_cpu,  # pallas kernels: interpret off-TPU
+                )
         elif engine_kind == "graph":
             self.engine: GraphDeviceIndex | FlatDeviceIndex = GraphDeviceIndex(
                 self.dimensions,
