@@ -32,6 +32,9 @@ CONFIGS = {
     "dbpedia-bf16": (1_000_000, 1536, "BF16", True),
     "dbpedia-i8": (1_000_000, 1536, "I8", False),
     "deep10m": (10_000_000, 96, "BF16", True),
+    # BASELINE config 2 at spec scale: GloVe-100 angular, 1.2M vectors,
+    # recall@10 sweep over nprobe (the ef_search analog)
+    "glove": (1_200_000, 100, "BF16", True),
 }
 
 
@@ -150,6 +153,80 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     pends = [index.search_begin(gate_q, k) for _ in range(reps)]
     index.collect_many(pends)
     out["e2e_qps_burst"] = round(batch * reps / (time.time() - t0), 1)
+
+    # forced-execution compute-side rate (VERDICT r3 #8: the graph engine
+    # had no chained-forced number, so relay share vs traversal share was
+    # unknown): M dependent beam searches inside one jitted fori_loop —
+    # the single final pull forces every chained search (same technique as
+    # bench.py's IVF chain)
+    try:
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        from vector_store_tpu.engine.graph import _graph_beam_search
+        from vector_store_tpu.ops.distance import prepare_queries
+
+        m_chain = int(os.environ.get("SCALE_COMPUTE_CHAIN", 16))
+        store = index.store
+        qs, q_aux = prepare_queries(
+            gate_q, index.space_type, index.quantization
+        )
+        ef = index.expansion_search
+        kwargs = dict(
+            space=index.space_type,
+            quant=index.quantization,
+            k=16,
+            beam_width=max(ef, 16),
+            iters=max(ef, 16),
+            filtered=False,
+            expand=index.beam_expand,
+        )
+        allow = jnp.ones((store.capacity,), jnp.bool_)
+        entries = index._entries_array()
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def chain(qs0, qa, vectors, aux, epochs, valid, adjacency, *, m):
+            def body(_, q):
+                packed = _graph_beam_search(
+                    vectors, aux, epochs, valid, allow, adjacency,
+                    entries, q, qa, **kwargs,
+                )
+                bump = (packed[0, :, :1] * 1e-34).astype(q.dtype)
+                return q + bump
+
+            q = jax.lax.fori_loop(0, m, body, qs0)
+            return _graph_beam_search(
+                vectors, aux, epochs, valid, allow, adjacency,
+                entries, q, qa, **kwargs,
+            )
+
+        args = (
+            jnp.asarray(qs),
+            jnp.asarray(q_aux),
+            store.vectors,
+            store.aux,
+            store.epochs,
+            store.valid,
+            index.adjacency,
+        )
+        np.asarray(chain(*args, m=m_chain))  # compile + warm
+        t0 = time.time()
+        np.asarray(chain(*args, m=m_chain))
+        dt = time.time() - t0
+        out["compute_side_qps"] = round(batch * (m_chain + 1) / dt, 1)
+        out["compute_ms_per_batch"] = round(dt * 1e3 / (m_chain + 1), 2)
+        print(
+            f"[scale] graph compute_side_qps {out['compute_side_qps']} "
+            f"({out['compute_ms_per_batch']} ms/batch of {batch}, ef {ef})",
+            file=sys.stderr,
+            flush=True,
+        )
+    except Exception as e:
+        out["compute_side_qps"] = None
+        out["compute_side_error"] = f"{type(e).__name__}: {e}"
+
     out["data"] = "synthetic clustered gaussians; exact f32 ground truth"
     return out
 
@@ -282,6 +359,246 @@ def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict
     except Exception as e:  # Mosaic path is TPU-only
         out["kernel_error"] = f"{type(e).__name__}: {e}"
     out["data"] = "synthetic clustered gaussians; slot % n_parts partitions"
+    return out
+
+
+def run_filtered(n: int = 1_000_000, d: int = 128) -> dict:
+    """Filtered-ANN selectivity artifact at 1M (VERDICT r3 #4): the
+    selectivity-bucket benchmark (50% -> 0.1%) through the REAL serving
+    path — HTTP -> actor oversample escalation -> exact-host terminal step
+    — on the chip, recording QPS + recall per bucket and the
+    escalation/compile counts (compile-storm gate).
+
+    Reference: crates/benchmark/src/main.rs:45-49,188-190 (bucketed
+    filtered search)."""
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    os.environ["SUITE_N"] = str(n)
+    os.environ["SUITE_D"] = str(d)
+    os.environ.setdefault("SUITE_QUERIES", "128")
+    os.environ.setdefault("SUITE_CONCURRENCY", "128")
+    os.environ.setdefault("SUITE_WAIT_BUILD", "1")
+    from vector_store_tpu.benchkit import suite
+
+    out = suite.selectivity()
+    out["config"] = f"filtered-{n // 1000}k"
+    buckets = out.get("buckets", {})
+    low = buckets.get("0.001")
+    out["low_selectivity_recall_gate_passed"] = bool(
+        low and low["recall_at_k"] >= 0.95
+    )
+    out["max_bucket_compiles"] = max(
+        (b.get("device_compiles", 0) for b in buckets.values()), default=0
+    )
+    return out
+
+
+def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
+    """BASELINE config 5 at spec scale on the current engine (VERDICT r3
+    #7): a 1M-row IVF index serves pipelined query windows while
+    continuous upserts+deletes stream in, with a sliced recluster rebuild
+    (the serving actor's idle-slot maintain schedule) starting AND
+    completing mid-run. Records query QPS under churn, applied churn
+    rates, freshness-lag samples, rebuild timing, and post-churn recall.
+
+    Reference CDC pipeline: crates/vector-store/src/db_cdc/actor.rs:44-50."""
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine.ivf import IvfDeviceIndex
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    from vector_store_tpu.benchkit import synth
+
+    rng = np.random.default_rng(99)
+    seed = 99
+    batch = int(os.environ.get("SCALE_BATCH", 2048))
+    k, nq = 10, 512
+    dur = float(os.environ.get("SCALE_STREAM_SECONDS", 60))
+    out: dict = {"config": f"streaming-{n // 1000}k", "n": n, "d": d, "quant": "BF16"}
+
+    index = IvfDeviceIndex(
+        d,
+        space_type=SpaceType.COSINE,
+        quantization=Quantization.BF16,
+        initial_capacity=n + 262_144,
+        nprobe=int(os.environ.get("SCALE_NPROBE", 32)),
+        ingest_i8=True,
+    )
+    chunk = 131072
+    t0 = time.time()
+    held = None
+    all_vecs = np.empty((n, d), dtype=np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        rows_host = synth.synth_rows_np(seed, lo, hi, d, 1024)
+        rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 1024)
+        block = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
+        all_vecs[lo:hi] = block
+        if held is None:
+            held = block[:nq] + synth.embedding_sigma(d, 0.1) * rng.normal(
+                size=(nq, d)
+            ).astype(np.float32)
+        index.upsert_bulk_device(lo, hi, rows_dev, rows_host)
+    import jax
+
+    jax.block_until_ready(index._delta.vectors)
+    out["ingest_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    index.maintain()  # full build
+    while index.maintain(budget=1):  # drain the warm queue
+        pass
+    out["build_seconds"] = round(time.time() - t0, 1)
+    out["nlist"] = index.nlist
+
+    # exact cosine ground truth on the BASE rows (cached); churn rows are
+    # placed in a far-off region so the gate stays valid through the run
+    qn = held / np.linalg.norm(held, axis=-1, keepdims=True)
+    gt = None
+    gt_cache = f"scale_logs/gt-streaming-{n}.npz"
+    if os.path.exists(gt_cache):
+        try:
+            z = np.load(gt_cache)
+            if z["held"].shape == held.shape and np.allclose(z["held"], held):
+                gt = z["gt"]
+                out["gt_cached"] = True
+        except Exception:
+            pass
+    if gt is None:
+        best_d = np.full((nq, 0), np.inf, dtype=np.float32)
+        best_i = np.zeros((nq, 0), dtype=np.int64)
+        for lo in range(0, n, 500_000):
+            hi = min(lo + 500_000, n)
+            dist = 1.0 - qn @ all_vecs[lo:hi].T
+            top = np.argpartition(dist, k, axis=1)[:, :k]
+            best_d = np.concatenate(
+                [best_d, np.take_along_axis(dist, top, axis=1)], axis=1
+            )
+            best_i = np.concatenate([best_i, top + lo], axis=1)
+        order = np.argsort(best_d, axis=1)[:, :k]
+        gt = np.take_along_axis(best_i, order, axis=1)
+        try:
+            os.makedirs("scale_logs", exist_ok=True)
+            np.savez(gt_cache, held=held, gt=gt)
+        except Exception:
+            pass
+
+    reps = max(1, -(-batch // nq))
+    gate_q = np.tile(held, (reps, 1))[:batch]
+
+    def calc_recall() -> float:
+        got = index.search(gate_q, k)[:nq]
+        return float(
+            np.mean(
+                [
+                    len(set(r.slots.tolist()) & set(gt[i].tolist())) / k
+                    for i, r in enumerate(got)
+                ]
+            )
+        )
+
+    recall0 = calc_recall()
+    print(f"[scale] streaming pre-churn recall {recall0:.4f}", file=sys.stderr, flush=True)
+    while recall0 < 0.95 and index.nprobe < min(index.nlist, 512):
+        index.nprobe = min(index.nprobe * 2, 512)
+        recall0 = calc_recall()
+    out["recall_pre_churn"] = round(recall0, 4)
+    out["nprobe"] = index.nprobe
+    index.search(gate_q, k)  # warm serving shape
+    index.search(np.zeros((8, d), np.float32), k)  # warm the probe shape
+
+    # churn vectors live in a far-off shell (unit-normalized with a fixed
+    # rotation away from the data's clusters) so base ground truth holds
+    def churn_vecs(m: int) -> np.ndarray:
+        v = rng.normal(size=(m, d)).astype(np.float32) + 12.0
+        return v
+
+    # rebuild must start AND complete mid-run: trigger at ~1.5% delta
+    index.rebuild_fraction = 0.015
+    next_slot = n
+    live_churn: list[int] = []
+    q_count = up_count = rm_count = 0
+    freshness_ms: list[float] = []
+    rebuild_t0 = rebuild_t1 = None
+    window_qps: list[float] = []
+    t_run = time.time()
+    i_win = 0
+    while time.time() - t_run < dur:
+        i_win += 1
+        # 1) query window: 4 pipelined begins, one aggregated pull
+        w0 = time.time()
+        pends = [index.search_begin(gate_q, k) for _ in range(4)]
+        index.collect_many(pends)
+        w1 = time.time()
+        q_count += 4 * batch
+        window_qps.append(4 * batch / (w1 - w0))
+        # 2) churn: one upsert + one remove batch (the monitor_items pump's
+        # batched modify application between search batches)
+        m_up = 256
+        slots_new = np.arange(next_slot, next_slot + m_up, dtype=np.int64)
+        next_slot += m_up
+        index.upsert_batch(
+            slots_new, np.ones(m_up, np.int32), churn_vecs(m_up)
+        )
+        live_churn.extend(int(s) for s in slots_new)
+        up_count += m_up
+        if len(live_churn) > 512:
+            m_rm = 64
+            rm = [live_churn.pop(0) for _ in range(m_rm)]
+            index.remove_batch(np.asarray(rm, dtype=np.int64))
+            rm_count += m_rm
+        # 3) freshness probe every 8 windows: a just-upserted far-shell row
+        # must be searchable; measure the lag until it is
+        if i_win % 8 == 0:
+            probe = churn_vecs(1)
+            pslot = next_slot
+            next_slot += 1
+            tp = time.time()
+            index.upsert_batch(
+                np.asarray([pslot]), np.asarray([1], np.int32), probe
+            )
+            live_churn.append(pslot)
+            found = False
+            while time.time() - tp < 30:
+                res = index.search(np.tile(probe, (8, 1)), 1)[0]
+                if res.slots.size and int(res.slots[0]) == pslot:
+                    found = True
+                    break
+            if found:
+                freshness_ms.append((time.time() - tp) * 1e3)
+                up_count += 1
+        # 4) one maintenance slice (the actor's idle slot)
+        building_before = index._build is not None
+        index.maintain(budget=4096)
+        if index._build is not None and not building_before:
+            rebuild_t0 = time.time() - t_run
+        if building_before and index._build is None:
+            rebuild_t1 = time.time() - t_run
+    elapsed = time.time() - t_run
+
+    out["duration_seconds"] = round(elapsed, 1)
+    out["query_qps_under_churn"] = round(q_count / elapsed, 1)
+    out["window_qps_median"] = round(float(np.median(window_qps)), 1)
+    out["upserts_per_sec"] = round(up_count / elapsed, 1)
+    out["removes_per_sec"] = round(rm_count / elapsed, 1)
+    out["freshness_ms_samples"] = [round(x, 1) for x in freshness_ms]
+    out["freshness_ms_median"] = (
+        round(float(np.median(freshness_ms)), 1) if freshness_ms else None
+    )
+    out["rebuild_started_at_s"] = (
+        round(rebuild_t0, 1) if rebuild_t0 is not None else None
+    )
+    out["rebuild_completed_at_s"] = (
+        round(rebuild_t1, 1) if rebuild_t1 is not None else None
+    )
+    out["rebuild_completed_mid_run"] = bool(rebuild_t1 is not None)
+    recall1 = calc_recall()
+    out["recall_post_churn"] = round(recall1, 4)
+    out["recall_gate_passed"] = bool(recall0 >= 0.95 and recall1 >= 0.95)
+    out["data"] = (
+        "synthetic clustered unit gaussians; churn rows in a far-off shell "
+        "so the cached exact ground truth stays valid"
+    )
     return out
 
 
@@ -419,6 +736,22 @@ def run(name: str) -> dict:
     out["recall_gate_passed"] = bool(recall >= 0.95)
     out["nprobe"] = index.nprobe
 
+    if name == "glove":
+        # config 2 is specified as a recall sweep over the search knob
+        # (reference ef_search; here nprobe plays that role)
+        sweep = {}
+        saved = index.nprobe
+        for np_ in (8, 16, 32, 64):
+            index.nprobe = np_
+            sweep[str(np_)] = round(calc_recall(), 4)
+            print(
+                f"[scale] glove sweep nprobe={np_} recall {sweep[str(np_)]}",
+                file=sys.stderr,
+                flush=True,
+            )
+        index.nprobe = saved
+        out["recall_sweep_by_nprobe"] = sweep
+
     # throughput: windowed uplink (8 batches per query upload), pipelined
     # begins, one aggregated pull
     queries = gate_q
@@ -494,6 +827,12 @@ def main() -> None:
     elif name.startswith("partition"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_partition(n=n)
+    elif name.startswith("filtered"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_filtered(n=n)
+    elif name.startswith("streaming"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_streaming(n=n)
     else:
         result = run(name)
     line = json.dumps(result)

@@ -302,9 +302,59 @@ def selectivity() -> dict:
                 service.engine.update_entries()
                 await asyncio.sleep(0.2)
 
+            engine = entry.actor.engine
+            if (
+                os.environ.get("SUITE_WAIT_BUILD") == "1"
+                and hasattr(engine, "main_vecs")
+                and n >= getattr(engine, "min_build", 1 << 62)
+                and getattr(engine, "_ivf_ok", True)
+            ):
+                # measure against the CLUSTERED serving engine (the actor's
+                # idle maintenance slot runs the rebuild + shape warming)
+                deadline = time.time() + 2400
+                while engine.main_vecs is None or getattr(
+                    engine, "_warm_queue", None
+                ):
+                    assert time.time() < deadline, "IVF build never completed"
+                    entry.actor._modify_event.set()
+                    await asyncio.sleep(0.5)
+                print(
+                    f"[suite] ivf built: nlist={engine.nlist}", file=sys.stderr,
+                    flush=True,
+                )
+
+            # count device-program compiles per bucket (compile-storm gate):
+            # jax logs one DEBUG record per XLA compile when enabled
+            import logging as _logging
+
+            class _CompileCounter(_logging.Handler):
+                def __init__(self):
+                    super().__init__(level=_logging.DEBUG)
+                    self.count = 0
+
+                def emit(self, record):
+                    # one "Finished XLA compilation of <fn>" per compile
+                    if record.getMessage().startswith(
+                        "Finished XLA compilation"
+                    ):
+                        self.count += 1
+
+            import jax as _jax
+
+            counter = _CompileCounter()
+            try:
+                _jax.config.update("jax_log_compiles", True)
+            except Exception:
+                pass
+            _jlog = _logging.getLogger("jax")
+            _old_level = _jlog.level
+            _jlog.setLevel(_logging.DEBUG)
+            _jlog.addHandler(counter)
+
             url = f"http://127.0.0.1:{http.port}"
             queries = _data(n_queries, d, rng)
             out: dict = {"config": "filtered selectivity buckets", "n": n, "buckets": {}}
+            out["engine"] = type(engine).__name__
             for bi, frac in enumerate(SELECTIVITY_BUCKETS):
                 allowed = np.flatnonzero(labels == bi)
                 if allowed.size == 0:
@@ -324,6 +374,9 @@ def selectivity() -> dict:
                         "allow_filtering": True,
                     }
 
+                esc0 = entry.actor._escalations
+                ex0 = entry.actor._exact_fallbacks
+                c0 = counter.count
                 res = await search_http(
                     url,
                     "ks",
@@ -339,7 +392,21 @@ def selectivity() -> dict:
                     "p50_ms": round(res["p50_ms"], 2),
                     "recall_at_k": round(res["recall_at_k"], 4),
                     "matching_rows": int(allowed.size),
+                    "oversample_escalations": entry.actor._escalations - esc0,
+                    "exact_host_fallbacks": entry.actor._exact_fallbacks - ex0,
+                    "device_compiles": counter.count - c0,
                 }
+                print(
+                    f"[suite] bucket {frac:g}: {out['buckets'][f'{frac:g}']}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            _jlog.removeHandler(counter)
+            _jlog.setLevel(_old_level)
+            try:
+                _jax.config.update("jax_log_compiles", False)
+            except Exception:
+                pass
             return out
         finally:
             await http.close()

@@ -236,6 +236,10 @@ class VsIndexActor:
         self._task: asyncio.Task | None = None
         self._stopped = False
         self._dropped_adds = 0
+        # filtered-search introspection: oversample requeues and terminal
+        # exact-host completions (the escalation ladder's two escape hatches)
+        self._escalations = 0
+        self._exact_fallbacks = 0
         # begin/collect pipeline (engines exposing search_begin):
         # in-flight (batch, pending) pairs awaiting one aggregated pull
         self._inflight_collects: list[tuple[list[_SearchRequest], object]] = []
@@ -604,6 +608,7 @@ class VsIndexActor:
                         if step > req.oversample:
                             req.oversample = step
                             break
+                    self._escalations += 1
                     requeue.append(req)
         if loop is not None and (finished or requeue):
             # ONE loop wakeup for the whole collect (per-request
@@ -648,6 +653,7 @@ class VsIndexActor:
                 if len(resolved) >= req.limit or exhausted:
                     self._finish(req, resolved[: req.limit])
                 else:
+                    self._escalations += 1
                     still_pending.append(req)
             pending = still_pending
         for req in pending:  # best effort after last oversample step
@@ -678,6 +684,7 @@ class VsIndexActor:
         in bounded chunks. Escalating k through the device path instead
         would compile a fresh program shape per step (30-120 s each through
         the relay) and still top out at the cap."""
+        self._exact_fallbacks += 1
         if not self.is_local and hasattr(self.engine, "search_exact_host"):
             size = self.engine.size
             res = self.engine.search_exact_host(req.vector, size)
