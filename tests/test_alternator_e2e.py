@@ -665,3 +665,216 @@ class TestAlternatorTableLifecycle:
                 assert "bad" not in res.primary_keys["p"]
         finally:
             await _teardown(server, session, service, http)
+
+
+class TestAlternatorReadSideSemantics:
+    """VERDICT r3 #6: the reference suite's read-side semantics —
+    update_item attribute mutations, batch_write, TTL expiry -> CDC delete
+    -> index removal, and the LWT write flow — each asserting INDEXED
+    STATE after the mutation, not just API status."""
+
+    async def test_update_item_vector_element_operations(self):
+        """UpdateItem SET vec[i] = x mutates one element of the vector
+        attribute; CDC fires and the read-back returns the element-mutated
+        blob at a newer writetime — the index must serve the NEW vector
+        and stop exact-matching the old one (update_item.rs:327
+        update_item_vector_element_operations)."""
+        from vector_store_tpu.db.scylla import CDC_OP_UPDATE
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 2)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                # SET vec[2] = 0.8 on "a": [1,0,0] -> [1,0,0.8]
+                va2 = [1.0, 0.0, 0.8]
+                state["rows"]["a"] = (blob_f32(va2), 2_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "a"))
+                deadline = time.time() + 10
+                while True:
+                    res = await client.ann(KS, "idx", va2, limit=1)
+                    if res.primary_keys["p"] == ["a"] and res.distances[0] < 1e-3:
+                        break
+                    assert time.time() < deadline
+                    await asyncio.sleep(0.05)
+                # the OLD value no longer exact-matches (epoch bumped, one
+                # live copy): distance to the old vector is now material
+                res = await client.ann(KS, "idx", VECS["a"], limit=1)
+                assert res.primary_keys["p"] == ["a"]
+                assert res.distances[0] > 1e-3
+                # a second element op: SET vec[0] = 0 -> [0,0,0.8]
+                va3 = [0.0, 0.0, 0.8]
+                state["rows"]["a"] = (blob_f32(va3), 3_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "a"))
+                deadline = time.time() + 10
+                while True:
+                    res = await client.ann(KS, "idx", va3, limit=1)
+                    if res.primary_keys["p"] == ["a"] and res.distances[0] < 1e-3:
+                        break
+                    assert time.time() < deadline
+                    await asyncio.sleep(0.05)
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_batch_write_puts_and_deletes_in_one_batch(self):
+        """BatchWriteItem mixes PutRequest and DeleteRequest in ONE call;
+        every mutation lands in the same CDC window and the indexed state
+        must reflect ALL of them (batch_write_item.rs:68
+        batch_write_item_updates_index)."""
+        from vector_store_tpu.db.scylla import (
+            CDC_OP_INSERT,
+            CDC_OP_ROW_DELETE,
+        )
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+                "c": (blob_json(VECS["c"]), 1_000_000),
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 3)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                # one batch: put d, put e, delete a — one CDC poll returns
+                # all three events together
+                vd, ve = [0.5, 0.5, 0.0], [0.0, 0.5, 0.5]
+                state["rows"]["d"] = (blob_f32(vd), 2_000_000)
+                state["rows"]["e"] = (blob_f32(ve), 2_000_000)
+                del state["rows"]["a"]
+                state["cdc"].extend(
+                    [
+                        (uuid.uuid1(), CDC_OP_INSERT, "d"),
+                        (uuid.uuid1(), CDC_OP_INSERT, "e"),
+                        (uuid.uuid1(), CDC_OP_ROW_DELETE, "a"),
+                    ]
+                )
+                await _wait_count(service, 4)  # b, c, d, e
+                res = await client.ann(KS, "idx", vd, limit=1)
+                assert res.primary_keys["p"] == ["d"]
+                res = await client.ann(KS, "idx", ve, limit=1)
+                assert res.primary_keys["p"] == ["e"]
+                res = await client.ann(KS, "idx", VECS["a"], limit=4)
+                assert "a" not in res.primary_keys["p"]
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_ttl_expiry_cdc_delete_removes_then_reput_reindexes(self):
+        """TTL expiry in Scylla surfaces as a CDC delete for the expired
+        row; the index must drop it while unexpired rows keep serving, and
+        a later re-put of the SAME key must re-index at a fresh epoch
+        (ttl.rs:59 ttl_expiration_removes_vector + the re-read rule)."""
+        from vector_store_tpu.db.scylla import CDC_OP_INSERT, CDC_OP_ROW_DELETE
+
+        state = {
+            "rows": {
+                "a": (blob_f32(VECS["a"]), 1_000_000),
+                "b": (blob_f32(VECS["b"]), 1_000_000),
+                "c": (blob_json(VECS["c"]), 1_000_000),  # carries the TTL
+            },
+            "cdc": [],
+        }
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 3)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                # TTL fires: the row vanishes and CDC emits a delete
+                del state["rows"]["c"]
+                state["cdc"].append((uuid.uuid1(), CDC_OP_ROW_DELETE, "c"))
+                await _wait_count(service, 2)
+                res = await client.ann(KS, "idx", VECS["c"], limit=3)
+                assert "c" not in res.primary_keys["p"]
+                assert set(res.primary_keys["p"]) == {"a", "b"}
+                # re-put of the expired key re-indexes at a fresh epoch.
+                # The tombstone's timestamp came from the CDC event's
+                # timeuuid (real clock), so the re-put's writetime must be
+                # NEWER than it — LWW correctly rejects an older writetime
+                # (same rule the reference's compare_timestamps enforces).
+                vc2 = [0.2, 0.2, 0.9]
+                state["rows"]["c"] = (
+                    blob_f32(vc2),
+                    int(time.time() * 1e6) + 10_000_000,
+                )
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "c"))
+                await _wait_count(service, 3)
+                res = await client.ann(KS, "idx", vc2, limit=1)
+                assert res.primary_keys["p"] == ["c"]
+                assert res.distances[0] < 1e-3
+        finally:
+            await _teardown(server, session, service, http)
+
+    async def test_lwt_write_flow_indexes_and_updates(self):
+        """The Alternator LWT path (alternator_always_use_lwt) writes rows
+        whose timestamps come from the LWT commit — strictly monotone per
+        key. Mirror lwt.rs:51 alternator_with_always_use_lwt: put item-a +
+        item-b -> both serve; delete item-b -> only item-a; UpdateItem SET
+        on item-a's vector -> ANN ordering follows the new value."""
+        from vector_store_tpu.db.scylla import (
+            CDC_OP_INSERT,
+            CDC_OP_ROW_DELETE,
+            CDC_OP_UPDATE,
+        )
+
+        state = {"rows": {}, "cdc": []}
+        server, session, service, http = await _boot_alternator(
+            make_live_handler(state)
+        )
+        try:
+            await _wait_count(service, 0)
+            from vector_store_tpu.client import VectorStoreClient
+
+            url = f"http://127.0.0.1:{http.port}"
+            async with VectorStoreClient(url) as client:
+                va, vb = [1.0, 2.0, 4.0], [4.0, 2.0, 1.0]
+                # PutItem item-a, item-b (LWT commit timestamps: monotone)
+                state["rows"]["item-a"] = (blob_f32(va), 1_000_000)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "item-a"))
+                state["rows"]["item-b"] = (blob_f32(vb), 1_000_001)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_INSERT, "item-b"))
+                await _wait_count(service, 2)
+
+                # DeleteItem item-b
+                del state["rows"]["item-b"]
+                state["cdc"].append(
+                    (uuid.uuid1(), CDC_OP_ROW_DELETE, "item-b")
+                )
+                await _wait_count(service, 1)
+                res = await client.ann(KS, "idx", vb, limit=2)
+                assert res.primary_keys["p"] == ["item-a"]
+
+                # UpdateItem SET vec on item-a: ordering follows the update
+                va2 = [9.0, 9.0, 9.0]
+                state["rows"]["item-a"] = (blob_f32(va2), 1_000_002)
+                state["cdc"].append((uuid.uuid1(), CDC_OP_UPDATE, "item-a"))
+                deadline = time.time() + 10
+                while True:
+                    res = await client.ann(KS, "idx", va2, limit=1)
+                    if res.primary_keys["p"] == ["item-a"] and res.distances[0] < 1e-3:
+                        break
+                    assert time.time() < deadline
+                    await asyncio.sleep(0.05)
+        finally:
+            await _teardown(server, session, service, http)

@@ -203,9 +203,16 @@ class TestPartitionDirectory:
         assert idx._part_directory_wins(2048)
         # large table, small batch: directory (B*pmax << N)
         assert idx._part_directory_wins(8, capacity=1_000_000)
-        # large table, deep batch: scan side when B*pmax > N
-        assert not idx._part_directory_wins(
+        # large table, batch at the traffic-model crossover (B*pmax = N):
+        # STILL directory — measured break-even is ~3x higher
+        # (SCALE_RUNS partition-1000k r4: directory wins 1.6x at batch
+        # 2048 = 2x the traffic model's crossover)
+        assert idx._part_directory_wins(
             (1_000_000 // pmax) + 1, capacity=1_000_000
+        )
+        # beyond the MEASURED break-even: the masked scan side
+        assert not idx._part_directory_wins(
+            (3_000_000 // pmax) + 1, capacity=1_000_000
         )
 
     def test_partition_count_and_moves(self):

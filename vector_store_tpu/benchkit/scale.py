@@ -61,13 +61,16 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
         quantization=Quantization.BF16,
         initial_capacity=n + 1024,
     )
+    t_ds = time.time()
+    dataset = synth.rows_file_np(seed, n, d, 512)
+    out["dataset_gen_seconds"] = round(time.time() - t_ds, 1)
     all_vecs = np.empty((n, d), dtype=np.float32)
     held = None
     chunk = 131072
     t0 = time.time()
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        rows_host = synth.synth_rows_np(seed, lo, hi, d, 512)
+        rows_host = np.asarray(dataset[lo:hi])
         rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 512)
         all_vecs[lo:hi] = rows_host
         if held is None:
@@ -260,13 +263,14 @@ def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict
         initial_capacity=n + 1024,
         block_rows=131072,
     )
+    dataset = synth.rows_file_np(seed, n, d, 256)
     chunk = 131072
     t0 = time.time()
     sample_q = None
     sample_p = None
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        rows_host = synth.synth_rows_np(seed, lo, hi, d, 256)
+        rows_host = np.asarray(dataset[lo:hi])
         rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 256)
         parts = (np.arange(lo, hi) % n_parts).astype(np.int64)
         if sample_q is None:
@@ -425,13 +429,16 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
         nprobe=int(os.environ.get("SCALE_NPROBE", 32)),
         ingest_i8=True,
     )
+    t_ds = time.time()
+    dataset = synth.rows_file_np(seed, n, d, 1024)
+    out["dataset_gen_seconds"] = round(time.time() - t_ds, 1)
     chunk = 131072
     t0 = time.time()
     held = None
     all_vecs = np.empty((n, d), dtype=np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        rows_host = synth.synth_rows_np(seed, lo, hi, d, 1024)
+        rows_host = np.asarray(dataset[lo:hi])
         rows_dev = synth.synth_rows_jax(seed, lo, hi, d, 1024)
         block = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
         all_vecs[lo:hi] = block
@@ -533,8 +540,10 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
         q_count += 4 * batch
         window_qps.append(4 * batch / (w1 - w0))
         # 2) churn: one upsert + one remove batch (the monitor_items pump's
-        # batched modify application between search batches)
-        m_up = 256
+        # batched modify application between search batches; sized like
+        # MAX_MODIFY_BATCH-scale pumps — the r4 first run's 256-row batches
+        # measured relay-fixed-cost-bound at ~50 rows/s)
+        m_up = int(os.environ.get("SCALE_CHURN_BATCH", 2048))
         slots_new = np.arange(next_slot, next_slot + m_up, dtype=np.int64)
         next_slot += m_up
         index.upsert_batch(
@@ -542,8 +551,8 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
         )
         live_churn.extend(int(s) for s in slots_new)
         up_count += m_up
-        if len(live_churn) > 512:
-            m_rm = 64
+        if len(live_churn) > 4 * m_up:
+            m_rm = m_up // 4
             rm = [live_churn.pop(0) for _ in range(m_rm)]
             index.remove_batch(np.asarray(rm, dtype=np.int64))
             rm_count += m_rm
@@ -633,6 +642,15 @@ def run(name: str) -> dict:
     )
     from vector_store_tpu.benchkit import synth
 
+    # dataset acquisition happens OUTSIDE the ingest/build timer, exactly
+    # like the reference benchmark's fbin files existing on disk before
+    # `build-index` runs (the r3 1536-d "build rate" was dominated by
+    # single-core synthetic-row generation, not by anything the engine
+    # does — VERDICT r3 #9)
+    t_ds = time.time()
+    dataset = synth.rows_file_np(seed, n, d, n_centers)
+    out["dataset_gen_seconds"] = round(time.time() - t_ds, 1)
+
     chunk = 131072
     t0 = time.time()
     held = None
@@ -640,7 +658,7 @@ def run(name: str) -> dict:
     all_vecs = np.empty((n, d), dtype=np.float32)
     for lo in range(0, n, chunk):
         hi = min(lo + chunk, n)
-        rows_host = synth.synth_rows_np(seed, lo, hi, d, n_centers)
+        rows_host = np.asarray(dataset[lo:hi])
         rows_dev = synth.synth_rows_jax(seed, lo, hi, d, n_centers)
         block = rows_host / np.linalg.norm(rows_host, axis=-1, keepdims=True)
         all_vecs[lo:hi] = block
@@ -660,7 +678,7 @@ def run(name: str) -> dict:
 
     jax.block_until_ready(index._delta.vectors)
     out["ingest_seconds"] = round(time.time() - t0, 1)
-    out["ingest_uplink"] = "device-side synth (scalars only)"
+    out["ingest_uplink"] = "device-side synth (scalars only); host rows from the dataset file"
 
     t0 = time.time()
     index.maintain()
@@ -724,17 +742,38 @@ def run(name: str) -> dict:
 
     recall = calc_recall()
     print(f"[scale] recall {recall:.4f} @ nprobe {index.nprobe}", file=sys.stderr, flush=True)
-    while recall < 0.95 and index.nprobe < min(index.nlist, 512):
-        index.nprobe = min(index.nprobe * 2, 512)
+    # gate walk over BOTH serving knobs: nprobe (candidate scope — the
+    # ef_search analog) and, when nprobe escalation plateaus, the
+    # oversample+rescore contract (ranking noise: bf16/i8 rank order
+    # degrades while the candidate SET is fine — the reference's
+    # quantization_and_rescoring.rs escape hatch). Measured: glove-shape
+    # 1.2M x 100-d plateaued at ~0.944 across nprobe 8->512 (r4 first
+    # run); oversample, not more probes, is the lever there.
+    while recall < 0.95:
+        if index.nprobe < min(max(index.nlist, 1), 128):
+            index.nprobe = min(index.nprobe * 2, 128)
+        elif index.oversample < 4:
+            index.oversample = max(index.oversample * 2, 2)
+            index.nprobe = int(os.environ.get("SCALE_NPROBE", 32))
+            print(
+                f"[scale] nprobe plateau -> oversample {index.oversample}x "
+                "+ exact f32 host rescore",
+                file=sys.stderr,
+                flush=True,
+            )
+        else:
+            break
         recall = calc_recall()
         print(
-            f"[scale] recall {recall:.4f} @ nprobe {index.nprobe}",
+            f"[scale] recall {recall:.4f} @ nprobe {index.nprobe} "
+            f"oversample {index.oversample}",
             file=sys.stderr,
             flush=True,
         )
     out["recall_at_10"] = round(recall, 4)
     out["recall_gate_passed"] = bool(recall >= 0.95)
     out["nprobe"] = index.nprobe
+    out["oversample"] = index.oversample
 
     if name == "glove":
         # config 2 is specified as a recall sweep over the search knob

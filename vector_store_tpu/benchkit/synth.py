@@ -186,3 +186,40 @@ def synth_rows_jax(
         n_centers=int(n_centers),
         sigma=float(sigma),
     )
+
+
+def rows_file_np(
+    seed: int,
+    n: int,
+    d: int,
+    n_centers: int,
+    sigma: float | None = None,
+    cache_dir: str = "scale_logs",
+) -> np.ndarray:
+    """The benchmark 'dataset file': host rows generated ONCE to disk,
+    then memory-mapped — the zero-egress equivalent of the reference
+    benchmark crate's fbin datasets sitting on disk before `build-index`
+    runs (crates/benchmark/src/data/fbin.rs:23-45). Dataset acquisition is
+    thereby outside the measured ingest/build window, exactly as it is for
+    the reference; the device twin (synth_rows_jax) still generates
+    on-device from scalars. Returns a read-only [n, d] f32 memmap."""
+    import os
+
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"rows-s{seed}-{n}x{d}-c{n_centers}"
+    if sigma is not None:
+        tag += f"-sg{sigma:g}"
+    path = os.path.join(cache_dir, tag + ".f32")
+    nbytes = n * d * 4
+    if os.path.exists(path) and os.path.getsize(path) == nbytes:
+        return np.memmap(path, dtype=np.float32, mode="r", shape=(n, d))
+    tmp = path + ".tmp"
+    mm = np.memmap(tmp, dtype=np.float32, mode="w+", shape=(n, d))
+    chunk = 131072
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        mm[lo:hi] = synth_rows_np(seed, lo, hi, d, n_centers, sigma)
+    mm.flush()
+    del mm
+    os.replace(tmp, path)
+    return np.memmap(path, dtype=np.float32, mode="r", shape=(n, d))

@@ -1413,14 +1413,18 @@ class FlatDeviceIndex:
         """Batch-amortization crossover: the directory path reads each
         query's OWN pmax-row block (O(B*pmax*Dp) HBM traffic), while the
         masked scan reads the table ONCE for the whole batch (O(N*Dp)).
-        Measured at 1M rows / pmax=1024: batch 8 -> directory wins by
-        ~N/(B*pmax); batch 2048 -> the scan moves fewer bytes. Large-table
-        batches route to the cheaper side; small tables (both sub-ms)
-        always keep the directory."""
+        The pure traffic model puts break-even at B*pmax = N, but the
+        MEASURED break-even sits ~3x higher (SCALE_RUNS partition-1000k,
+        r4: at 1M rows / pmax=1024 the directory wins 5.4x at batch 8 AND
+        1.6x at batch 2048 = 2x the traffic model's crossover — the
+        contiguous per-block DMA outruns the masked scan's fused-fold
+        epilogue per byte; extrapolating the two points puts parity near
+        B*pmax ~ 3.3*N). Route on the measured coefficient; small tables
+        (both sub-ms) always keep the directory."""
         cap = self.capacity if capacity is None else capacity
         if cap < 65_536:
             return True
-        return b_pad * self._part_rows_host.shape[1] <= cap
+        return b_pad * self._part_rows_host.shape[1] <= 3 * cap
 
     def _part_begin(
         self,
