@@ -150,6 +150,32 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     out["recall_gate_passed"] = bool(recall >= 0.95)
     out["expansion_search"] = index.expansion_search
 
+    # iters walk-down (VERDICT r3 #8): each lockstep round is a serialized
+    # expand*degree-row gather — the engine's dominant serving cost — and
+    # with expand=4 the frontier converges well before ef rounds. Cap
+    # search_iters at the smallest value that keeps the recall gate, keep
+    # beam_width=ef for the candidate pool.
+    if out["recall_gate_passed"]:
+        ef = index.expansion_search
+        it = ef
+        while it > 8:
+            trial = max(8, it // 2)
+            index.search_iters = trial
+            r_t = calc_recall()
+            print(
+                f"[scale] graph iters={trial} recall {r_t:.4f}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if r_t >= 0.95:
+                it = trial
+                recall = r_t
+            else:
+                break
+        index.search_iters = it if it < ef else None
+        out["search_iters"] = it if it < ef else None
+        out["recall_at_10"] = round(recall, 4)
+
     index.search(gate_q, k)
     reps = 12
     t0 = time.time()
@@ -177,12 +203,13 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
             gate_q, index.space_type, index.quantization
         )
         ef = index.expansion_search
+        it_use = max(16, min(max(ef, 16), index.search_iters or max(ef, 16)))
         kwargs = dict(
             space=index.space_type,
             quant=index.quantization,
             k=16,
             beam_width=max(ef, 16),
-            iters=max(ef, 16),
+            iters=it_use,
             filtered=False,
             expand=index.beam_expand,
         )
@@ -528,6 +555,7 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
     freshness_ms: list[float] = []
     rebuild_t0 = rebuild_t1 = None
     window_qps: list[float] = []
+    phase_s = {"query": 0.0, "upsert": 0.0, "remove": 0.0, "fresh": 0.0, "maintain": 0.0}
     t_run = time.time()
     i_win = 0
     while time.time() - t_run < dur:
@@ -537,6 +565,7 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
         pends = [index.search_begin(gate_q, k) for _ in range(4)]
         index.collect_many(pends)
         w1 = time.time()
+        phase_s["query"] += w1 - w0
         q_count += 4 * batch
         window_qps.append(4 * batch / (w1 - w0))
         # 2) churn: one upsert + one remove batch (the monitor_items pump's
@@ -546,15 +575,19 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
         m_up = int(os.environ.get("SCALE_CHURN_BATCH", 2048))
         slots_new = np.arange(next_slot, next_slot + m_up, dtype=np.int64)
         next_slot += m_up
+        tu = time.time()
         index.upsert_batch(
             slots_new, np.ones(m_up, np.int32), churn_vecs(m_up)
         )
+        phase_s["upsert"] += time.time() - tu
         live_churn.extend(int(s) for s in slots_new)
         up_count += m_up
         if len(live_churn) > 4 * m_up:
             m_rm = m_up // 4
             rm = [live_churn.pop(0) for _ in range(m_rm)]
+            tu = time.time()
             index.remove_batch(np.asarray(rm, dtype=np.int64))
+            phase_s["remove"] += time.time() - tu
             rm_count += m_rm
         # 3) freshness probe every 8 windows: a just-upserted far-shell row
         # must be searchable; measure the lag until it is
@@ -576,14 +609,19 @@ def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
             if found:
                 freshness_ms.append((time.time() - tp) * 1e3)
                 up_count += 1
+            phase_s["fresh"] += time.time() - tp
         # 4) one maintenance slice (the actor's idle slot)
+        tu = time.time()
         building_before = index._build is not None
         index.maintain(budget=4096)
+        phase_s["maintain"] += time.time() - tu
         if index._build is not None and not building_before:
             rebuild_t0 = time.time() - t_run
         if building_before and index._build is None:
             rebuild_t1 = time.time() - t_run
     elapsed = time.time() - t_run
+    out["phase_seconds"] = {kk: round(v, 1) for kk, v in phase_s.items()}
+    out["windows"] = i_win
 
     out["duration_seconds"] = round(elapsed, 1)
     out["query_qps_under_churn"] = round(q_count / elapsed, 1)

@@ -629,6 +629,11 @@ class GraphDeviceIndex:
         # expansions per lockstep round (see _graph_beam_search: shortens
         # the serialized gather chain at identical bytes gathered)
         self.beam_expand = 4
+        # optional cap on lockstep rounds; None = ef rounds (safe default).
+        # With expand=4 the frontier usually converges in far fewer rounds
+        # than ef, and each round is a serialized expand*degree-row gather —
+        # the engine's dominant serving cost.
+        self.search_iters: int | None = None
         self.expansion_add = expansion_add
         self.expansion_search = expansion_search
         self.alpha = alpha
@@ -1616,7 +1621,12 @@ class GraphDeviceIndex:
                 quant=self.quantization,
                 k=k_pad,
                 beam_width=ef,
-                iters=ef,
+                # lockstep rounds: with expand=4 nodes popped per round the
+                # traversal converges well before ef rounds — search_iters
+                # caps the serialized gather chain (the engine's dominant
+                # cost: each round gathers expand*degree rows per query)
+                # while beam_width=ef keeps the candidate pool's recall
+                iters=min(ef, self.search_iters) if self.search_iters else ef,
                 filtered=filtered,
                 expand=self.beam_expand,
             )

@@ -1036,6 +1036,44 @@ class IvfDeviceIndex:
             distances=d[order].astype(np.float32),
         )
 
+    def search_exact_host_subset(
+        self, queries: np.ndarray, slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Exact f32 distances from each query to the given row slots only
+        (host mirror; dead or out-of-range slots come back +inf).
+
+        The terminal step of the low-selectivity filtered path
+        (service/vs_index.py::_finish_terminal): the filter's match set is
+        already known, so the scan is O(|match|) per query — ONE BLAS call
+        for the whole request group — instead of _finish_last's O(N) full
+        ranking per query. Returns (distances [Q, m] f32, epochs [m] i32)."""
+        qs = np.asarray(queries, dtype=np.float32)
+        if qs.ndim == 1:
+            qs = qs[None, :]
+        qs = qs[:, : self.dimensions]
+        if self.space_type is SpaceType.COSINE:
+            qs = qs / np.maximum(
+                np.linalg.norm(qs, axis=1, keepdims=True), 1e-30
+            )
+        slots = np.asarray(slots, dtype=np.int64).reshape(-1)
+        cap = self.capacity
+        in_range = (slots >= 0) & (slots < cap)
+        safe = np.where(in_range, slots, 0)
+        sub = self._vecs_host[safe]
+        dot = qs @ sub.T  # (Q, m)
+        if self.space_type is SpaceType.EUCLIDEAN:
+            n2 = np.einsum("md,md->m", sub, sub)
+            q2 = np.einsum("qd,qd->q", qs, qs)
+            d = np.maximum(n2[None, :] - 2.0 * dot + q2[:, None], 0.0)
+        else:
+            d = 1.0 - dot
+            if self.space_type is SpaceType.COSINE:
+                d = np.clip(d, 0.0, 2.0)
+        valid = self._valid_host[safe] & in_range
+        d = np.where(valid[None, :], d, np.inf)
+        epochs = np.where(in_range, self._epochs_host[safe], -1)
+        return d.astype(np.float32), epochs.astype(np.int32)
+
     def search(
         self,
         queries: np.ndarray,

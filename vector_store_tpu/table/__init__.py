@@ -382,9 +382,16 @@ class Table:
         self.free_primary_ids: deque[PrimaryId] = deque()
         self._next_primary_slot = 0
         self.primary_keys: list[PrimaryKey | None] = []
+        # monotonically bumped on every upsert/delete — cheap staleness
+        # stamp for caches derived from row state (e.g. the serving actor's
+        # per-restriction matching-slot cache)
+        self.mutations = 0
 
         # regular (non-pk) columns: name -> dense LWW column
         self.columns: dict[ColumnName, DenseColumn] = {}
+        # mutation-stamped float64 views of numeric columns, built lazily by
+        # matching_slots' vectorized path
+        self._numeric_cols: dict[ColumnName, tuple[int, np.ndarray | None]] = {}
 
         self._id_gen = IndexIdGenerator()
         self.index_ids: dict[IndexKey, IndexId] = {}
@@ -445,17 +452,20 @@ class Table:
     def _column_value(self, primary_id: PrimaryId, column: ColumnName):
         """Current value of a column for a row; None when tombstoned or
         unknown. Primary-key columns pass through to the key itself."""
+        return self._slot_value(primary_id.slot, column)
+
+    def _slot_value(self, slot: int, column: ColumnName):
         if column in self.primary_key_columns:
-            pk = self.primary_keys[primary_id.slot]
+            pk = self.primary_keys[slot]
             if pk is None:
                 return None
             offset = self.primary_key_columns.index(column)
             values = pk.values()
             return values[offset] if offset < len(values) else None
         vec = self.columns.get(column)
-        if vec is None or primary_id.slot >= len(vec):
+        if vec is None or slot >= len(vec):
             return None
-        return vec.value(primary_id.slot)
+        return vec.value(slot)
 
     def _update_columns(
         self,
@@ -481,6 +491,7 @@ class Table:
         values: tuple[Timestamped, ...],  # Timestamped[DbIndexedValue], 1+target
     ) -> list[Operation]:
         self._reserve_primary_ids()
+        self.mutations += 1
         index_id = self.index_ids.get(index_key)
         if index_id is None:
             raise KeyError(f"Index key {index_key} not found")
@@ -540,6 +551,7 @@ class Table:
         row goes through the canonical per-row upsert, in arrival order.
         Behavior is identical to calling upsert per row (asserted by
         tests); only the operation encoding differs."""
+        self.mutations += 1  # fast-path rows bypass upsert's own bump
         index_id = self.index_ids.get(index_key)
         if index_id is None:
             raise KeyError(f"Index key {index_key} not found")
@@ -636,6 +648,7 @@ class Table:
         self, index_key: IndexKey, primary_key: PrimaryKey, timestamp: Timestamp
     ) -> list[Operation]:
         self._reserve_primary_ids()
+        self.mutations += 1
         index_id = self.index_ids.get(index_key)
         if index_id is None:
             raise KeyError(f"Index key {index_key} not found")
@@ -866,6 +879,102 @@ class Table:
             )
         except TypeError:
             return False
+
+    def matching_slots(
+        self, partition_id: PartitionId, restrictions: list[Restriction]
+    ) -> np.ndarray:
+        """Slots of live rows matching ALL restrictions — the bulk form of
+        is_valid_for for the serving actor's terminal filtered path
+        (service/vs_index.py::_finish_terminal): one column-major scan per
+        distinct filter instead of a per-candidate predicate per query.
+        The reference evaluates the same predicate row-at-a-time
+        (table/mod.rs:1183-1362); the dense columnar layout here makes the
+        vectorized order the cheap one. Numeric scalar restrictions ride a
+        cached float64 view of the column; everything else falls back to
+        the exact per-row evaluation."""
+        index = self.indexes.get(partition_id.index_id)
+        if index is None:
+            return np.empty(0, dtype=np.int64)
+        cap = min(len(self.primary_keys), len(index.epochs))
+        live = np.flatnonzero(index.epochs[:cap] >= 0).astype(np.int64)
+        for r in restrictions:
+            if live.size == 0:
+                break
+            live = live[self._restriction_mask(live, r)]
+        return live
+
+    def _restriction_mask(
+        self, slots: np.ndarray, r: Restriction
+    ) -> np.ndarray:
+        kind = r.kind
+        if not kind.is_tuple and r.lhs[0] not in self.primary_key_columns:
+            rhs_vals = r.rhs if kind is RestrictionKind.IN else (r.rhs,)
+            numeric_rhs = all(
+                isinstance(v, (int, float))
+                and not isinstance(v, bool)
+                and abs(float(v)) < 2.0**53
+                for v in rhs_vals  # type: ignore[union-attr]
+            )
+            if numeric_rhs:
+                arr = self._numeric_column(r.lhs[0])
+                if arr is not None:
+                    vals = arr[slots]
+                    # NaN marks null/tombstoned cells: every comparison below
+                    # yields False for NaN, matching "null never matches"
+                    if kind is RestrictionKind.EQ:
+                        return vals == float(r.rhs)  # type: ignore[arg-type]
+                    if kind is RestrictionKind.IN:
+                        return np.isin(
+                            vals, np.asarray([float(v) for v in rhs_vals])
+                        )
+                    rhs = float(r.rhs)  # type: ignore[arg-type]
+                    if kind is RestrictionKind.LT:
+                        return vals < rhs
+                    if kind is RestrictionKind.LTE:
+                        return vals <= rhs
+                    if kind is RestrictionKind.GT:
+                        return vals > rhs
+                    return vals >= rhs
+        out = np.empty(slots.size, dtype=bool)
+        for i, s in enumerate(slots):
+            s = int(s)
+            try:
+                out[i] = r.matches(lambda col: self._slot_value(s, col))
+            except TypeError:
+                out[i] = False
+        return out
+
+    def _numeric_column(self, column: ColumnName) -> np.ndarray | None:
+        """Float64 view of a column for vectorized restriction evaluation
+        (NaN = null); None when the column holds non-numeric values or
+        ints beyond 2^53 (where float64 equality would lie). Cached per
+        mutation stamp."""
+        vec = self.columns.get(column)
+        if vec is None:
+            return None
+        cached = self._numeric_cols.get(column)
+        if cached is not None and cached[0] == self.mutations:
+            return cached[1]
+        n = len(vec.values)
+        arr = np.empty(n, dtype=np.float64)
+        tomb = (vec.ts[:n] >> np.uint64(63)).astype(bool)
+        ok = True
+        lim = 2.0**53
+        for i, v in enumerate(vec.values):
+            if v is None or tomb[i]:
+                arr[i] = np.nan
+            elif isinstance(v, bool) or not isinstance(v, (int, float)):
+                ok = False
+                break
+            else:
+                f = float(v)
+                if abs(f) >= lim:
+                    ok = False
+                    break
+                arr[i] = f
+        result = arr if ok else None
+        self._numeric_cols[column] = (self.mutations, result)
+        return result
 
     # -- stats -------------------------------------------------------------------
 
