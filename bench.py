@@ -69,20 +69,44 @@ CPU_BASELINE_QPS = 30_000.0
 def main() -> None:
     import jax
 
-    # Fail fast (with a parseable artifact) when the TPU relay is dark:
-    # backend init either raises UNAVAILABLE or hangs indefinitely — a
-    # bounded probe turns both into one JSON error line instead of a
-    # driver-side timeout with no record.
-    import signal
+    # Relay weather is minute-scale: a dark/slow relay at ONE instant must
+    # not zero the round record (round-3 lesson). The backend probe retries
+    # across several windows — each attempt bounded by SIGALRM (backend
+    # init either raises UNAVAILABLE or hangs indefinitely) — and only
+    # after every window fails does it emit the parseable error artifact.
+    # Each probe runs in a SUBPROCESS: an in-process backend init aborted
+    # mid-handshake can leave jax unable to retry, while a subprocess probe
+    # is side-effect free — the in-process init below only runs once a
+    # probe window has seen the relay alive.
+    import subprocess
 
-    def _probe_timeout(signum, frame):
-        raise TimeoutError("TPU backend probe timed out")
-
-    old = signal.signal(signal.SIGALRM, _probe_timeout)
-    signal.alarm(240)
-    try:
-        float(jax.numpy.ones((4,)).sum())
-    except Exception as e:
+    attempts = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 6))
+    probe_err = None
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.numpy.ones(4).sum()"],
+                timeout=240,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                probe_err = None
+                break
+            probe_err = (
+                f"probe exit {r.returncode}: "
+                f"{r.stderr.decode(errors='replace')[-200:]}"
+            )
+        except subprocess.TimeoutExpired:
+            probe_err = "TPU backend probe timed out (240s)"
+        print(
+            f"[bench] relay probe {attempt + 1}/{attempts} failed: "
+            f"{probe_err}",
+            file=sys.stderr,
+            flush=True,
+        )
+        if attempt + 1 < attempts:
+            time.sleep(60)
+    if probe_err is not None:
         print(
             json.dumps(
                 {
@@ -90,14 +114,14 @@ def main() -> None:
                     "value": 0,
                     "unit": "qps",
                     "vs_baseline": 0,
-                    "error": f"tpu-relay-unavailable: {type(e).__name__}: {e}",
+                    "error": (
+                        f"tpu-relay-unavailable after {attempts} probe "
+                        f"windows: {probe_err}"
+                    ),
                 }
             )
         )
         return
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
 
     # persistent XLA/Mosaic compilation cache: first-compiles through this
     # environment's relay cost 20-120s per program shape; cached reloads

@@ -261,11 +261,16 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     return out
 
 
-def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict:
+def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int | None = None) -> dict:
     """Local-index cost artifact (VERDICT r2 #6): a query against a ~1k-row
     partition in a 1M-row table must cost O(partition), not O(N). Measures
     the scalar-prefetch partition kernel against the masked full scan on
-    the same index, both chained-forced on device (relay-independent)."""
+    the same index, both chained-forced on device (relay-independent).
+
+    n_parts scales with n (~1k rows per partition, the reference's
+    local-index serving shape, usearch.rs:626-670) so the full scan's
+    O(N) cost grows with the table while the directory's O(B*pmax) does
+    not — the crossover ratio is a function of N at fixed partition size."""
     import functools
 
     import jax
@@ -280,6 +285,8 @@ def run_partition(n: int = 1_000_000, d: int = 128, n_parts: int = 1024) -> dict
 
     rng = np.random.default_rng(55)
     batch = int(os.environ.get("SCALE_BATCH", 2048))
+    if n_parts is None:
+        n_parts = int(os.environ.get("SCALE_NPARTS", max(1024, round(n / 976))))
     seed, k = 55, 10
     out: dict = {"config": f"partition-{n // 1000}k", "n": n, "d": d,
                  "n_parts": n_parts, "quant": "BF16"}
@@ -420,7 +427,11 @@ def run_filtered(n: int = 1_000_000, d: int = 128) -> dict:
         low and low["recall_at_k"] >= 0.95
     )
     out["max_bucket_compiles"] = max(
-        (b.get("device_compiles", 0) for b in buckets.values()), default=0
+        (
+            b.get("device_compiles", 0) + b.get("warmup_device_compiles", 0)
+            for b in buckets.values()
+        ),
+        default=0,
     )
     return out
 

@@ -374,6 +374,24 @@ def selectivity() -> dict:
                         "allow_filtering": True,
                     }
 
+                # warmup pass (untimed): first contact with this filter pays
+                # the ladder's device compiles (30-120 s each through the
+                # relay) and populates the restriction-signature ladder/match
+                # caches; the timed window below then measures steady state.
+                # Compiles are still counted (warmup vs steady separately) so
+                # the compile-storm gate sees every program built.
+                cw0 = counter.count
+                await search_http(
+                    url,
+                    "ks",
+                    "idx",
+                    queries[: min(16, n_queries)],
+                    gt[: min(16, n_queries)],
+                    kk,
+                    min(16, concurrency),
+                    filter_template=filt,
+                )
+                warm_compiles = counter.count - cw0
                 esc0 = entry.actor._escalations
                 ex0 = entry.actor._exact_fallbacks
                 c0 = counter.count
@@ -394,6 +412,7 @@ def selectivity() -> dict:
                     "matching_rows": int(allowed.size),
                     "oversample_escalations": entry.actor._escalations - esc0,
                     "exact_host_fallbacks": entry.actor._exact_fallbacks - ex0,
+                    "warmup_device_compiles": warm_compiles,
                     "device_compiles": counter.count - c0,
                 }
                 print(

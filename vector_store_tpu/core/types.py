@@ -194,7 +194,13 @@ class IndexVersion:
 
 @dataclass(frozen=True)
 class IndexOptionsVs:
-    """Vector-search index configuration (reference lib.rs:598-607)."""
+    """Vector-search index configuration (reference lib.rs:598-607).
+
+    oversampling/rescoring are the CREATE INDEX options the reference's
+    quantization_and_rescoring validator group drives: `oversampling` is
+    the candidate-fetch multiplier over LIMIT, and `rescoring=false` turns
+    off the exact re-rank so results keep storage-precision rank order.
+    None means the engine picks its measured default per quantization."""
 
     dimensions: Dimensions
     connectivity: Connectivity = Connectivity()
@@ -202,6 +208,8 @@ class IndexOptionsVs:
     expansion_search: ExpansionSearch = ExpansionSearch()
     space_type: SpaceType = SpaceType.COSINE
     quantization: Quantization = Quantization.F32
+    oversampling: float | None = None
+    rescoring: bool | None = None
 
 
 @dataclass(frozen=True)

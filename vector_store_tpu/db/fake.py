@@ -197,13 +197,18 @@ class FakeDb(Db):
         if idx is None or idx.metadata.vs_options is None:
             return {}
         vs = idx.metadata.vs_options
-        return {
+        params = {
             "connectivity": vs.connectivity,
             "expansion_add": vs.expansion_add,
             "expansion_search": vs.expansion_search,
             "space_type": vs.space_type,
             "quantization": vs.quantization,
         }
+        if vs.oversampling is not None:
+            params["oversampling"] = vs.oversampling
+        if vs.rescoring is not None:
+            params["rescoring"] = vs.rescoring
+        return params
 
     async def is_valid_index(self, key: IndexKey) -> bool:
         return key in self.indexes

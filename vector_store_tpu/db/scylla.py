@@ -381,6 +381,18 @@ class ScyllaDb(Db):
                 params["quantization"] = Quantization.parse(raw)
             except ValueError:
                 pass
+        # quantization_and_rescoring validator options: fetch-multiplier
+        # over LIMIT + whether the exact re-rank runs (validator
+        # quantization_and_rescoring.rs:109-118 passes these through
+        # CREATE INDEX ... WITH OPTIONS)
+        if raw := options.get("oversampling"):
+            try:
+                params["oversampling"] = float(raw)
+            except (ValueError, TypeError):
+                pass
+        if raw := options.get("rescoring"):
+            if str(raw).lower() in ("true", "false"):
+                params["rescoring"] = str(raw).lower() == "true"
         return params
 
     async def is_valid_index(self, key: IndexKey) -> bool:

@@ -397,9 +397,18 @@ def ids_postprocess(
     dims: int,
     ids: np.ndarray,  # [b, k] int32 winner ids (-1 empty)
     q_f32: np.ndarray,  # [b, D] f32 queries (normalized for cosine)
+    keep_order: bool = False,
 ) -> list[SearchResult]:
     """Shared ids-only resolution: recompute exact f32 distances from the
-    host mirror, attach epochs, restore strict distance order."""
+    host mirror, attach epochs, restore strict distance order.
+
+    keep_order=True (index option `rescoring: false`) preserves the
+    device's storage-precision rank order — only invalid ids are pushed to
+    the back. Distances are still the exact f32 recompute (they are the
+    only distances the ids-only transport has), so a rescoring=false
+    result can show non-monotonic distances; the CONTRACT is the order
+    (validator quantization_and_rescoring.rs: quantized order without
+    rescoring, exact order with)."""
     from vector_store_tpu.engine.rescore import native_rescore
 
     i = np.asarray(ids)
@@ -422,7 +431,12 @@ def ids_postprocess(
     # bottleneck, not style
     valid = i >= 0
     d = np.where(valid, d, np.inf).astype(np.float32, copy=False)
-    order = np.argsort(d, axis=1, kind="stable")
+    if keep_order:
+        # stable sort on the validity flag alone: invalids to the back,
+        # device rank order otherwise untouched
+        order = np.argsort(np.where(valid, 0, 1), axis=1, kind="stable")
+    else:
+        order = np.argsort(d, axis=1, kind="stable")
     sl = np.take_along_axis(i, order, 1).astype(np.int64)
     dd = np.take_along_axis(d, order, 1)
     ee = np.take_along_axis(e, order, 1)
@@ -627,6 +641,7 @@ class FlatDeviceIndex:
         host_distances: bool | None = None,
         query_i8: bool | None = None,
         ingest_i8: bool | None = None,
+        rescoring: bool = True,
     ) -> None:
         self.dimensions = dimensions
         self.space_type = space_type
@@ -641,6 +656,14 @@ class FlatDeviceIndex:
         # (reference oversampling/rescoring index options)
         if rescore is None:
             rescore = quantization in (Quantization.I8, Quantization.B1)
+        # rescoring=False (index option `rescoring: false`): storage-
+        # precision rank order end to end — no device rescore stage, no
+        # oversampled fetch, and the ids-only host resolution preserves
+        # device order (validator quantization_and_rescoring contract)
+        self.rescoring = rescoring
+        if not rescoring:
+            rescore = False
+            oversample = 1
         self.rescore = rescore
         self.oversample = oversample
         self.dp_rescore = padded_dim(dimensions, Quantization.BF16)
@@ -1675,6 +1698,7 @@ class FlatDeviceIndex:
                 self.dimensions,
                 np.asarray(host)[:b_real],
                 pending.q_f32[:b_real],
+                keep_order=not self.rescoring,
             )
         if pending.kind == "pallas":
             from vector_store_tpu.ops.pallas_scan import (

@@ -96,10 +96,14 @@ class _DelegatePending:
     (main not built yet): wraps the delta's own pending and translates
     positions to engine slots at collect time."""
 
-    __slots__ = ("inner",)
+    __slots__ = ("inner", "q_f32")
 
-    def __init__(self, inner: PendingSearch) -> None:
+    def __init__(self, inner: PendingSearch, q_f32: np.ndarray | None = None) -> None:
         self.inner = inner
+        # normalized f32 queries, kept so the exact host re-rank (the
+        # rescoring contract) can run on the translated results even when
+        # the delta's own path returned storage-precision distances
+        self.q_f32 = q_f32
 
     @property
     def packed(self):
@@ -260,6 +264,8 @@ class IvfDeviceIndex:
         ingest_i8: bool | None = None,
         interpret: bool = False,
         approx_select: bool | None = None,
+        oversample: int | None = None,
+        rescoring: bool = True,
     ) -> None:
         if not ivf_supports(space_type, quantization):
             raise ValueError(
@@ -288,11 +294,19 @@ class IvfDeviceIndex:
         # plateaus at 0.9494 across nprobe 64->512 without oversample and
         # clears it with 2x. Low-d float keeps 1x (the 44 B/query result
         # pull is the serving byte-floor).
-        if quantization is Quantization.I8:
+        if oversample is not None:
+            self.oversample = max(1, int(oversample))
+        elif quantization is Quantization.I8:
             self.oversample = 4
         elif dimensions >= 512:
             self.oversample = 2
         else:
+            self.oversample = 1
+        # rescoring=False (index option): keep storage-precision rank order
+        # — no oversampled fetch, no exact re-rank (the validator's
+        # quantization_and_rescoring contract for `rescoring: false`)
+        self.rescoring = rescoring
+        if not rescoring:
             self.oversample = 1
         self.interpret = interpret
         # approx_max_k candidate selectors (probe + merge): the fetched
@@ -337,7 +351,8 @@ class IvfDeviceIndex:
             # region merge needs delta candidates rank-accurate BEFORE the
             # host rescore sees them. Costs 2 bf16 bytes/dim of extra
             # upload on streaming i8 upserts (bulk device loads ship none).
-            rescore=quantization is Quantization.I8,
+            rescore=(quantization is Quantization.I8) and rescoring,
+            rescoring=rescoring,
         )
         if interpret:
             self._set_delta_interpret()
@@ -954,7 +969,8 @@ class IvfDeviceIndex:
             query_i8=self.query_i8,
             ingest_i8=self.ingest_i8,
             # bf16 tier for i8 only (see the constructor's delta notes)
-            rescore=self.quantization is Quantization.I8,
+            rescore=(self.quantization is Quantization.I8) and self.rescoring,
+            rescoring=self.rescoring,
         )
         if self.interpret:
             self._set_delta_interpret()
@@ -1160,10 +1176,16 @@ class IvfDeviceIndex:
             delta_allow = dm
 
         if self.main_vecs is None or not self._ivf_ok:
+            q_f32 = queries
+            if self.space_type is SpaceType.COSINE:
+                q_f32 = queries / np.maximum(
+                    np.linalg.norm(queries, axis=-1, keepdims=True), 1e-30
+                )
             return _DelegatePending(
                 self._delta.search_begin(
                     queries, k, allow_mask=delta_allow, queries_dev=queries_dev
-                )
+                ),
+                q_f32=q_f32,
             )
 
         if self.space_type is SpaceType.COSINE:
@@ -1266,7 +1288,7 @@ class IvfDeviceIndex:
     def search_collect(self, pending) -> list[SearchResult]:
         if isinstance(pending, _DelegatePending):
             return self._translate_delta(
-                self._delta.search_collect(pending.inner)
+                self._delta.search_collect(pending.inner), pending.q_f32
             )
         return self._postprocess(pending, pull_packed(pending.packed))
 
@@ -1281,8 +1303,8 @@ class IvfDeviceIndex:
             inner_results = self._delta.collect_many(
                 [p.inner for _, p in delegates]
             )
-            for (i, _), res in zip(delegates, inner_results):
-                out[i] = self._translate_delta(res)
+            for (i, p), res in zip(delegates, inner_results):
+                out[i] = self._translate_delta(res, p.q_f32)
         ids_items = [
             (i, p) for i, p in enumerate(pendings)
             if not isinstance(p, _DelegatePending)
@@ -1312,9 +1334,16 @@ class IvfDeviceIndex:
         return out  # type: ignore[return-value]
 
     def _translate_delta(
-        self, results: list[SearchResult]
+        self, results: list[SearchResult], q_f32: np.ndarray | None = None
     ) -> list[SearchResult]:
-        """Delta-position results -> engine-slot results."""
+        """Delta-position results -> engine-slot results.
+
+        With rescoring on (the default) and lossy storage, the translated
+        rows are exact-re-ranked from the engine's original-f32 host mirror
+        — the delta's device path may have returned storage/bf16-precision
+        order (XLA fallback backends skip the ids-only host resolution), and
+        the rescoring contract (quantization_and_rescoring.rs) is exact
+        final order regardless of backend."""
         mapped = []
         for r in results:
             slots = self._delta_pos2slot_host[r.slots]
@@ -1326,6 +1355,27 @@ class IvfDeviceIndex:
                     distances=r.distances[ok],
                 )
             )
+        if (
+            q_f32 is not None
+            and self.rescoring
+            and self.quantization is not Quantization.F32
+            and mapped
+        ):
+            from vector_store_tpu.engine.flat import ids_postprocess
+
+            kk = max((r.slots.size for r in mapped), default=0)
+            if kk:
+                ids = np.full((len(mapped), kk), -1, dtype=np.int32)
+                for j, r in enumerate(mapped):
+                    ids[j, : r.slots.size] = r.slots
+                mapped = ids_postprocess(
+                    self._vecs_host,
+                    self._epochs_host,
+                    self.space_type,
+                    self.dimensions,
+                    ids,
+                    np.asarray(q_f32, dtype=np.float32)[: len(mapped)],
+                )
         return mapped
 
     def _postprocess(self, pending: PendingSearch, host: np.ndarray):
@@ -1348,6 +1398,7 @@ class IvfDeviceIndex:
             self.dimensions,
             ids,
             pending.q_f32[:b_real],
+            keep_order=not self.rescoring,
         )
         if self.oversample > 1:
             # exact-rescored order established; keep the requested k
@@ -1448,6 +1499,7 @@ class IvfDeviceIndex:
                 self.dimensions,
                 host,
                 q[:b_real],
+                keep_order=not self.rescoring,
             )
             if np.asarray(re_dropped)[:b_real].any():  # unreachable by design
                 logger.warning("IVF retry still dropped pairs; results partial")

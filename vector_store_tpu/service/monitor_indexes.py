@@ -157,7 +157,15 @@ class MonitorIndexes:
         vs = IndexOptionsVs(dimensions=Dimensions(dims), **{
             k: v
             for k, v in params.items()
-            if k in ("connectivity", "expansion_add", "expansion_search", "space_type", "quantization")
+            if k in (
+                "connectivity",
+                "expansion_add",
+                "expansion_search",
+                "space_type",
+                "quantization",
+                "oversampling",
+                "rescoring",
+            )
         })
         return IndexMetadata(
             keyspace_name=custom.keyspace,

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import math
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -223,6 +224,12 @@ class VsIndexActor:
                 space_type=vs.space_type,
                 quantization=vs.quantization,
                 nprobe=max(8, int(vs.expansion_search) // 2),
+                oversample=(
+                    None
+                    if vs.oversampling is None
+                    else math.ceil(vs.oversampling)
+                ),
+                rescoring=vs.rescoring is not False,
             )
         else:
             self.engine = FlatDeviceIndex(
@@ -230,6 +237,12 @@ class VsIndexActor:
                 space_type=vs.space_type,
                 quantization=vs.quantization,
                 reserve_increment=LOCAL_RESERVE_INCREMENT if is_local else 1_000_000,
+                **(
+                    {}
+                    if vs.oversampling is None
+                    else {"oversample": math.ceil(vs.oversampling)}
+                ),
+                rescoring=vs.rescoring is not False,
             )
         self.is_local = is_local
 
