@@ -460,6 +460,32 @@ class TestIvfDroppedPairs:
             assert r.slots.size >= 1
             assert r.slots[0] == gt[0]
 
+    def test_slot_budget_escalates_after_drops(self, interp_pallas):
+        """Sustained skew must not pay the retry round trips per batch: the
+        first dropping batch bumps s_boost, and the SAME batch re-searched
+        at the escalated budget produces zero drops (s caps at b_pad, where
+        drops are impossible — one pair per query per cluster)."""
+        n, d = 2048, 16
+        vecs, _ = clustered(n, d, n_clusters=16)
+        idx = make_index(d, nprobe=4)
+        idx.upsert_batch(np.arange(n), np.zeros(n, np.int32), vecs)
+        assert idx.maintain()
+        idx._warm_queue.clear()
+        q = vecs[11] + 0.01
+        batch = np.repeat(q[None, :], 128, axis=0)
+        assert idx.s_boost == 1
+        idx.search(batch, 5)
+        assert idx.dropped_pair_queries > 0
+        assert idx.s_boost > 1, "drops must escalate the slot budget"
+        before = idx.dropped_pair_queries
+        res = idx.search(batch, 5)
+        assert idx.dropped_pair_queries == before, (
+            "escalated budget should serve the same skewed batch drop-free"
+        )
+        gt = exact_topk(q[None, :], vecs, 5, SpaceType.EUCLIDEAN)[0]
+        for r in res:
+            assert r.slots[0] == gt[0]
+
     def test_exact_host_escalation(self, interp_pallas):
         n, d, k = 2048, 16, 50
         vecs, _ = clustered(n, d)

@@ -385,6 +385,16 @@ class IvfDeviceIndex:
         self._vecs_host = np.zeros((cap, dimensions), dtype=np.float32)
         self._live = 0
         self.dropped_pair_queries = 0  # queries re-dispatched after pair drops
+        # Persistent per-cluster slot-budget multiplier. choose_budget's 2x
+        # average is right for uniform queries, but REAL query batches are
+        # clustered (queries near data), so popular cells see 10-20x the
+        # balanced load: measured at 1M/nlist=2048/b=4096, s=128 drops pairs
+        # for 59% of queries while s=1024 drops none AT THE SAME WALL TIME
+        # (the regroup sort and grid overheads dominate, not the
+        # s-proportional scan). When a batch shows drops, the budget
+        # escalates for every later search instead of paying the retry
+        # round trips per batch forever.
+        self.s_boost = 1
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
         self._warm_queue: list[int] = []  # batch sizes to pre-compile
@@ -1218,7 +1228,7 @@ class IvfDeviceIndex:
                 main_paux, self.main_pos2slot, jnp.asarray(am)
             )
 
-        s = choose_budget(b_pad, min(self.nprobe, self.nlist), self.nlist)
+        s = self._serving_s(b_pad)
         main_packed, dropped = ivf_candidates(
             self.main_vecs,
             main_paux,
@@ -1378,6 +1388,46 @@ class IvfDeviceIndex:
                 )
         return mapped
 
+    # total (query, cluster) pair slots the grouped scan may materialize:
+    # queries_grouped is [nlist*s, Dp] in HBM, so the budget caps transient
+    # memory at ~1 GB for 128-d bf16 even at nlist=8192
+    S_CAP_SLOTS = 4 << 20
+
+    def _serving_s(self, b_pad: int) -> int:
+        """Per-cluster query-slot budget for the grouped scan: the balanced
+        estimate times the learned skew boost, capped by (a) b_pad — a
+        query contributes at most one pair per cluster, so s = b_pad can
+        never drop — and (b) the pair-slot memory budget."""
+        s = choose_budget(b_pad, min(self.nprobe, self.nlist), self.nlist)
+        s *= self.s_boost
+        cap = min(b_pad, self.S_CAP_SLOTS // max(self.nlist, 1))
+        cap = max(16, 1 << (int(cap).bit_length() - 1))  # pow2 floor
+        return min(s, cap)
+
+    def _maybe_escalate_s(self, n_bad: int, b_real: int) -> None:
+        frac = n_bad / max(b_real, 1)
+        if frac < 0.01:
+            return  # rare residual skew: the retry path is cheaper than
+            # recompiling every serving shape at a bigger s
+        old = self.s_boost
+        # step size by severity: extreme skew (duplicate-heavy batches,
+        # >=50% of queries dropping) jumps 8x so one step reaches the
+        # measured-sufficient budget (1M/nlist=2048 clustered: 59% drop at
+        # s=128, zero at s=1024) instead of re-dropping and recompiling its
+        # way up; residual drops escalate again next batch
+        step = 8 if frac >= 0.5 else 4 if frac > 0.25 else 2
+        self.s_boost = min(self.s_boost * step, 64)
+        if self.s_boost != old:
+            logger.info(
+                "IVF grouped scan saturated cluster slots for %d/%d "
+                "queries; raising slot-budget boost %dx -> %dx for "
+                "subsequent searches",
+                n_bad,
+                b_real,
+                old,
+                self.s_boost,
+            )
+
     def _postprocess(self, pending: PendingSearch, host: np.ndarray):
         from vector_store_tpu.engine.flat import ids_postprocess
 
@@ -1405,6 +1455,7 @@ class IvfDeviceIndex:
             results = [r.truncated(pending.k) for r in results]
         bad = np.flatnonzero(dropped > 0)
         if bad.size:
+            self._maybe_escalate_s(int(bad.size), b_real)
             self._retry_dropped(pending, bad, results)
         return results
 
@@ -1436,6 +1487,10 @@ class IvfDeviceIndex:
         k = pending.k
         k_fetch = min(k * self.oversample, max(self.size, k))
         k_pad = _bucket(k_fetch, _K_BUCKETS)
+        # phase 1: dispatch every chunk (async); phase 2 pulls. A chunk's
+        # pull otherwise serializes against the next chunk's dispatch and
+        # the retry costs one relay round trip per 128 dropped queries.
+        chunks: list[tuple] = []
         for lo in range(0, bad.size, self.RETRY_S):
             idx = bad[lo : lo + self.RETRY_S]
             q = pending.q_f32[idx]  # already normalized
@@ -1489,9 +1544,12 @@ class IvfDeviceIndex:
                 k_out=k_pad,
                 delta_is_rank=delta_is_rank,
             )
-            host = pull_packed(ids)[:b_real, :k_fetch]
-            from vector_store_tpu.engine.flat import ids_postprocess
+            chunks.append((idx, q, b_real, ids, re_dropped))
 
+        from vector_store_tpu.engine.flat import ids_postprocess
+
+        for idx, q, b_real, ids, re_dropped in chunks:
+            host = pull_packed(ids)[:b_real, :k_fetch]
             fixed = ids_postprocess(
                 self._vecs_host,
                 self._epochs_host,

@@ -225,6 +225,7 @@ class ShardedIvfIndex:
         kmeans_iters: int = 8,
         delta_capacity: int = 1 << 17,
         interpret: bool = False,
+        s_boost: int = 8,
     ) -> None:
         self.mesh = mesh
         self.model = mesh.shape["model"]
@@ -232,6 +233,14 @@ class ShardedIvfIndex:
         self.space_type = space_type
         self.quantization = quantization
         self.nprobe = nprobe
+        # Skew headroom over the balanced per-cluster slot estimate: real
+        # query batches are clustered, and this path cannot re-dispatch
+        # dropped pairs (the step drops them inside the shard_map), so it
+        # buys drop-freedom with budget up front. Bounded by the per-query
+        # cap inside search() — see engine/ivf.py _serving_s for the
+        # single-chip measurement (s=8x costs ~nothing; the regroup sort
+        # dominates).
+        self.s_boost = max(1, int(s_boost))
         self.headroom = headroom
         self.kmeans_iters = kmeans_iters
         self.interpret = interpret
@@ -480,6 +489,10 @@ class ShardedIvfIndex:
             s = choose_budget(
                 b // dpar, nprobe, self.nlist // self.model
             )
+            # skew boost, capped at the per-shard batch (a query holds at
+            # most one slot per cluster, so s = b/dpar can never drop)
+            bcap = max(16, 1 << (int(b // dpar).bit_length() - 1))
+            s = min(s * self.s_boost, bcap)
             key = (k, b, nprobe, s)
             step = self._search_cache.get(key)
             if step is None:
