@@ -1162,6 +1162,15 @@ class IvfDeviceIndex:
             )
         return self._prep_queries(q)
 
+    def upload_allow_mask(self, mask: np.ndarray) -> "AllowMaskHandle":
+        """Wrap a [n_slots] bool row filter for reuse across searches.
+
+        The handle lazily materializes (and then caches) the device mask
+        and the masked cluster-major side array on first masked search, and
+        refreshes them only when a rebuild publishes a new layout — so a
+        hot filter costs its ~N-byte upload once, not per batch."""
+        return AllowMaskHandle(mask)
+
     @hotpath.measure
     def search_begin(
         self,
@@ -1175,6 +1184,10 @@ class IvfDeviceIndex:
         if partitions is not None and (np.asarray(partitions) >= 0).any():
             raise ValueError("IVF engine serves global indexes only")
 
+        allow_handle: AllowMaskHandle | None = None
+        if isinstance(allow_mask, AllowMaskHandle):
+            allow_handle = allow_mask
+            allow_mask = allow_handle.host
         delta_allow = None
         if allow_mask is not None:
             # delta positions index a different space: translate slot mask
@@ -1221,7 +1234,9 @@ class IvfDeviceIndex:
         q_live[:b_real] = True
 
         main_paux = self.main_paux
-        if allow_mask is not None:
+        if allow_handle is not None:
+            main_paux = allow_handle.masked_paux(self)
+        elif allow_mask is not None:
             am = np.zeros((self.capacity,), dtype=bool)
             am[: allow_mask.shape[0]] = allow_mask[: self.capacity]
             main_paux = _apply_allow_main(
@@ -1572,6 +1587,44 @@ def _apply_allow_main(
     """Per-search slot filter applied to the cluster-major side array."""
     slot_ok = (pos2slot >= 0) & allow[jnp.maximum(pos2slot, 0)]
     return paux.at[1].set(jnp.where(slot_ok, paux[1], INVALID_BIAS))
+
+
+class AllowMaskHandle:
+    """A slot filter reused across many masked searches of the same filter.
+
+    A raw ndarray allow_mask pays, PER SEARCH CALL, one ~N-byte host->device
+    transfer (the relay charges 30-120 ms fixed per transfer) plus the paux
+    masking op. The serving actor's device-filtered path (the reference's
+    filtered-ANN regime, usearch.rs:1067-1154 post-filter vs this engine's
+    native pre-filter) reuses one filter across whole batches of queries, so
+    the handle caches both: the device-resident mask and the masked
+    cluster-major side array, keyed by the identity of the main_paux they
+    were derived from (a rebuild swap publishes a fresh main_paux object, so
+    identity is exactly the invalidation edge). The host mask stays for the
+    delta-region translation, which must track delta layout per call."""
+
+    __slots__ = ("host", "_dev", "_paux_src", "_masked")
+
+    def __init__(self, host_mask: np.ndarray) -> None:
+        self.host = np.asarray(host_mask, dtype=bool)
+        self._dev: jax.Array | None = None
+        self._paux_src: object = None
+        self._masked: jax.Array | None = None
+
+    def masked_paux(self, engine: "IvfDeviceIndex") -> jax.Array:
+        if self._paux_src is not engine.main_paux:
+            if (
+                self._dev is None
+                or int(self._dev.shape[0]) != engine.capacity
+            ):
+                am = np.zeros((engine.capacity,), dtype=bool)
+                am[: self.host.shape[0]] = self.host[: engine.capacity]
+                self._dev = jnp.asarray(am)
+            self._masked = _apply_allow_main(
+                engine.main_paux, engine.main_pos2slot, self._dev
+            )
+            self._paux_src = engine.main_paux
+        return self._masked
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

@@ -64,6 +64,18 @@ OVERSAMPLE_STEPS = (4, 16, 64)
 UPLINK_WINDOW = 4  # max dispatch batches behind one query upload
 LADDER_CACHE_MAX = 4096  # learned-oversample entries (per-filter)
 MATCH_CACHE_MAX = 128  # cached exact match sets (per-filter)
+# device-masked filtered path: a filter whose learned oversample step
+# reached this is expensive on the post-filter ladder, so its match set is
+# computed once and later queries pre-filter ON DEVICE (engine allow-mask)
+MASKED_MIN_STEP = 16
+# ...but only while the match set is dense enough that nprobe probing still
+# finds >= limit true neighbors among matching rows: below 1/32 of the
+# table, the grouped subset-exact scan is both exact and cheaper
+MASKED_MIN_DENOM = 32
+ALLOW_CACHE_MAX = 8  # device-resident allow-mask handles (per-filter)
+# first masked attempt fetches limit*2: every candidate already matches,
+# so headroom only covers removed/stale rows, not filter misses
+MASKED_OVERSAMPLE = 2
 
 
 class DimensionMismatch(ValueError):
@@ -82,6 +94,8 @@ class _SearchRequest:
     oversample: int = 1
     # stable signature of the restriction set (ladder/match cache key)
     sig: Optional[tuple] = None
+    # riding the device-masked filtered path (engine allow-mask pre-filter)
+    masked: bool = False
 
 
 def _restriction_sig(restrictions: list[Restriction]) -> tuple:
@@ -275,6 +289,11 @@ class VsIndexActor:
         # recomputation is idempotent, so a lost update only costs work.
         self._ladder_cache: dict[tuple, int] = {}
         self._match_cache: dict[tuple, tuple[int, np.ndarray]] = {}
+        # mid-selectivity filters promoted to the device-masked path:
+        # sig -> (mutation stamp, engine AllowMaskHandle). Presence of a
+        # sig (even stamp-stale) marks the filter as mask-promoted.
+        self._allow_cache: dict[tuple, tuple[int, object]] = {}
+        self._masked_dispatches = 0
         # begin/collect pipeline (engines exposing search_begin):
         # in-flight (batch, pending) pairs awaiting one aggregated pull
         self._inflight_collects: list[tuple[list[_SearchRequest], object]] = []
@@ -572,7 +591,9 @@ class VsIndexActor:
 
     # executed in a worker thread
     @hotpath.measure
-    def _begin_batch(self, batch: list[_SearchRequest], queries_dev=None):
+    def _begin_batch(
+        self, batch: list[_SearchRequest], queries_dev=None, allow_mask=None
+    ):
         """Dispatch one device search for the batch (no waiting)."""
         if not batch:
             return None
@@ -585,11 +606,14 @@ class VsIndexActor:
                 [r.partition.slot if r.partition else -1 for r in batch],
                 dtype=np.int32,
             )
+        kwargs = {}
+        if allow_mask is not None:
+            kwargs["allow_mask"] = allow_mask
         if queries_dev is not None:
-            return self.engine.search_begin(
-                queries, k, partitions=partitions, queries_dev=queries_dev
-            )
-        return self.engine.search_begin(queries, k, partitions=partitions)
+            kwargs["queries_dev"] = queries_dev
+        return self.engine.search_begin(
+            queries, k, partitions=partitions, **kwargs
+        )
 
     # executed in a worker thread
     def _begin_window(self, batches: list[list[_SearchRequest]]):
@@ -600,54 +624,135 @@ class VsIndexActor:
         MAX_SEARCH_BATCH) this amortizes the uplink the way collect_many
         already amortizes the downlink. Engines without upload_queries
         (graph, simulator, opensearch) fall back to per-batch uploads."""
-        # requests whose filter's exact match set is already cached (and
-        # small) never benefit from the device path — the oversampled scan
-        # would come up short and land in the terminal anyway. Answer them
-        # here with the batched subset-exact scan, zero device work.
+        # Filtered-request triage by match-set density S/N (the reference
+        # post-filters every regime identically, usearch.rs:1067-1154;
+        # here each selectivity band gets the kernel that wins on-device):
+        #   S*64 < N        -> grouped subset-exact terminal, zero device
+        #                      work (the oversample ladder cannot reach
+        #                      limit matches even at its top step);
+        #   S >= N/32 AND the ladder proved expensive (learned step >= 16)
+        #                   -> device-masked IVF scan: the filter becomes a
+        #                      cached device-resident allow-mask, queries
+        #                      pre-filter ON DEVICE at full scan rate with
+        #                      k = limit*2 instead of limit*64;
+        #   in between      -> the post-filter oversample ladder as before.
         direct: list[_SearchRequest] = []
-        if self._match_cache and not self.is_local:
+        masked_groups: dict[tuple, list[_SearchRequest]] = {}
+        can_mask = hasattr(self.engine, "upload_allow_mask")
+        if not self.is_local and (self._match_cache or self._allow_cache or can_mask):
             stamp = self.table.mutations
+            n_total = max(self.engine.size, 1)
             kept: list[list[_SearchRequest]] = []
             for b in batches:
                 keep: list[_SearchRequest] = []
                 for req in b:
-                    hit = self._match_cache.get(req.sig) if req.sig else None
-                    # direct when the device path is hopeless: with S
-                    # matching rows, even the top oversample step's k' =
-                    # limit*64 candidates expect ~limit*64*S/N matches —
-                    # under the limit whenever S*64 < N, so the ladder
-                    # would exhaust anyway and the subset scan is cheaper
-                    if (
-                        hit is not None
-                        and hit[0] == stamp
-                        and hit[1].size * OVERSAMPLE_STEPS[-1]
-                        < max(self.engine.size, 1)
-                    ):
+                    if req.sig is None or req.partition is not None:
+                        keep.append(req)
+                        continue
+                    want_mask = can_mask and (
+                        req.sig in self._allow_cache
+                        or req.oversample >= MASKED_MIN_STEP
+                    )
+                    hit = self._match_cache.get(req.sig)
+                    slots = (
+                        hit[1]
+                        if hit is not None and hit[0] == stamp
+                        else None
+                    )
+                    if slots is None and want_mask:
+                        # ladder proved this filter expensive: compute the
+                        # match set once per mutation stamp so the masked /
+                        # terminal routing below can take it
+                        slots = self._matching_slots_stamped(req, stamp)
+                    if slots is None:
+                        keep.append(req)
+                        continue
+                    if slots.size * OVERSAMPLE_STEPS[-1] < n_total:
                         direct.append(req)
+                    elif want_mask and slots.size * MASKED_MIN_DENOM >= n_total:
+                        if not req.masked:
+                            req.masked = True
+                            req.oversample = MASKED_OVERSAMPLE
+                        masked_groups.setdefault(req.sig, []).append(req)
                     else:
                         keep.append(req)
                 kept.append(keep)
             batches = kept
         if direct:
             self._finish_terminal(direct)
-        batches = [b for b in batches if b]
+        units: list[tuple[list[_SearchRequest], object]] = [
+            (b, None) for b in batches if b
+        ]
+        if masked_groups:
+            stamp = self.table.mutations
+            for sig, group in masked_groups.items():
+                handle = self._allow_handle(sig, group[0], stamp)
+                self._masked_dispatches += len(group)
+                units.append((group, handle))
         if (
-            len(batches) > 1
+            len(units) > 1
             and not self.is_local
             and hasattr(self.engine, "upload_queries")
         ):
             big = np.concatenate(
-                [np.stack([r.vector for r in b]) for b in batches]
+                [np.stack([r.vector for r in b]) for b, _ in units]
             )
             qs_all = self.engine.upload_queries(big)
             out = []
             lo = 0
-            for b in batches:
+            for b, h in units:
                 hi = lo + len(b)
-                out.append((b, self._begin_batch(b, queries_dev=qs_all[lo:hi])))
+                out.append(
+                    (
+                        b,
+                        self._begin_batch(
+                            b, queries_dev=qs_all[lo:hi], allow_mask=h
+                        ),
+                    )
+                )
                 lo = hi
             return out
-        return [(b, self._begin_batch(b)) for b in batches]
+        return [(b, self._begin_batch(b, allow_mask=h)) for b, h in units]
+
+    # executed in a worker thread
+    def _matching_slots_stamped(
+        self, req: _SearchRequest, stamp: int
+    ) -> np.ndarray:
+        """Compute + cache the filter's match set (one O(N) host pass per
+        distinct filter per mutation stamp — the same bargain the grouped
+        terminal already makes)."""
+        pid = PartitionId.global_for(self.table.index_id(self.metadata.key))
+        slots = self.table.matching_slots(pid, req.restrictions or [])
+        if len(self._match_cache) >= MATCH_CACHE_MAX:
+            self._match_cache.pop(next(iter(self._match_cache)))
+        self._match_cache[req.sig] = (stamp, slots)
+        return slots
+
+    # executed in a worker thread
+    def _allow_handle(self, sig: tuple, req: _SearchRequest, stamp: int):
+        """Stamp-fresh device allow-mask handle for a mask-promoted filter.
+        The handle keeps the mask (and the masked cluster-major side array)
+        device-resident across searches; a table mutation rebuilds it from
+        the refreshed match set so filtered results never miss new rows."""
+        hit = self._allow_cache.get(sig)
+        if hit is not None and hit[0] == stamp:
+            return hit[1]
+        cached = self._match_cache.get(sig)  # stamped by the triage above,
+        # but a concurrent window's cache eviction may race it away
+        if cached is not None and cached[0] == stamp:
+            slots = cached[1]
+        else:
+            slots = self._matching_slots_stamped(req, stamp)
+        n = int(slots.max()) + 1 if slots.size else 1
+        mask = np.zeros((n,), dtype=bool)
+        mask[slots] = True
+        handle = self.engine.upload_allow_mask(mask)
+        if sig not in self._allow_cache and (
+            len(self._allow_cache) >= ALLOW_CACHE_MAX
+        ):
+            self._allow_cache.pop(next(iter(self._allow_cache)))
+        self._allow_cache[sig] = (stamp, handle)
+        return handle
 
     # executed in a worker thread
     @hotpath.measure
@@ -670,13 +775,15 @@ class VsIndexActor:
                 exhausted = self._exhausted(req, res, k_used)
                 if len(resolved) >= req.limit or exhausted:
                     finished.append((req, resolved[: req.limit]))
-                    if req.sig is not None:
+                    if req.sig is not None and not req.masked:
                         # remember the step this filter's selectivity needed
+                        # (masked requests ran pre-filtered — their tiny
+                        # oversample says nothing about the ladder)
                         if len(self._ladder_cache) >= LADDER_CACHE_MAX:
                             self._ladder_cache.clear()
                         self._ladder_cache[req.sig] = req.oversample
                 elif req.oversample >= OVERSAMPLE_STEPS[-1]:
-                    if req.sig is not None:
+                    if req.sig is not None and not req.masked:
                         # exhausted: later same-filter queries should skip
                         # the walk and go straight to the top step (the
                         # match cache then short-circuits them entirely)
