@@ -171,3 +171,120 @@ async def test_local_index_falls_back_to_flat():
     )
     actor = VsIndexActor(md, Table(md), engine_kind="ivf-sharded", shards=8)
     assert actor.engine_kind == "flat"
+
+
+async def run_sharded_filtered_terminal(engine_kind: str):
+    """Low-selectivity filtered ANN through a sharded engine: the ladder is
+    hopeless (S*64 < N), so the actor's grouped terminal answers from the
+    engine's search_exact_host_subset — one BLAS call per filter group over
+    the sharded engine's host capacity tier. Asserts returned KEYS equal the
+    exact filtered ranking (reference filtering.rs matrix semantics)."""
+    n, k = 2000, 5
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    base = RNG.normal(size=(n, DIMS)).astype(np.float32)
+    # bucket 7 matches exactly 8 rows: 8*64 = 512 < 2000, so the oversample
+    # ladder is hopeless for bucket-7 queries and they must terminate in
+    # the grouped subset-exact path (search_exact_host_subset)
+    labels = np.zeros(n, dtype=np.int64)
+    members = np.arange(0, n, 250)[:8]
+    labels[members] = 7
+    rows = [
+        vector_row((i,), base[i].tolist(), 100, filtering=[(100, int(labels[i]))])
+        for i in range(n)
+    ]
+    db.add_index(
+        FakeIndex(
+            metadata=make_vs_metadata(
+                dimensions=DIMS, filtering_columns=("bucket",)
+            ),
+            scan=rows,
+        )
+    )
+    service = await build_service(
+        db,
+        Config(monitor_indexes_interval=0.05, engine_kind=engine_kind, shards=8),
+    )
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        await _wait_serving(client, n)
+        entry = service.indexes.get_vs(IndexKey("ks", "idx"))
+        actor = entry.actor
+        assert actor.engine.n_shards == 8
+
+        # random queries (NOT near the members): the matches then rank low
+        # in the unfiltered ordering, so even the top oversample step's
+        # limit*64 candidates hold < limit matches and the ladder exhausts
+        queries = RNG.normal(size=(4, DIMS)).astype(np.float32)
+        sub = base[members]
+        gt_local = exact_top_k(sub, queries, k)
+        gt = members[gt_local]
+
+        before = actor._exact_fallbacks
+        for qi, q in enumerate(queries):
+            resp = await client.post(
+                "/api/v1/indexes/ks/idx/ann",
+                json={
+                    "vector": q.tolist(),
+                    "limit": k,
+                    "filter": {
+                        "restrictions": [
+                            {"type": "==", "lhs": "bucket", "rhs": 7}
+                        ],
+                        "allow_filtering": True,
+                    },
+                },
+            )
+            assert resp.status == 200, await resp.text()
+            got = (await resp.json())["primary_keys"]["pk"]
+            assert got == gt[qi].tolist(), (got, gt[qi])
+        assert actor._exact_fallbacks > before, "terminal path never taken"
+    finally:
+        await client.close()
+        await service.stop()
+
+
+async def test_sharded_ivf_filtered_grouped_terminal():
+    await run_sharded_filtered_terminal("ivf-sharded")
+
+
+async def test_sharded_graph_filtered_grouped_terminal():
+    await run_sharded_filtered_terminal("graph-sharded")
+
+
+def test_sharded_exact_host_dot_product_convention():
+    """The exact-host fallbacks must rank AND report distances in the same
+    convention as the device paths (1 - dot for dot-product/cosine; it was
+    -dot, which mis-reports distances and similarity scores whenever a
+    filtered request terminates host-side)."""
+    import jax
+
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.parallel import make_mesh
+    from vector_store_tpu.parallel.serving import (
+        ShardedGraphServingEngine,
+        ShardedIvfServingEngine,
+    )
+
+    mesh = make_mesh(8)
+    n, d = 64, 8
+    vecs = RNG.normal(size=(n, d)).astype(np.float32)
+    slots = np.arange(n)
+    epochs = np.full(n, 3, np.int32)
+    q = RNG.normal(size=(d,)).astype(np.float32)
+    want = 1.0 - vecs @ q  # the device convention for DOT_PRODUCT
+
+    for cls in (ShardedIvfServingEngine, ShardedGraphServingEngine):
+        eng = cls(mesh, d, space_type=SpaceType.DOT_PRODUCT,
+                  quantization=Quantization.F32)
+        eng.upsert_batch(slots, epochs, vecs)
+        res = eng.search_exact_host(q, n)
+        got = res.distances[np.argsort(res.slots, kind="stable")]
+        np.testing.assert_allclose(got, want[np.sort(res.slots)], atol=1e-5)
+        # grouped subset: same convention, dead slots +inf
+        sub = np.array([5, 11, n + 99], dtype=np.int64)
+        dists, eps = eng.search_exact_host_subset(q[None, :], sub)
+        np.testing.assert_allclose(dists[0, :2], want[sub[:2]], atol=1e-5)
+        assert np.isinf(dists[0, 2]) and eps[2] == -1
+        assert (eps[:2] == 3).all()

@@ -30,6 +30,52 @@ from vector_store_tpu.parallel.ivf_sharded import ShardedIvfIndex
 logger = logging.getLogger(__name__)
 
 
+def _exact_subset_from_store(
+    queries: np.ndarray,
+    slots: np.ndarray,
+    *,
+    dimensions: int,
+    space_type: SpaceType,
+    get_row,
+    get_epoch,
+    rows_prenormalized: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact f32 distances from each query to the given slots only, over a
+    host slot->row store (dead slots come back +inf). The sharded engines'
+    grouped-terminal hook (service/vs_index.py::_finish_terminal): one BLAS
+    call for the whole filtered request group instead of a per-query O(N)
+    full ranking. Returns (distances [Q, m] f32, epochs [m] i32)."""
+    qs = np.atleast_2d(np.asarray(queries, dtype=np.float32))[:, :dimensions]
+    if space_type is SpaceType.COSINE:
+        qs = qs / np.maximum(np.linalg.norm(qs, axis=1, keepdims=True), 1e-30)
+    slots = np.asarray(slots, dtype=np.int64).reshape(-1)
+    m = slots.size
+    rows = np.zeros((m, dimensions), dtype=np.float32)
+    live = np.zeros((m,), dtype=bool)
+    epochs = np.full((m,), -1, dtype=np.int32)
+    for i, s in enumerate(slots):
+        v = get_row(int(s))
+        if v is not None:
+            rows[i] = v
+            live[i] = True
+            epochs[i] = get_epoch(int(s))
+    if space_type is SpaceType.COSINE and not rows_prenormalized:
+        rows = rows / np.maximum(
+            np.linalg.norm(rows, axis=1, keepdims=True), 1e-30
+        )
+    dot = qs @ rows.T  # (Q, m)
+    if space_type is SpaceType.EUCLIDEAN:
+        n2 = np.einsum("md,md->m", rows, rows)
+        q2 = np.einsum("qd,qd->q", qs, qs)
+        d = np.maximum(n2[None, :] - 2.0 * dot + q2[:, None], 0.0)
+    else:  # cosine / dot product: 1 - dot (the device paths' convention)
+        d = 1.0 - dot
+        if space_type is SpaceType.COSINE:
+            d = np.clip(d, 0.0, 2.0)
+    d = np.where(live[None, :], d, np.inf)
+    return d.astype(np.float32), epochs
+
+
 def _to_results(dist, slot, epoch, b_real: int) -> list[SearchResult]:
     """(dist [B,k], slot [B,k], epoch [B,k]) arrays -> per-query
     SearchResult lists with invalid (-1 / inf) lanes stripped."""
@@ -154,8 +200,9 @@ class ShardedIvfServingEngine:
             dist = 1.0 - rows @ q  # stored rows are unit-normalized
         elif idx.space_type is SpaceType.EUCLIDEAN:
             dist = ((rows - q[None, :]) ** 2).sum(-1)
-        else:  # dot product
-            dist = -(rows @ q)
+        else:  # dot product: 1 - dot, the device path's convention
+            # (ivf_sharded.py "dist = 1.0 + rank"; flat.py:424)
+            dist = 1.0 - rows @ q
         order = np.argsort(dist, kind="stable")[:k]
         sel = slots[order]
         return SearchResult(
@@ -164,6 +211,22 @@ class ShardedIvfServingEngine:
                 [idx._epochs_host.get(int(s), -1) for s in sel], np.int32
             ),
             distances=dist[order].astype(np.float32),
+        )
+
+    def search_exact_host_subset(
+        self, queries: np.ndarray, slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Grouped terminal for low-selectivity filters (one BLAS call per
+        filter group; see _exact_subset_from_store)."""
+        idx = self._idx
+        return _exact_subset_from_store(
+            queries,
+            slots,
+            dimensions=self.dimensions,
+            space_type=idx.space_type,
+            get_row=idx._vecs_host.get,
+            get_epoch=lambda s: idx._epochs_host.get(s, -1),
+            rows_prenormalized=True,  # upsert_batch normalizes for cosine
         )
 
 
@@ -354,6 +417,25 @@ class ShardedGraphServingEngine:
             distances=d[0][ok].astype(np.float32),
         )
 
+    def search_exact_host_subset(
+        self, queries: np.ndarray, slots: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Grouped terminal for low-selectivity filters (one BLAS call per
+        filter group; see _exact_subset_from_store)."""
+        store = self._store
+
+        return _exact_subset_from_store(
+            queries,
+            slots,
+            dimensions=self.dimensions,
+            space_type=self.space_type,
+            get_row=lambda s: (
+                store[s][0] if s in store else None
+            ),
+            get_epoch=lambda s: store[s][1] if s in store else -1,
+            rows_prenormalized=False,  # the store keeps raw f32 rows
+        )
+
     def _delta_exact(self, queries: np.ndarray, k: int):
         """Exact host scan over the unbuilt delta rows (bounded by
         min_build + one modify batch after the first build)."""
@@ -377,8 +459,8 @@ class ShardedGraphServingEngine:
                 - 2.0 * queries @ rows.T
             )
             dist = np.maximum(dist, 0.0)
-        else:
-            dist = -(queries @ rows.T)
+        else:  # dot product: 1 - dot (graph_sharded.py pair convention)
+            dist = 1.0 - queries @ rows.T
         kk = min(k, slots.size)
         sel = np.argsort(dist, axis=1, kind="stable")[:, :kk]
         d = np.take_along_axis(dist, sel, axis=1).astype(np.float32)
