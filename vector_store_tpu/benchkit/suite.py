@@ -350,82 +350,86 @@ def selectivity() -> dict:
             _old_level = _jlog.level
             _jlog.setLevel(_logging.DEBUG)
             _jlog.addHandler(counter)
-
-            url = f"http://127.0.0.1:{http.port}"
-            queries = _data(n_queries, d, rng)
-            out: dict = {"config": "filtered selectivity buckets", "n": n, "buckets": {}}
-            out["engine"] = type(engine).__name__
-            for bi, frac in enumerate(SELECTIVITY_BUCKETS):
-                allowed = np.flatnonzero(labels == bi)
-                if allowed.size == 0:
-                    continue
-                # exact filtered ground truth (cosine — the index metric)
-                sub = vecs[allowed]
-                qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
-                sn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
-                d2 = 1.0 - qn @ sn.T
-                kk = min(k, allowed.size)
-                top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                gt = allowed[top]
-
-                def filt(i, b=bi):
-                    return {
-                        "restrictions": [{"type": "==", "lhs": "bucket", "rhs": b}],
-                        "allow_filtering": True,
-                    }
-
-                # warmup pass (untimed): first contact with this filter pays
-                # the ladder's device compiles (30-120 s each through the
-                # relay) and populates the restriction-signature ladder/match
-                # caches; the timed window below then measures steady state.
-                # Compiles are still counted (warmup vs steady separately) so
-                # the compile-storm gate sees every program built.
-                cw0 = counter.count
-                await search_http(
-                    url,
-                    "ks",
-                    "idx",
-                    queries[: min(16, n_queries)],
-                    gt[: min(16, n_queries)],
-                    kk,
-                    min(16, concurrency),
-                    filter_template=filt,
-                )
-                warm_compiles = counter.count - cw0
-                esc0 = entry.actor._escalations
-                ex0 = entry.actor._exact_fallbacks
-                c0 = counter.count
-                res = await search_http(
-                    url,
-                    "ks",
-                    "idx",
-                    queries,
-                    gt,
-                    kk,
-                    concurrency,
-                    filter_template=filt,
-                )
-                out["buckets"][f"{frac:g}"] = {
-                    "qps": round(res["qps"], 1),
-                    "p50_ms": round(res["p50_ms"], 2),
-                    "recall_at_k": round(res["recall_at_k"], 4),
-                    "matching_rows": int(allowed.size),
-                    "oversample_escalations": entry.actor._escalations - esc0,
-                    "exact_host_fallbacks": entry.actor._exact_fallbacks - ex0,
-                    "warmup_device_compiles": warm_compiles,
-                    "device_compiles": counter.count - c0,
-                }
-                print(
-                    f"[suite] bucket {frac:g}: {out['buckets'][f'{frac:g}']}",
-                    file=sys.stderr,
-                    flush=True,
-                )
-            _jlog.removeHandler(counter)
-            _jlog.setLevel(_old_level)
             try:
-                _jax.config.update("jax_log_compiles", False)
-            except Exception:
-                pass
+
+                url = f"http://127.0.0.1:{http.port}"
+                queries = _data(n_queries, d, rng)
+                out: dict = {"config": "filtered selectivity buckets", "n": n, "buckets": {}}
+                out["engine"] = type(engine).__name__
+                for bi, frac in enumerate(SELECTIVITY_BUCKETS):
+                    allowed = np.flatnonzero(labels == bi)
+                    if allowed.size == 0:
+                        continue
+                    # exact filtered ground truth (cosine — the index metric)
+                    sub = vecs[allowed]
+                    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+                    sn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                    d2 = 1.0 - qn @ sn.T
+                    kk = min(k, allowed.size)
+                    top = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                    gt = allowed[top]
+
+                    def filt(i, b=bi):
+                        return {
+                            "restrictions": [{"type": "==", "lhs": "bucket", "rhs": b}],
+                            "allow_filtering": True,
+                        }
+
+                    # warmup pass (untimed): first contact with this filter pays
+                    # the ladder's device compiles (30-120 s each through the
+                    # relay) and populates the restriction-signature ladder/match
+                    # caches; the timed window below then measures steady state.
+                    # Compiles are still counted (warmup vs steady separately) so
+                    # the compile-storm gate sees every program built.
+                    cw0 = counter.count
+                    await search_http(
+                        url,
+                        "ks",
+                        "idx",
+                        queries[: min(16, n_queries)],
+                        gt[: min(16, n_queries)],
+                        kk,
+                        min(16, concurrency),
+                        filter_template=filt,
+                    )
+                    warm_compiles = counter.count - cw0
+                    esc0 = entry.actor._escalations
+                    ex0 = entry.actor._exact_fallbacks
+                    c0 = counter.count
+                    res = await search_http(
+                        url,
+                        "ks",
+                        "idx",
+                        queries,
+                        gt,
+                        kk,
+                        concurrency,
+                        filter_template=filt,
+                    )
+                    out["buckets"][f"{frac:g}"] = {
+                        "qps": round(res["qps"], 1),
+                        "p50_ms": round(res["p50_ms"], 2),
+                        "recall_at_k": round(res["recall_at_k"], 4),
+                        "matching_rows": int(allowed.size),
+                        "oversample_escalations": entry.actor._escalations - esc0,
+                        "exact_host_fallbacks": entry.actor._exact_fallbacks - ex0,
+                        "warmup_device_compiles": warm_compiles,
+                        "device_compiles": counter.count - c0,
+                    }
+                    print(
+                        f"[suite] bucket {frac:g}: {out['buckets'][f'{frac:g}']}",
+                        file=sys.stderr,
+                        flush=True,
+                    )
+            finally:
+                # restore global logging state even when a bucket raises
+                # (leaked DEBUG level + stacked handlers skew later runs)
+                _jlog.removeHandler(counter)
+                _jlog.setLevel(_old_level)
+                try:
+                    _jax.config.update("jax_log_compiles", False)
+                except Exception:
+                    pass
             return out
         finally:
             await http.close()

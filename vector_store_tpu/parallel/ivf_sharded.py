@@ -489,9 +489,12 @@ class ShardedIvfIndex:
             s = choose_budget(
                 b // dpar, nprobe, self.nlist // self.model
             )
-            # skew boost, capped at the per-shard batch (a query holds at
-            # most one slot per cluster, so s = b/dpar can never drop)
-            bcap = max(16, 1 << (int(b // dpar).bit_length() - 1))
+            # skew boost, capped at the per-shard batch: a query holds at
+            # most one slot per cluster, so s = b/dpar guarantees zero
+            # drops even when every query probes the same cluster (the
+            # sharded path has no re-dispatch, so the cap must be an exact
+            # ceiling, not a power-of-2 floor that can undershoot it)
+            bcap = max(16, b // dpar)
             s = min(s * self.s_boost, bcap)
             key = (k, b, nprobe, s)
             step = self._search_cache.get(key)

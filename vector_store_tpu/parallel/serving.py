@@ -76,6 +76,29 @@ def _exact_subset_from_store(
     return d.astype(np.float32), epochs
 
 
+def _exact_host_top_k(subset_fn, query, slots: np.ndarray, k: int) -> SearchResult:
+    """search_exact_host expressed through the engine's own
+    search_exact_host_subset (one distance-math implementation per file,
+    not three): rank the given slots exactly, return the top k live ones."""
+    if slots.size == 0:
+        z = np.zeros((0,))
+        return SearchResult(
+            slots=z.astype(np.int64),
+            epochs=z.astype(np.int32),
+            distances=z.astype(np.float32),
+        )
+    q = np.asarray(query, dtype=np.float32).reshape(1, -1)
+    dists, epochs = subset_fn(q, slots)
+    order = np.argsort(dists[0], kind="stable")[:k]
+    ok = np.isfinite(dists[0][order])
+    order = order[ok]
+    return SearchResult(
+        slots=slots[order].astype(np.int64),
+        epochs=epochs[order].astype(np.int32),
+        distances=dists[0][order].astype(np.float32),
+    )
+
+
 def _to_results(dist, slot, epoch, b_real: int) -> list[SearchResult]:
     """(dist [B,k], slot [B,k], epoch [B,k]) arrays -> per-query
     SearchResult lists with invalid (-1 / inf) lanes stripped."""
@@ -172,12 +195,15 @@ class ShardedIvfServingEngine:
         return False
 
     def search(self, queries, k: int, partitions=None) -> list[SearchResult]:
+        # NOTE: no build is ever triggered from here — the actor may run two
+        # search batches concurrently, and a build swaps main_vecs/paux/
+        # centroids under the other thread's feet. Delta overflow is instead
+        # prevented at the single mutation site (upsert_batch reclusters at
+        # 3/4 capacity, and mutations are exclusive with searches in the
+        # actor's scheduling — the reference's permit semantics).
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         b = queries.shape[0]
         k = max(1, min(k, max(self.size, 1)))
-        # a nearly-full delta cannot wait for an idle slot
-        if self._idx._delta_next >= self._idx._delta.capacity - 1024:
-            self.maintain()
         d, s, e = self._idx.search(queries, k)
         return _to_results(d, s, e, b)
 
@@ -186,31 +212,8 @@ class ShardedIvfServingEngine:
         terminal escalation step for low-selectivity filters)."""
         idx = self._idx
         slots = np.fromiter(idx._vecs_host.keys(), dtype=np.int64)
-        if slots.size == 0:
-            z = np.zeros((0,))
-            return SearchResult(
-                slots=z.astype(np.int64),
-                epochs=z.astype(np.int32),
-                distances=z.astype(np.float32),
-            )
-        rows = np.stack([idx._vecs_host[int(s)] for s in slots])
-        q = np.asarray(query, dtype=np.float32).reshape(-1)
-        if idx.space_type is SpaceType.COSINE:
-            q = q / max(float(np.linalg.norm(q)), 1e-30)
-            dist = 1.0 - rows @ q  # stored rows are unit-normalized
-        elif idx.space_type is SpaceType.EUCLIDEAN:
-            dist = ((rows - q[None, :]) ** 2).sum(-1)
-        else:  # dot product: 1 - dot, the device path's convention
-            # (ivf_sharded.py "dist = 1.0 + rank"; flat.py:424)
-            dist = 1.0 - rows @ q
-        order = np.argsort(dist, kind="stable")[:k]
-        sel = slots[order]
-        return SearchResult(
-            slots=sel,
-            epochs=np.asarray(
-                [idx._epochs_host.get(int(s), -1) for s in sel], np.int32
-            ),
-            distances=dist[order].astype(np.float32),
+        return _exact_host_top_k(
+            self.search_exact_host_subset, query, slots, k
         )
 
     def search_exact_host_subset(
@@ -402,19 +405,11 @@ class ShardedGraphServingEngine:
 
     def search_exact_host(self, query, k: int) -> SearchResult:
         """Exact host-side ranking over every live row (terminal
-        escalation step for low-selectivity filters)."""
-        q = np.asarray(query, dtype=np.float32).reshape(1, -1)
-        saved = self._delta
-        self._delta = set(self._store.keys())
-        try:
-            d, s, e = self._delta_exact(q, min(k, max(self.size, 1)))
-        finally:
-            self._delta = saved
-        ok = s[0] >= 0
-        return SearchResult(
-            slots=s[0][ok].astype(np.int64),
-            epochs=e[0][ok].astype(np.int32),
-            distances=d[0][ok].astype(np.float32),
+        escalation step for low-selectivity filters). Read-only: a
+        concurrent search batch must never observe a mutated delta set."""
+        slots = np.fromiter(self._store.keys(), dtype=np.int64)
+        return _exact_host_top_k(
+            self.search_exact_host_subset, query, slots, k
         )
 
     def search_exact_host_subset(

@@ -258,6 +258,18 @@ class VsIndexActor:
                 ),
                 rescoring=vs.rescoring is not False,
             )
+        if engine_kind not in ("ivf", "flat") and (
+            vs.oversampling is not None or vs.rescoring is not None
+        ):
+            # only the flat/ivf engines implement the oversample+rescore
+            # contract (quantization_and_rescoring.rs parity); dropping the
+            # options on other engines must be visible, not silent
+            logger.warning(
+                "index %s: oversampling/rescoring options are not supported "
+                "by engine %r and were ignored",
+                metadata.key,
+                engine_kind,
+            )
         self.is_local = is_local
 
         if (
@@ -723,6 +735,9 @@ class VsIndexActor:
         terminal already makes)."""
         pid = PartitionId.global_for(self.table.index_id(self.metadata.key))
         slots = self.table.matching_slots(pid, req.restrictions or [])
+        # LRU: re-stamping refreshes the key's eviction position, so a hot
+        # filter under churn is not the first out when the cache fills
+        self._match_cache.pop(req.sig, None)
         if len(self._match_cache) >= MATCH_CACHE_MAX:
             self._match_cache.pop(next(iter(self._match_cache)))
         self._match_cache[req.sig] = (stamp, slots)
@@ -747,9 +762,9 @@ class VsIndexActor:
         mask = np.zeros((n,), dtype=bool)
         mask[slots] = True
         handle = self.engine.upload_allow_mask(mask)
-        if sig not in self._allow_cache and (
-            len(self._allow_cache) >= ALLOW_CACHE_MAX
-        ):
+        # LRU: refresh the key's eviction position on re-stamp
+        self._allow_cache.pop(sig, None)
+        if len(self._allow_cache) >= ALLOW_CACHE_MAX:
             self._allow_cache.pop(next(iter(self._allow_cache)))
         self._allow_cache[sig] = (stamp, handle)
         return handle
@@ -779,17 +794,13 @@ class VsIndexActor:
                         # remember the step this filter's selectivity needed
                         # (masked requests ran pre-filtered — their tiny
                         # oversample says nothing about the ladder)
-                        if len(self._ladder_cache) >= LADDER_CACHE_MAX:
-                            self._ladder_cache.clear()
-                        self._ladder_cache[req.sig] = req.oversample
+                        self._remember_ladder(req.sig, req.oversample)
                 elif req.oversample >= OVERSAMPLE_STEPS[-1]:
                     if req.sig is not None and not req.masked:
                         # exhausted: later same-filter queries should skip
                         # the walk and go straight to the top step (the
                         # match cache then short-circuits them entirely)
-                        if len(self._ladder_cache) >= LADDER_CACHE_MAX:
-                            self._ladder_cache.clear()
-                        self._ladder_cache[req.sig] = OVERSAMPLE_STEPS[-1]
+                        self._remember_ladder(req.sig, OVERSAMPLE_STEPS[-1])
                     terminal.append(req)
                 else:
                     # grow the oversample factor and try in a later batch
@@ -827,28 +838,47 @@ class VsIndexActor:
         for step in (1,) + OVERSAMPLE_STEPS:
             if not pending:
                 break
-            k = max(r.limit * step for r in pending)
+            # requests whose filter LEARNED a higher step (search() seeds
+            # req.oversample from the ladder cache) skip the lower rungs —
+            # each rung is a full engine round trip on this path
+            ready = [r for r in pending if r.oversample <= step]
+            if not ready:
+                continue
+            k = max(r.limit * step for r in ready)
             k = min(k, max(self.engine.size, 1))
-            queries = np.stack([r.vector for r in pending])
+            queries = np.stack([r.vector for r in ready])
             partitions = None
             if self.is_local:
                 partitions = np.asarray(
-                    [r.partition.slot if r.partition else -1 for r in pending],
+                    [r.partition.slot if r.partition else -1 for r in ready],
                     dtype=np.int32,
                 )
             results = self.engine.search(queries, k, partitions=partitions)
+            later = [r for r in pending if r.oversample > step]
             still_pending: list[_SearchRequest] = []
-            for req, res in zip(pending, results):
+            for req, res in zip(ready, results):
                 resolved = self._resolve(req, res)
                 exhausted = self._exhausted(req, res, k)
                 if len(resolved) >= req.limit or exhausted:
+                    if req.sig is not None:
+                        req.oversample = step  # remember the winning rung
+                        self._remember_ladder(req.sig, step)
                     self._finish(req, resolved[: req.limit])
                 else:
                     self._escalations += 1
                     still_pending.append(req)
-            pending = still_pending
+            pending = still_pending + later
         if pending:  # ladder exhausted: grouped subset-exact terminal
+            for req in pending:
+                if req.sig is not None:
+                    self._remember_ladder(req.sig, OVERSAMPLE_STEPS[-1])
             self._finish_terminal(pending)
+
+    def _remember_ladder(self, sig: tuple, step: int) -> None:
+        if len(self._ladder_cache) >= LADDER_CACHE_MAX and sig not in self._ladder_cache:
+            # evict one cold entry instead of dropping all learned steps
+            self._ladder_cache.pop(next(iter(self._ladder_cache)))
+        self._ladder_cache[sig] = step
 
     def _exhausted(self, req: _SearchRequest, res, k_used: int) -> bool:
         """Has the whole candidate population been considered? For a
@@ -894,12 +924,7 @@ class VsIndexActor:
                 if hit is not None and hit[0] == stamp:
                     slots = hit[1]
                 else:
-                    slots = self.table.matching_slots(
-                        pid, group[0].restrictions or []
-                    )
-                    if len(self._match_cache) >= MATCH_CACHE_MAX:
-                        self._match_cache.pop(next(iter(self._match_cache)))
-                    self._match_cache[sig] = (stamp, slots)
+                    slots = self._matching_slots_stamped(group[0], stamp)
                 self._exact_fallbacks += len(group)
                 if slots.size == 0:
                     for req in group:
