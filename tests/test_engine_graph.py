@@ -262,3 +262,63 @@ class TestGraphIdsOnlyPull:
                 np.sort(b.distances), np.sort(g.distances), atol=2e-2
             )
             assert (np.diff(g.distances) >= -1e-6).all()
+
+
+class TestGraphRescoring:
+    """oversampling/rescoring index options on the graph engine
+    (quantization_and_rescoring.rs contract, ENGINE=graph): near-tied
+    vectors whose spacing i8 quantization destroys must come back in exact
+    order with rescoring (oversampled fetch + exact f32 host re-rank) and
+    in storage-precision order with rescoring=False."""
+
+    N = 400
+    QUERY = np.array([0.5, 0.3, 0.7] + [0.0] * 13, dtype=np.float32)
+
+    def _near_tied(self):
+        # reference generate_test_vectors: query + i*0.001*(2,4,8)
+        out = np.tile(self.QUERY, (self.N, 1))
+        i = np.arange(self.N, dtype=np.float32)[:, None]
+        out[:, :3] += i * 0.001 * np.array([2.0, 4.0, 8.0], np.float32)
+        return out
+
+    def _built(self, **kw):
+        idx = GraphDeviceIndex(
+            16,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.I8,
+            initial_capacity=1024,
+            connectivity=8,
+            expansion_add=32,
+            expansion_search=256,
+            **kw,
+        )
+        vecs = self._near_tied()
+        order = np.arange(self.N)
+        np.random.default_rng(7).shuffle(order)
+        idx.upsert_batch(order, np.zeros(self.N, np.int32), vecs[order])
+        while idx.merge_delta(max_batch=256):
+            pass
+        assert idx.graph_nodes == self.N and idx.delta_count == 0
+        return idx
+
+    def test_rescoring_restores_exact_order(self):
+        idx = self._built(oversample=5, rescoring=True)
+        assert idx.oversample == 5 and idx.rescoring
+        res = idx.search(self.QUERY[None, :], k=64)[0]
+        got = res.slots[:64].tolist()
+        assert got == sorted(got), f"exact order expected, got {got[:12]}..."
+
+    def test_rescoring_false_exposes_storage_order(self):
+        idx = self._built(rescoring=False)
+        assert idx.oversample == 1 and not idx.rescoring
+        res = idx.search(self.QUERY[None, :], k=64)[0]
+        got = res.slots[:64].tolist()
+        assert got != sorted(got), (
+            "i8 storage order should collapse the 0.001-step near-ties; "
+            "an exactly sorted result means rescoring=False never reached "
+            "the beam resolution"
+        )
+
+    def test_default_oversample_for_lossy_quant(self):
+        idx = self._built()
+        assert idx.oversample == 4 and idx.rescoring

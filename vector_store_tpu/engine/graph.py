@@ -78,6 +78,8 @@ class GraphPendingSearch:
     # distances/epochs resolve from the store's host mirrors
     graph_ids: bool = False
     q_f32: np.ndarray | None = None
+    # oversampled fetch width (k*oversample, bucketed); 0 = just k
+    k_fetch: int = 0
 
 
 @functools.partial(
@@ -600,7 +602,23 @@ class GraphDeviceIndex:
         alpha: float = 1.2,
         max_delta: int = 65536,
         device: jax.Device | None = None,
+        oversample: int | None = None,
+        rescoring: bool = True,
     ) -> None:
+        # oversampling/rescoring index options (reference validator
+        # quantization_and_rescoring.rs): with a lossy storage quantization
+        # the beam returns k*oversample candidates ranked at storage
+        # precision and the ids-only host resolution re-ranks them with
+        # exact f32 distances; rescoring=False keeps storage-precision
+        # order end to end (and disables the oversampled fetch)
+        if not rescoring:
+            oversample = 1
+        elif oversample is None:
+            oversample = (
+                4 if quantization in (Quantization.I8, Quantization.B1) else 1
+            )
+        self.oversample = max(1, int(oversample))
+        self.rescoring = rescoring
         self.store = FlatDeviceIndex(
             dimensions,
             space_type=space_type,
@@ -608,7 +626,22 @@ class GraphDeviceIndex:
             initial_capacity=initial_capacity,
             reserve_increment=reserve_increment,
             device=device,
+            rescoring=rescoring,
         )
+        # exact-rescore host mirror: on backends where the store's ids-only
+        # mirror is off (no pallas), the beam's device distances are storage
+        # precision — the rescoring contract still requires an exact f32
+        # re-rank of lossy-quantized candidates, so the graph keeps its own
+        # f32 rows (same memory the flat mirror would have used)
+        self._rescore_host: np.ndarray | None = None
+        if (
+            self.rescoring
+            and quantization in (Quantization.I8, Quantization.B1)
+            and self.store._vecs_host is None
+        ):
+            self._rescore_host = np.zeros(
+                (self.store.capacity, dimensions), dtype=np.float32
+            )
         self.space_type = space_type
         self.quantization = quantization
         self.dimensions = dimensions
@@ -737,10 +770,32 @@ class GraphDeviceIndex:
         if slots.size == 0:
             return
         self.store.upsert_batch(slots, epochs, vectors, partitions)
+        self._mirror_rows(slots, np.asarray(vectors, dtype=np.float32))
         for s in slots.tolist():
             if s not in self._delta_set:
                 self._delta_set.add(s)
                 self._delta_slots.append(s)
+
+    def _mirror_rows(self, slots: np.ndarray, vectors: np.ndarray) -> None:
+        if self._rescore_host is None:
+            return
+        top = int(np.max(slots)) + 1
+        if top > self._rescore_host.shape[0]:
+            grown = np.zeros(
+                (max(top, self.store.capacity), self.dimensions), np.float32
+            )
+            grown[: self._rescore_host.shape[0]] = self._rescore_host
+            self._rescore_host = grown
+        rows = vectors[:, : self.dimensions]
+        if (
+            self.space_type is SpaceType.COSINE
+            and self.quantization is not Quantization.B1
+        ):
+            # same storage rule as the flat mirror: unit rows for cosine
+            rows = rows / np.maximum(
+                np.linalg.norm(rows, axis=-1, keepdims=True), 1e-30
+            )
+        self._rescore_host[np.asarray(slots, dtype=np.int64)] = rows
 
     def upsert_bulk_device(
         self,
@@ -760,6 +815,9 @@ class GraphDeviceIndex:
             return
         self.store.upsert_bulk_device(
             lo, hi, rows_dev, rows_host, partitions=partitions, epoch=epoch
+        )
+        self._mirror_rows(
+            np.arange(lo, hi), np.asarray(rows_host, dtype=np.float32)
         )
         self._sync_capacity()
         fresh = [s for s in range(lo, hi) if s not in self._delta_set]
@@ -1586,9 +1644,18 @@ class GraphDeviceIndex:
         graph_packed = None
         graph_ids = False
         qn: np.ndarray | None = None
+        k_fetch = k
         if self._graph_nodes > 0:
             b_pad = _bucket(b_real, _BATCH_BUCKETS)
-            k_pad = _bucket(k, _K_BUCKETS)
+            # oversampled fetch: only pays off when some host resolution
+            # (store mirror or the graph's own rescore mirror) will
+            # exact-rescore the extra candidates
+            ids_path = store.host_distances and store._vecs_host is not None
+            mirror_path = self._rescore_host is not None
+            k_fetch = k
+            if (ids_path or mirror_path) and self.oversample > 1:
+                k_fetch = min(k * self.oversample, max(self._graph_nodes, 1))
+            k_pad = _bucket(k_fetch, _K_BUCKETS)
             qp = queries
             if b_pad != b_real:
                 qp = np.pad(queries, [(0, b_pad - b_real), (0, 0)])
@@ -1630,14 +1697,15 @@ class GraphDeviceIndex:
                 filtered=filtered,
                 expand=self.beam_expand,
             )
-            if store.host_distances and store._vecs_host is not None:
+            if ids_path:
                 # ship winner ids only (the [3,B,k] dist/id/epoch pack is
                 # 3x the bytes); exact f32 distances + epochs resolve from
                 # the store's host mirrors at collect time
                 from vector_store_tpu.engine.flat import _ids_only
 
-                graph_packed = _ids_only(graph_packed, k=min(k, k_pad))
+                graph_packed = _ids_only(graph_packed, k=min(k_fetch, k_pad))
                 graph_ids = True
+            if ids_path or mirror_path:
                 qn = qp
                 if self.space_type is SpaceType.COSINE:
                     qn = qp / np.maximum(
@@ -1662,6 +1730,7 @@ class GraphDeviceIndex:
             engine=self,
             graph_ids=graph_ids,
             q_f32=qn,
+            k_fetch=k_fetch,
         )
 
     def search_collect(self, pending: "GraphPendingSearch") -> list[SearchResult]:
@@ -1708,22 +1777,42 @@ class GraphDeviceIndex:
                 self.dimensions,
                 np.asarray(g_host)[:b_real],
                 pending.q_f32[:b_real],
+                # rescoring=False: storage-precision beam order preserved
+                # (quantization_and_rescoring contract; distances are still
+                # the exact f32 recompute — the only ones this path has)
+                keep_order=not self.rescoring,
             )
         elif g_host is not None:
+            kf = max(pending.k_fetch, k)
             d, i, e = unpack_results(np.asarray(g_host))
-            d = d[:b_real, :k]
-            i = i[:b_real, :k]
-            e = e[:b_real, :k]
-            graph_results = []
-            for row in range(b_real):
-                ok = np.isfinite(d[row]) & (i[row] >= 0)
-                graph_results.append(
-                    SearchResult(
-                        slots=i[row][ok].astype(np.int64),
-                        epochs=e[row][ok],
-                        distances=d[row][ok],
-                    )
+            d = d[:b_real, :kf]
+            i = i[:b_real, :kf]
+            e = e[:b_real, :kf]
+            if self._rescore_host is not None and pending.q_f32 is not None:
+                # graph-side rescore mirror (no store mirror on this
+                # backend): exact f32 re-rank of the storage-precision
+                # beam candidates — the oversampling/rescoring contract
+                from vector_store_tpu.engine.flat import ids_postprocess
+
+                graph_results = ids_postprocess(
+                    self._rescore_host,
+                    self.store._epochs_host,
+                    self.space_type,
+                    self.dimensions,
+                    np.where(np.isfinite(d), i, -1),
+                    pending.q_f32[:b_real],
                 )
+            else:
+                graph_results = []
+                for row in range(b_real):
+                    ok = np.isfinite(d[row]) & (i[row] >= 0)
+                    graph_results.append(
+                        SearchResult(
+                            slots=i[row][ok].astype(np.int64),
+                            epochs=e[row][ok],
+                            distances=d[row][ok],
+                        )
+                    )
 
         delta_results: list[SearchResult] | None = None
         if pending.delta_pending is not None:
@@ -1755,8 +1844,17 @@ class GraphDeviceIndex:
             dist = np.concatenate([g.distances, dl.distances])
             # dedup (a slot may be both merged & still pending in rare races)
             _, first = np.unique(slots, return_index=True)
-            slots, eps, dist = slots[first], eps[first], dist[first]
-            order = np.argsort(dist, kind="stable")[:k]
+            if self.rescoring:
+                slots, eps, dist = slots[first], eps[first], dist[first]
+                order = np.argsort(dist, kind="stable")[:k]
+            else:
+                # rescoring=False preserves each region's storage-precision
+                # order: dedup at the ORIGINAL positions (np.unique returns
+                # value-ordered indices; sorting them restores concatenation
+                # order — graph candidates first, then delta)
+                keep = np.sort(first)
+                slots, eps, dist = slots[keep], eps[keep], dist[keep]
+                order = np.arange(slots.shape[0])[:k]
             merged.append(
                 SearchResult(slots=slots[order], epochs=eps[order], distances=dist[order])
             )

@@ -227,6 +227,12 @@ class VsIndexActor:
                 connectivity=int(vs.connectivity),
                 expansion_add=int(vs.expansion_add),
                 expansion_search=int(vs.expansion_search),
+                oversample=(
+                    None
+                    if vs.oversampling is None
+                    else math.ceil(vs.oversampling)
+                ),
+                rescoring=vs.rescoring is not False,
             )
         elif engine_kind == "ivf":
             from vector_store_tpu.engine.ivf import IvfDeviceIndex
@@ -258,12 +264,12 @@ class VsIndexActor:
                 ),
                 rescoring=vs.rescoring is not False,
             )
-        if engine_kind not in ("ivf", "flat") and (
+        if engine_kind not in ("ivf", "flat", "graph") and (
             vs.oversampling is not None or vs.rescoring is not None
         ):
-            # only the flat/ivf engines implement the oversample+rescore
+            # the flat/ivf/graph engines implement the oversample+rescore
             # contract (quantization_and_rescoring.rs parity); dropping the
-            # options on other engines must be visible, not silent
+            # options on the remaining engines must be visible, not silent
             logger.warning(
                 "index %s: oversampling/rescoring options are not supported "
                 "by engine %r and were ignored",
