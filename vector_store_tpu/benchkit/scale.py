@@ -50,7 +50,11 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     rng = np.random.default_rng(77)
     batch = int(os.environ.get("SCALE_BATCH", 2048))
     k, nq = 10, 512
-    out: dict = {"config": f"graph-{n // 1000}k", "n": n, "d": d, "quant": "BF16"}
+    # SCALE_QUANT=I8 halves the beam's HBM gather bytes (the engine's
+    # measured dominant cost); the oversample+rescore contract restores
+    # exact rank from the storage-precision traversal
+    quant = Quantization(os.environ.get("SCALE_QUANT", "BF16").upper())
+    out: dict = {"config": f"graph-{n // 1000}k", "n": n, "d": d, "quant": quant.value}
 
     from vector_store_tpu.benchkit import synth
 
@@ -58,7 +62,7 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     index = GraphDeviceIndex(
         d,
         space_type=SpaceType.EUCLIDEAN,
-        quantization=Quantization.BF16,
+        quantization=quant,
         initial_capacity=n + 1024,
     )
     t_ds = time.time()
