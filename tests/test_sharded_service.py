@@ -240,6 +240,38 @@ async def run_sharded_filtered_terminal(engine_kind: str):
             got = (await resp.json())["primary_keys"]["pk"]
             assert got == gt[qi].tolist(), (got, gt[qi])
         assert actor._exact_fallbacks > before, "terminal path never taken"
+
+        # repeat queries with the cached (fresh) match set go STRAIGHT to
+        # the grouped terminal: zero engine dispatches (on a sharded
+        # engine a wasted top-rung search is a full mesh dispatch)
+        calls = []
+        inner = actor.engine.search
+
+        def counting(queries, k, partitions=None):
+            calls.append(k)
+            return inner(queries, k, partitions=partitions)
+
+        actor.engine.search = counting
+        try:
+            resp = await client.post(
+                "/api/v1/indexes/ks/idx/ann",
+                json={
+                    "vector": queries[0].tolist(),
+                    "limit": k,
+                    "filter": {
+                        "restrictions": [
+                            {"type": "==", "lhs": "bucket", "rhs": 7}
+                        ],
+                        "allow_filtering": True,
+                    },
+                },
+            )
+            assert resp.status == 200
+            got = (await resp.json())["primary_keys"]["pk"]
+            assert got == gt[0].tolist()
+            assert calls == [], f"expected direct terminal, saw {calls}"
+        finally:
+            actor.engine.search = inner
     finally:
         await client.close()
         await service.stop()

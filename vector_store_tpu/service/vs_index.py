@@ -841,6 +841,34 @@ class VsIndexActor:
     @hotpath.measure
     def _execute_search_batch(self, batch: list[_SearchRequest]) -> None:
         pending = batch
+        # repeat ladder-hopeless filters (fresh cached match set with
+        # S*64 < N) go straight to the grouped terminal — the top rung
+        # would exhaust anyway, and on the sharded engines that wasted
+        # search is a full mesh dispatch (same triage _begin_window does
+        # for the pipelined engines)
+        if (
+            not self.is_local
+            and self._match_cache
+            and hasattr(self.engine, "search_exact_host_subset")
+        ):
+            stamp = self.table.mutations
+            n_total = max(self.engine.size, 1)
+            direct: list[_SearchRequest] = []
+            keep: list[_SearchRequest] = []
+            for req in pending:
+                hit = self._match_cache.get(req.sig) if req.sig else None
+                if (
+                    hit is not None
+                    and hit[0] == stamp
+                    and req.partition is None
+                    and hit[1].size * OVERSAMPLE_STEPS[-1] < n_total
+                ):
+                    direct.append(req)
+                else:
+                    keep.append(req)
+            if direct:
+                self._finish_terminal(direct)
+            pending = keep
         for step in (1,) + OVERSAMPLE_STEPS:
             if not pending:
                 break
