@@ -305,7 +305,9 @@ class TestGraphRescoring:
         idx = self._built(oversample=5, rescoring=True)
         assert idx.oversample == 5 and idx.rescoring
         res = idx.search(self.QUERY[None, :], k=64)[0]
-        got = res.slots[:64].tolist()
+        # k-contract: the 5x oversampled fetch must not leak past k
+        assert res.slots.shape[0] <= 64, res.slots.shape
+        got = res.slots.tolist()
         assert got == sorted(got), f"exact order expected, got {got[:12]}..."
 
     def test_rescoring_false_exposes_storage_order(self):

@@ -207,7 +207,11 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
             gate_q, index.space_type, index.quantization
         )
         ef = index.expansion_search
-        it_use = max(16, min(max(ef, 16), index.search_iters or max(ef, 16)))
+        # match the SERVING configuration exactly (the chain previously
+        # floored iters at 16 while serving ran the walked-down value, so
+        # compute-side undercounted by the iters ratio and e2e could
+        # "exceed" device compute)
+        it_use = min(max(ef, 16), index.search_iters or max(ef, 16))
         kwargs = dict(
             space=index.space_type,
             quant=index.quantization,

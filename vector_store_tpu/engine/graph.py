@@ -1832,10 +1832,13 @@ class GraphDeviceIndex:
                 )
                 for _ in range(b_real)
             ]
+        # k-contract: the oversampled fetch widened the candidate pool to
+        # k_fetch; after the exact re-rank only the first k may leave the
+        # engine (the IVF engine truncates the same way, ivf.py)
         if graph_results is None:
-            return delta_results  # type: ignore[return-value]
+            return [r.truncated(k) for r in delta_results]  # type: ignore[union-attr]
         if delta_results is None:
-            return graph_results
+            return [r.truncated(k) for r in graph_results]
 
         merged = []
         for g, dl in zip(graph_results, delta_results):
@@ -1844,17 +1847,15 @@ class GraphDeviceIndex:
             dist = np.concatenate([g.distances, dl.distances])
             # dedup (a slot may be both merged & still pending in rare races)
             _, first = np.unique(slots, return_index=True)
-            if self.rescoring:
-                slots, eps, dist = slots[first], eps[first], dist[first]
-                order = np.argsort(dist, kind="stable")[:k]
-            else:
-                # rescoring=False preserves each region's storage-precision
-                # order: dedup at the ORIGINAL positions (np.unique returns
-                # value-ordered indices; sorting them restores concatenation
-                # order — graph candidates first, then delta)
-                keep = np.sort(first)
-                slots, eps, dist = slots[keep], eps[keep], dist[keep]
-                order = np.arange(slots.shape[0])[:k]
+            slots, eps, dist = slots[first], eps[first], dist[first]
+            # the cross-region merge always ranks by distance — even with
+            # rescoring=False: a fresh delta row that is the true nearest
+            # neighbor must not be dropped just because the graph region
+            # supplied k older candidates. The rescoring=False order
+            # contract applies WITHIN the graph region's resolution
+            # (ids_postprocess keep_order); the delta is a freshness tier,
+            # not part of the quantized index ordering.
+            order = np.argsort(dist, kind="stable")[:k]
             merged.append(
                 SearchResult(slots=slots[order], epochs=eps[order], distances=dist[order])
             )
