@@ -314,6 +314,14 @@ class TestServiceTerminalPath:
             assert got == want
             # ladder exhausted -> grouped terminal -> match cache populated
             assert actor._exact_fallbacks >= 1
+            # ...and the debug-counter surface mirrors the filtered-path
+            # counters (the reference's internals.rs idiom)
+            resp = await client.get("/api/internals/counters")
+            assert resp.status == 200
+            counters = await resp.json()
+            assert counters.get("vs_index_exact_host_fallbacks", 0) >= 1, (
+                counters
+            )
             assert any(
                 v[1].size == rare for v in actor._match_cache.values()
             ), {kk: v[1].size for kk, v in actor._match_cache.items()}

@@ -84,6 +84,7 @@ class Engine:
                 metrics=self.metrics,
                 engine_kind=self.engine_kind,
                 shards=self.shards,
+                internals=self.internals,
             )
             actor.start()
             monitor = MonitorItems(

@@ -113,11 +113,13 @@ class VsIndexActor:
         metrics=None,  # Metrics | None
         engine_kind: str = "auto",  # auto|flat|ivf|graph|ivf-sharded|graph-sharded
         shards: int = 0,  # mesh size for sharded engines (0 = all devices)
+        internals=None,  # Internals | None (debug counters)
     ) -> None:
         self.metadata = metadata
         self.table = table
         self.memory = memory
         self.metrics = metrics
+        self.internals = internals
         vs = metadata.vs_options
         assert vs is not None
         self.dimensions = int(vs.dimensions)
@@ -706,6 +708,7 @@ class VsIndexActor:
             for sig, group in masked_groups.items():
                 handle = self._allow_handle(sig, group[0], stamp)
                 self._masked_dispatches += len(group)
+                self._count("masked_dispatches", len(group))
                 units.append((group, handle))
         if (
             len(units) > 1
@@ -815,6 +818,7 @@ class VsIndexActor:
                             req.oversample = step
                             break
                     self._escalations += 1
+                    self._count("oversample_escalations")
                     requeue.append(req)
         if terminal:
             self._finish_terminal(terminal)
@@ -900,6 +904,7 @@ class VsIndexActor:
                     self._finish(req, resolved[: req.limit])
                 else:
                     self._escalations += 1
+                    self._count("oversample_escalations")
                     still_pending.append(req)
             pending = still_pending + later
         if pending:  # ladder exhausted: grouped subset-exact terminal
@@ -907,6 +912,12 @@ class VsIndexActor:
                 if req.sig is not None:
                     self._remember_ladder(req.sig, OVERSAMPLE_STEPS[-1])
             self._finish_terminal(pending)
+
+    def _count(self, name: str, amount: int = 1) -> None:
+        """Mirror a filtered-path counter into the debug-counter surface
+        (/api/internals/counters — the reference's internals.rs idiom)."""
+        if self.internals is not None:
+            self.internals.increment(f"vs_index_{name}", amount)
 
     def _remember_ladder(self, sig: tuple, step: int) -> None:
         if len(self._ladder_cache) >= LADDER_CACHE_MAX and sig not in self._ladder_cache:
@@ -960,6 +971,7 @@ class VsIndexActor:
                 else:
                     slots = self._matching_slots_stamped(group[0], stamp)
                 self._exact_fallbacks += len(group)
+                self._count("exact_host_fallbacks", len(group))
                 if slots.size == 0:
                     for req in group:
                         self._finish(req, [])
@@ -1023,6 +1035,7 @@ class VsIndexActor:
         would compile a fresh program shape per step (30-120 s each through
         the relay) and still top out at the cap."""
         self._exact_fallbacks += 1
+        self._count("exact_host_fallbacks")
         if not self.is_local and hasattr(self.engine, "search_exact_host"):
             size = self.engine.size
             res = self.engine.search_exact_host(req.vector, size)
