@@ -494,19 +494,25 @@ def main() -> None:
             bw["bounded_p50_ms_agg1"],
             1,
         )
-        if bounded_p50 <= 350.0:
-            for cfg_agg in (2, 4):
-                q_i, p_i, _ = e2e_run(12 * cfg_agg, cfg_agg, max_queued=1)
-                print(
-                    f"[bench] bounded escalate agg={cfg_agg}: {q_i:.0f} qps "
-                    f"p50 {p_i:.0f} ms",
-                    file=sys.stderr,
-                    flush=True,
-                )
-                if p_i <= 500.0 and q_i > bounded_qps:
-                    bounded_qps, bounded_p50, bounded_cfg = q_i, p_i, cfg_agg
-                else:
-                    break
+        # Escalate agg while p50 stays under the ceiling. QPS is NOT
+        # monotone in agg (window-boundary amortization shifts), so a
+        # non-improving step must not end the sweep — only a busted p50
+        # does (latency IS monotone in pipeline depth). Round-4 lesson:
+        # the driver run broke at agg=2 (52.3k < 53.1k) and never tried
+        # agg=4, while the self-recorded sweep found 85.2k there — the
+        # two artifacts disagreed 1.6x on the same build (VERDICT r4 #9).
+        for cfg_agg in (2, 4, 8):
+            q_i, p_i, _ = e2e_run(12 * cfg_agg, cfg_agg, max_queued=1)
+            print(
+                f"[bench] bounded escalate agg={cfg_agg}: {q_i:.0f} qps "
+                f"p50 {p_i:.0f} ms",
+                file=sys.stderr,
+                flush=True,
+            )
+            if p_i > 500.0:
+                break
+            if q_i > bounded_qps:
+                bounded_qps, bounded_p50, bounded_cfg = q_i, p_i, cfg_agg
     else:
         bounded_impossible_rtt = min(w["relay_rtt_ms"] for w in windows)
         print(
@@ -574,11 +580,27 @@ def main() -> None:
             flush=True,
         )
 
+    # typical-minute fields (VERDICT r4 #8): `value` stays the best window
+    # (the chip's demonstrated capability in good weather), but the record
+    # carries the median window as a first-class field so a reader sees
+    # the typical minute without digging into weather_windows.
+    value_median = float(np.median([w["e2e_qps"] for w in windows]))
+    med_all = [
+        w["window_qps_median"]
+        for w in windows
+        if w.get("window_qps_median") is not None
+    ]
+    window_qps_median_all = float(np.median(med_all)) if med_all else None
+
     result = {
         "metric": "QPS/chip at recall@10>=0.95 on SIFT-1M",
         "value": round(qps, 1),
         "unit": "qps",
         "vs_baseline": round(qps / CPU_BASELINE_QPS, 3),
+        "value_median": round(value_median, 1),
+        "window_qps_median_all": (
+            round(window_qps_median_all, 1) if window_qps_median_all else None
+        ),
         "recall_at_10": round(recall, 4),
         "recall_gate_passed": bool(recall >= 0.95),
         "p50_query_latency_ms": round(p50_ms, 2),
