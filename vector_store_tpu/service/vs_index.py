@@ -31,6 +31,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import math
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -60,6 +61,14 @@ logger = logging.getLogger(__name__)
 MAX_SEARCH_BATCH = 2048
 MAX_MODIFY_BATCH = 8192
 MERGE_BATCH = 4096
+# biased recv is biased, not absolute: a modify that has waited this long
+# (or a full batch) preempts NEW search dispatch for one bounded batch
+# application, so sustained query load cannot starve ingestion forever.
+# The reference runs inserts as concurrent worker jobs (usearch.rs permits
+# Insert/Search together, worker.rs:44-118); one shared device pipeline
+# makes bounded interleaving the TPU-native equivalent — this constant is
+# the freshness-lag floor under saturation.
+MODIFY_MAX_AGE_S = 0.10
 OVERSAMPLE_STEPS = (4, 16, 64)
 UPLINK_WINDOW = 4  # max dispatch batches behind one query upload
 LADDER_CACHE_MAX = 4096  # learned-oversample entries (per-filter)
@@ -319,6 +328,12 @@ class VsIndexActor:
         self._inflight_collects: list[tuple[list[_SearchRequest], object]] = []
         self._collector: asyncio.Task | None = None
         self._pipelined = hasattr(self.engine, "search_begin")
+        # concurrent background-maintenance slice in flight (engines with
+        # maintain_pending): rebuild phases that don't mutate serving state
+        # run alongside live searches so builds progress UNDER load
+        self._maintain_fut: asyncio.Future | None = None
+        # monotonic enqueue time of the oldest unapplied modify (aging)
+        self._modify_oldest = 0.0
 
     # -- lifecycle ------------------------------------------------------------
 
@@ -376,6 +391,8 @@ class VsIndexActor:
     def apply_operations(self, ops: list[Operation]) -> None:
         """Called by the monitor_items pump; thread-safe enough for the
         single asyncio loop."""
+        if not self._modify_queue:
+            self._modify_oldest = time.monotonic()
         self._modify_queue.extend(ops)
         self._modify_event.set()
 
@@ -416,6 +433,18 @@ class VsIndexActor:
         path."""
         loop = asyncio.get_running_loop()
         inflight: set[asyncio.Future] = set()
+        has_pending_api = hasattr(self.engine, "maintain_pending")
+        maintain_recheck = 0.0  # throttle for the idle-scan in maintain_pending
+
+        def _maintain_done(f: asyncio.Future) -> None:
+            self._maintain_fut = None
+            if not f.cancelled():
+                exc = f.exception()
+                if exc is not None:
+                    logger.exception(
+                        "background maintenance slice failed", exc_info=exc
+                    )
+            self._modify_event.set()  # wake the idle wait
 
         def launch(batch: list[_SearchRequest]) -> None:
             fut = loop.run_in_executor(None, self._execute_search_batch, batch)
@@ -462,17 +491,64 @@ class VsIndexActor:
             return fut
 
         while not self._stopped:
-            # 0) pending shape pre-compiles run BEFORE searches: a query
-            # hitting an uncompiled device-program shape pays the whole
-            # compile anyway; warming first compiles each shape exactly
-            # once instead of stalling a live batch per shape
-            warms = getattr(self.engine, "_warm_queue", None)
-            if warms:
-                await loop.run_in_executor(None, self.engine.maintain, 1)
-                continue
+            # 0a) concurrent background maintenance (engines exposing
+            # maintain_pending): every slice except the serving-state swap
+            # is dispatched WITHOUT blocking this loop, so rebuild phases
+            # (kmeans/assign/relayout) and shape warms progress while live
+            # search batches keep dispatching — builds no longer depend on
+            # idle gaps that a saturating query load never provides. The
+            # swap slice stays exclusive (step 3).
+            swap_due = False
+            if (
+                has_pending_api
+                and self._maintain_fut is None
+                and not self._modify_queue
+            ):
+                kind = None
+                now = loop.time()
+                if now >= maintain_recheck:
+                    kind = self.engine.maintain_pending()
+                    if kind is None:
+                        # the idle probe scans host state; don't re-run it
+                        # every loop iteration under load
+                        maintain_recheck = now + 0.05
+                if kind == "swap":
+                    # the one exclusive slice: stop dispatching NEW search
+                    # batches, let the pipeline drain, run the swap in step
+                    # 3 (the reference's blocking Reserve permit — without
+                    # this priority a saturating query load starves the
+                    # cutover forever)
+                    swap_due = True
+                elif kind is not None:
+                    fut = loop.run_in_executor(None, self.engine.maintain, 1)
+                    fut.add_done_callback(_maintain_done)
+                    self._maintain_fut = fut
+                    # fall through: searches dispatch alongside the slice
 
-            # 1) searches first (biased recv)
-            if not self._search_queue.empty():
+            # 0b) legacy exclusive warms for engines without the pending
+            # API: pre-compiles run BEFORE searches (a query hitting a cold
+            # device-program shape pays the whole compile anyway)
+            if not has_pending_api:
+                warms = getattr(self.engine, "_warm_queue", None)
+                if warms:
+                    await loop.run_in_executor(None, self.engine.maintain, 1)
+                    continue
+
+            # aged modifies (or a full batch) also preempt NEW dispatch:
+            # under saturating query load the pipeline never drains on its
+            # own, so without aging, ingestion — and freshness — starve
+            modify_due = (
+                self._modify_queue
+                and self._maintain_fut is None
+                and (
+                    time.monotonic() - self._modify_oldest >= MODIFY_MAX_AGE_S
+                    or len(self._modify_queue) >= MAX_MODIFY_BATCH
+                )
+            )
+
+            # 1) searches first (biased recv) — unless the swap slice or an
+            # aged modify batch is waiting for the pipeline to drain
+            if not swap_due and not modify_due and not self._search_queue.empty():
                 if self._pipelined:
                     if len(inflight) + len(self._inflight_collects) < 4:
                         # the relay serializes transfers: while a result
@@ -523,10 +599,16 @@ class VsIndexActor:
                         pass
                 continue
 
-            # 2) modifications (pipeline drained)
-            if self._modify_queue:
+            # 2) modifications (pipeline drained, no maintenance slice in
+            # flight — modifies mutate the same engine state a build slice
+            # snapshots, so they serialize against maintenance)
+            if self._modify_queue and self._maintain_fut is None:
                 ops = self._modify_queue[:MAX_MODIFY_BATCH]
                 del self._modify_queue[: len(ops)]
+                # one bounded batch per grant: reset the age clock so
+                # searches interleave between successive batches under
+                # heavy CDC bursts
+                self._modify_oldest = time.monotonic()
                 try:
                     await loop.run_in_executor(None, self._apply_ops_batch, ops)
                 except Exception:
@@ -537,23 +619,33 @@ class VsIndexActor:
                     )
                 continue
 
-            # 3) background engine maintenance (graph delta merges +
-            # refinement, IVF recluster rebuilds), scheduled only while the
-            # pipeline is idle — the reference's exclusive modify permits
-            if hasattr(self.engine, "maintain"):
-                did_work = await loop.run_in_executor(
-                    None, self.engine.maintain, MERGE_BATCH
-                )
-                if did_work:
-                    # yield so searches preempt between maintenance slices
-                    await asyncio.sleep(0)
-                    continue
+            # 3) exclusive maintenance. Engines with maintain_pending only
+            # reach here for the swap slice (everything else dispatched
+            # concurrently in 0a); legacy engines (graph delta merges) run
+            # every slice here — scheduled only while the pipeline is idle,
+            # the reference's exclusive modify permits
+            if hasattr(self.engine, "maintain") and self._maintain_fut is None:
+                run_exclusive = True
+                if has_pending_api:
+                    run_exclusive = self.engine.maintain_pending() == "swap"
+                if run_exclusive:
+                    did_work = await loop.run_in_executor(
+                        None, self.engine.maintain, MERGE_BATCH
+                    )
+                    if did_work:
+                        # yield so searches preempt between slices
+                        await asyncio.sleep(0)
+                        continue
 
             # idle: wait for work. Clear-then-recheck: work may have arrived
             # during the maintain() executor hop above (the event would then
-            # be cleared without ever being consumed — lost wakeup).
+            # be cleared without ever being consumed — lost wakeup). A
+            # modify blocked only on an in-flight maintenance slice must NOT
+            # busy-spin: its wakeup is the slice's done callback.
             self._modify_event.clear()
-            if self._modify_queue or not self._search_queue.empty():
+            if not self._search_queue.empty() or (
+                self._modify_queue and self._maintain_fut is None
+            ):
                 continue
             getter = asyncio.ensure_future(self._search_queue.get())
             waiter = asyncio.ensure_future(self._modify_event.wait())
