@@ -444,6 +444,29 @@ def run_filtered(n: int = 1_000_000, d: int = 128) -> dict:
     return out
 
 
+def run_filtered_diverse(n: int = 1_000_000, d: int = 128) -> dict:
+    """Filter-DIVERSITY at 1M (VERDICT r4 #3): >=128 distinct range-window
+    signatures per selectivity band through the real serving path; cold
+    (first-contact) vs warm QPS, cache sizes/bytes, recall audit."""
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    os.environ["SUITE_N"] = str(n)
+    os.environ["SUITE_D"] = str(d)
+    os.environ.setdefault("SUITE_CONCURRENCY", "128")
+    os.environ.setdefault("SUITE_WAIT_BUILD", "1")
+    from vector_store_tpu.benchkit import suite
+
+    out = suite.selectivity_diverse()
+    out["config"] = f"filtered-diverse-{n // 1000}k"
+    bands = out.get("bands", {})
+    low = bands.get("0.001")
+    out["low_selectivity_recall_gate_passed"] = bool(
+        low and low["audit_recall_at_k"] >= 0.95
+    )
+    return out
+
+
 def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
     """BASELINE config 5 at spec scale on the current engine (VERDICT r3
     #7): a 1M-row IVF index serves pipelined query windows while
@@ -1222,6 +1245,49 @@ def run(name: str) -> dict:
     index.collect_many(pends)
     out["e2e_qps_burst"] = round(batch * reps / (time.time() - t0), 1)
 
+    # pipelined e2e with LATENCY (VERDICT r4 #7: configs 2-4 had no p50
+    # anywhere): windows of `agg` batches, one aggregated pull per window,
+    # per-batch latency = dispatch -> window pull completion. Then the
+    # bounded-latency point: agg=1, one window in flight (what a latency-
+    # sensitive deployment would run).
+    def e2e_lat(run_iters: int, run_agg: int) -> tuple[float, float]:
+        lat: list[float] = []
+        t_start = time.time()
+        pend: list = []
+        starts: list[float] = []
+        it = 0
+        while it < run_iters:
+            for s in split_query_windows(index.upload_queries(big), batch):
+                if it >= run_iters:
+                    break
+                pend.append(index.search_begin(queries, k, queries_dev=s))
+                starts.append(time.time())
+                it += 1
+                if len(pend) >= run_agg:
+                    index.collect_many(pend)
+                    now = time.time()
+                    lat.extend(now - s0 for s0 in starts)
+                    pend, starts = [], []
+        if pend:
+            index.collect_many(pend)
+            now = time.time()
+            lat.extend(now - s0 for s0 in starts)
+        total = time.time() - t_start
+        return batch * run_iters / total, float(np.percentile(lat, 50) * 1e3)
+
+    q_e2e, p50_e2e = e2e_lat(32, 8)
+    out["e2e_qps"] = round(q_e2e, 1)
+    out["e2e_p50_ms"] = round(p50_e2e, 1)
+    q_b, p_b = e2e_lat(12, 1)
+    out["bounded_qps_agg1"] = round(q_b, 1)
+    out["bounded_p50_ms_agg1"] = round(p_b, 1)
+    print(
+        f"[scale] e2e {q_e2e:.0f} qps p50 {p50_e2e:.0f} ms | bounded "
+        f"{q_b:.0f} qps p50 {p_b:.0f} ms",
+        file=sys.stderr,
+        flush=True,
+    )
+
     # forced-execution compute-side (chained; see bench.py)
     try:
         import functools
@@ -1292,12 +1358,20 @@ def main() -> None:
     elif name.startswith("partition"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_partition(n=n)
+    elif name.startswith("filtered-diverse"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_filtered_diverse(n=n)
     elif name.startswith("filtered"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_filtered(n=n)
     elif name.startswith("streaming-actor"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_streaming_actor(n=n)
+    elif name.startswith("http"):
+        from vector_store_tpu.benchkit.http_bench import run_http
+
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_http(n=n)
     elif name.startswith("streaming"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_streaming(n=n)

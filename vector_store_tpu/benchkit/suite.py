@@ -438,6 +438,210 @@ def selectivity() -> dict:
     return asyncio.run(run())
 
 
+def selectivity_diverse() -> dict:
+    """Filter-DIVERSITY artifact (VERDICT r4 #3): the selectivity bench
+    above uses ONE filter value per band, so the ladder/match/mask caches
+    amortize across 128 identical-signature queries — while the reference's
+    per-id predicate (usearch.rs:224-248) pays zero per-filter precompute
+    and serves fresh filters as its NORMAL case. Here every band carries
+    >=128 DISTINCT signatures: each row holds a uniform int in [0, 2^20)
+    and a band-frac filter is a range window  lo <= bucket < lo+frac*2^20
+    at a per-signature random offset — same selectivity, fresh signature.
+
+    Per band this measures: a COLD pass (every signature's first contact:
+    ladder walks, match-set builds, mask promotions) and a WARM pass (the
+    same signature population revisited), plus actor cache sizes/bytes and
+    escalation counters, and an exact-recall audit on a signature subset.
+
+    Reference: crates/benchmark/src/main.rs:45-49 (selectivity buckets);
+    usearch.rs:224-248 (per-id predicate cost model)."""
+    import asyncio
+
+    from vector_store_tpu.benchkit.harness import SELECTIVITY_BUCKETS, search_http
+
+    n = int(os.environ.get("SUITE_N", 100_000))
+    d = int(os.environ.get("SUITE_D", 64))
+    k = 10
+    sigs = int(os.environ.get("SUITE_SIGNATURES", 128))
+    warm_rounds = int(os.environ.get("SUITE_WARM_ROUNDS", 8))
+    concurrency = int(os.environ.get("SUITE_CONCURRENCY", 128))
+    audit_sigs = 8
+    val_space = 1 << 20
+    rng = np.random.default_rng(17)
+    vecs = _data(n, d, rng)
+    vals = rng.integers(0, val_space, size=n)
+
+    async def run() -> dict:
+        from aiohttp.test_utils import TestServer
+
+        from vector_store_tpu.db.fake import (
+            FakeDb,
+            FakeIndex,
+            FakeTable,
+            make_vs_metadata,
+            vector_row,
+        )
+        from vector_store_tpu.run import build_service
+        from vector_store_tpu.service.config import Config
+        from vector_store_tpu.service.node_state import IndexStatus, NodeStatus
+
+        db = FakeDb()
+        db.add_table(FakeTable("ks", "tbl", ("pk",)))
+        rows = [
+            vector_row(
+                (i,), vecs[i].tolist(), 100, filtering=[(100, int(vals[i]))]
+            )
+            for i in range(n)
+        ]
+        db.add_index(
+            FakeIndex(
+                metadata=make_vs_metadata(
+                    dimensions=d, filtering_columns=("bucket",)
+                ),
+                scan=rows,
+            )
+        )
+        service = await build_service(db, Config(monitor_indexes_interval=0.1))
+        http = TestServer(service.app)
+        await http.start_server()
+        try:
+            while service.node_state.get_status() is not NodeStatus.SERVING:
+                await asyncio.sleep(0.1)
+            entry = service.indexes.get_vs(("ks", "idx"))
+            while (
+                entry.status is not IndexStatus.SERVING
+                or await entry.actor.count() < n
+            ):
+                service.engine.update_entries()
+                await asyncio.sleep(0.2)
+            engine = entry.actor.engine
+            if (
+                os.environ.get("SUITE_WAIT_BUILD") == "1"
+                and hasattr(engine, "main_vecs")
+                and n >= getattr(engine, "min_build", 1 << 62)
+                and getattr(engine, "_ivf_ok", True)
+            ):
+                deadline = time.time() + 2400
+                while engine.main_vecs is None or getattr(
+                    engine, "_warm_queue", None
+                ):
+                    assert time.time() < deadline, "IVF build never completed"
+                    entry.actor._modify_event.set()
+                    await asyncio.sleep(0.5)
+                print(
+                    f"[suite] ivf built: nlist={engine.nlist}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
+            url = f"http://127.0.0.1:{http.port}"
+            actor = entry.actor
+            out: dict = {
+                "config": "filtered selectivity, diverse signatures",
+                "n": n,
+                "signatures_per_band": sigs,
+                "bands": {},
+            }
+            out["engine"] = type(engine).__name__
+            for frac in SELECTIVITY_BUCKETS:
+                width = max(int(frac * val_space), 1)
+                los = rng.choice(val_space - width, size=sigs, replace=False)
+                windows = [(int(lo), int(lo + width)) for lo in los]
+
+                def filt(i, w=windows):
+                    lo, hi = w[i % len(w)]
+                    return {
+                        "restrictions": [
+                            {"type": ">=", "lhs": "bucket", "rhs": lo},
+                            {"type": "<", "lhs": "bucket", "rhs": hi},
+                        ],
+                        "allow_filtering": True,
+                    }
+
+                band_q = _data(sigs, d, rng)
+                c0 = {
+                    "esc": actor._escalations,
+                    "exact": actor._exact_fallbacks,
+                    "masked": actor._masked_dispatches,
+                }
+                # COLD: one query per distinct signature, every signature's
+                # first contact since process start
+                cold = await search_http(
+                    url, "ks", "idx", band_q, None, k, concurrency,
+                    filter_template=filt,
+                )
+                cold_counters = {
+                    "oversample_escalations": actor._escalations - c0["esc"],
+                    "exact_host_fallbacks": actor._exact_fallbacks - c0["exact"],
+                    "masked_dispatches": actor._masked_dispatches - c0["masked"],
+                }
+                # WARM: same signature population revisited warm_rounds x
+                warm_q = _data(sigs * warm_rounds, d, rng)
+                w0 = {
+                    "esc": actor._escalations,
+                    "exact": actor._exact_fallbacks,
+                    "masked": actor._masked_dispatches,
+                }
+                warm = await search_http(
+                    url, "ks", "idx", warm_q, None, k, concurrency,
+                    filter_template=filt,
+                )
+                warm_counters = {
+                    "oversample_escalations": actor._escalations - w0["esc"],
+                    "exact_host_fallbacks": actor._exact_fallbacks - w0["exact"],
+                    "masked_dispatches": actor._masked_dispatches - w0["masked"],
+                }
+                # recall AUDIT on a signature subset (exact filtered GT)
+                aq = _data(audit_sigs * 4, d, rng)
+                gt_rows = []
+                for i in range(len(aq)):
+                    lo, hi = windows[i % len(windows)]
+                    allowed = np.flatnonzero((vals >= lo) & (vals < hi))
+                    sub = vecs[allowed]
+                    qn = aq[i] / np.linalg.norm(aq[i])
+                    sn = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+                    dd = 1.0 - sn @ qn
+                    kk = min(k, allowed.size)
+                    top = np.argpartition(dd, kk - 1)[:kk]
+                    gt_rows.append(
+                        np.pad(allowed[top], (0, k - kk), constant_values=-1)
+                    )
+                audit = await search_http(
+                    url, "ks", "idx", aq, np.asarray(gt_rows), k, 16,
+                    filter_template=filt,
+                )
+                out["bands"][f"{frac:g}"] = {
+                    "matching_rows_per_sig": int(round(frac * n)),
+                    "cold_qps": round(cold["qps"], 1),
+                    "cold_p50_ms": round(cold["p50_ms"], 2),
+                    "cold_p99_ms": round(cold["p99_ms"], 2),
+                    "cold_counters": cold_counters,
+                    "warm_qps": round(warm["qps"], 1),
+                    "warm_p50_ms": round(warm["p50_ms"], 2),
+                    "warm_p99_ms": round(warm["p99_ms"], 2),
+                    "warm_counters": warm_counters,
+                    "audit_recall_at_k": round(audit["recall_at_k"], 4),
+                    "cache_sizes": {
+                        "ladder": len(actor._ladder_cache),
+                        "match": len(actor._match_cache),
+                        "match_mb": round(actor._match_bytes / 1e6, 1),
+                        "allow": len(actor._allow_cache),
+                    },
+                }
+                print(
+                    f"[suite] diverse band {frac:g}: "
+                    f"{out['bands'][f'{frac:g}']}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+            return out
+        finally:
+            await http.close()
+            await service.stop()
+
+    return asyncio.run(run())
+
+
 def main() -> None:
     cmd = sys.argv[1] if len(sys.argv) > 1 else "cosine-sweep"
     fn = {
@@ -446,6 +650,7 @@ def main() -> None:
         "quantized-highdim": quantized_highdim,
         "saturation": saturation,
         "selectivity": selectivity,
+        "selectivity-diverse": selectivity_diverse,
     }[cmd]
     print(json.dumps(fn()))
 

@@ -73,6 +73,10 @@ OVERSAMPLE_STEPS = (4, 16, 64)
 UPLINK_WINDOW = 4  # max dispatch batches behind one query upload
 LADDER_CACHE_MAX = 4096  # learned-oversample entries (per-filter)
 MATCH_CACHE_MAX = 128  # cached exact match sets (per-filter)
+# ...and a byte bound: one dense match set is ~selectivity*N int64s (4 MB
+# at 50% of 1M rows), so a count-only cap could hold 100s of MB under
+# diverse-signature traffic
+MATCH_CACHE_MAX_BYTES = 64 << 20
 # device-masked filtered path: a filter whose learned oversample step
 # reached this is expensive on the post-filter ladder, so its match set is
 # computed once and later queries pre-filter ON DEVICE (engine allow-mask)
@@ -318,6 +322,7 @@ class VsIndexActor:
         # recomputation is idempotent, so a lost update only costs work.
         self._ladder_cache: dict[tuple, int] = {}
         self._match_cache: dict[tuple, tuple[int, np.ndarray]] = {}
+        self._match_bytes = 0  # running nbytes of cached match sets
         # mid-selectivity filters promoted to the device-masked path:
         # sig -> (mutation stamp, engine AllowMaskHandle). Presence of a
         # sig (even stamp-stale) marks the filter as mask-promoted.
@@ -761,7 +766,20 @@ class VsIndexActor:
                     if req.sig is None or req.partition is not None:
                         keep.append(req)
                         continue
-                    want_mask = can_mask and (
+                    # mask promotion is capacity-gated: under diverse-
+                    # signature traffic (every query a fresh filter) an
+                    # unbounded promotion rule would build+upload a device
+                    # mask per signature and thrash the 8-handle cache; a
+                    # signature only takes the masked path while it holds
+                    # (or can claim) an allow-cache slot — the rest stay on
+                    # the oversample ladder, which needs no per-filter
+                    # device state (the reference's per-id predicate cost
+                    # model, usearch.rs:224-248)
+                    masked_ok = (
+                        req.sig in self._allow_cache
+                        or len(self._allow_cache) < ALLOW_CACHE_MAX
+                    )
+                    want_mask = can_mask and masked_ok and (
                         req.sig in self._allow_cache
                         or req.oversample >= MASKED_MIN_STEP
                     )
@@ -837,11 +855,19 @@ class VsIndexActor:
         pid = PartitionId.global_for(self.table.index_id(self.metadata.key))
         slots = self.table.matching_slots(pid, req.restrictions or [])
         # LRU: re-stamping refreshes the key's eviction position, so a hot
-        # filter under churn is not the first out when the cache fills
-        self._match_cache.pop(req.sig, None)
-        if len(self._match_cache) >= MATCH_CACHE_MAX:
-            self._match_cache.pop(next(iter(self._match_cache)))
+        # filter under churn is not the first out when the cache fills.
+        # Bounded by count AND bytes (dense match sets are MBs each).
+        old = self._match_cache.pop(req.sig, None)
+        if old is not None:
+            self._match_bytes -= old[1].nbytes
+        while self._match_cache and (
+            len(self._match_cache) >= MATCH_CACHE_MAX
+            or self._match_bytes + slots.nbytes > MATCH_CACHE_MAX_BYTES
+        ):
+            _, ev = self._match_cache.pop(next(iter(self._match_cache)))
+            self._match_bytes -= ev.nbytes
         self._match_cache[req.sig] = (stamp, slots)
+        self._match_bytes += slots.nbytes
         return slots
 
     # executed in a worker thread
