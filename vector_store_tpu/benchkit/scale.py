@@ -789,9 +789,14 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
     out["ingest_seconds"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    engine.maintain()  # initial full build (setup, not the measured phase)
-    while engine.maintain(budget=1):  # drain warms
-        pass
+    while engine.maintain(budget=1):  # initial build + warms, slice by slice
+        ph = engine.maintain_log[-1] if engine.maintain_log else ("?", 0)
+        print(
+            f"[scale] build slice {ph[0]} {ph[1]:.1f}s "
+            f"(total {time.time() - t0:.0f}s)",
+            file=sys.stderr,
+            flush=True,
+        )
     out["build_seconds"] = round(time.time() - t0, 1)
     out["nlist"] = engine.nlist
     engine.maintain_log.clear()

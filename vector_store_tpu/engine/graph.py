@@ -30,6 +30,7 @@ which is the same simplification CAGRA makes on GPUs.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 
 import jax
@@ -230,6 +231,195 @@ def _graph_beam_search(
     safe_i = jnp.maximum(res_i, 0)
     res_e = jnp.where(res_i >= 0, epochs[safe_i], -1)
     return _pack_results(res_d, res_i, res_e)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "space",
+        "quant",
+        "k",
+        "beam_width",
+        "iters",
+        "filtered",
+        "expand",
+    ),
+)
+def _graph_beam_search_preview(
+    vectors: jax.Array,  # [cap, Dp]
+    aux: jax.Array,  # [cap]
+    epochs: jax.Array,  # [cap]
+    valid: jax.Array,  # [cap] bool
+    allow: jax.Array,  # [cap] bool
+    adjacency: jax.Array,  # [cap, deg] int32, -1 padded
+    nbr_prev: jax.Array,  # [cap, deg, PD] bf16: projected NEIGHBOR vectors
+    proj: jax.Array,  # [Dp, PD] bf16 JL projection
+    entries: jax.Array,  # [E] int32, -1 padded
+    queries: jax.Array,  # [B, Dp]
+    q_aux: jax.Array,  # [B]
+    *,
+    space: SpaceType,
+    quant: Quantization,
+    k: int,
+    beam_width: int,
+    iters: int,
+    filtered: bool,
+    expand: int = 1,
+):
+    """Preview-guided lockstep beam search (VERDICT r4 #5 lever attempt).
+
+    The baseline kernel's round is TWO dependent HBM gathers deep:
+    adjacency[u] -> vectors[neighbors-of-u]. Here every node's record
+    carries its neighbors' JL-PROJECTED vectors (nbr_prev[u, j] =
+    proj(vectors[adjacency[u, j]])), so one round issues adjacency[u] and
+    nbr_prev[u] — both keyed by u, gathered IN PARALLEL — and ranks the
+    frontier from the previews with zero second gather. The serialized
+    chain is 1 gather per round instead of 2. Exact distances return once
+    at the end: one gather of the top k*4 preview candidates + a
+    storage-precision re-rank (the existing oversample/rescore contract
+    then still applies on the host side)."""
+    b = queries.shape[0]
+    e = entries.shape[0]
+    deg = adjacency.shape[1]
+    el = beam_width
+    ex = max(1, min(expand, el))
+    rounds = max(1, iters // ex)
+    rk = min(max(4 * k, k + 16), el + k)  # preview candidates kept for rescore
+    inf = jnp.float32(jnp.inf)
+
+    qp = (queries.astype(jnp.bfloat16) @ proj).astype(jnp.float32)  # [B, PD]
+    q2 = (qp * qp).sum(-1, keepdims=True)  # [B, 1]
+
+    def preview_dist(pv: jax.Array) -> jax.Array:
+        """[B, M, PD] bf16 -> squared L2 to qp, f32 [B, M]."""
+        pvf = pv.astype(jnp.float32)
+        p2 = (pvf * pvf).sum(-1)
+        cross = jnp.einsum(
+            "bd,bmd->bm", qp, pvf, preferred_element_type=jnp.float32
+        )
+        return q2 + p2 - 2.0 * cross
+
+    # --- init beam from entry points (projected, same geometry) -----------
+    evalid = entries >= 0
+    evecs = vectors[jnp.maximum(entries, 0)]  # [E, Dp] (one-time tiny gather)
+    ep = (evecs.astype(jnp.bfloat16) @ proj).astype(jnp.float32)  # [E, PD]
+    d0 = (
+        q2
+        + (ep * ep).sum(-1)[None, :]
+        - 2.0 * jnp.einsum("bd,ed->be", qp, ep, preferred_element_type=jnp.float32)
+    )
+    d0 = jnp.where(evalid[None, :], d0, inf)
+    eids = jnp.broadcast_to(entries[None, :], (b, e))
+
+    pad = el - e if el > e else 0
+    if pad:
+        beam_d = jnp.concatenate([d0, jnp.full((b, pad), inf)], axis=1)
+        beam_i = jnp.concatenate(
+            [eids, jnp.full((b, pad), -1, dtype=jnp.int32)], axis=1
+        )
+    else:
+        beam_d, beam_i = min_k(d0, eids, el)
+    expanded = jnp.zeros((b, el), dtype=jnp.bool_)
+
+    res_ok0 = valid[jnp.maximum(eids, 0)] & evalid[None, :]
+    if filtered:
+        res_ok0 = res_ok0 & allow[jnp.maximum(eids, 0)]
+    rd0 = jnp.where(res_ok0, d0, inf)
+    res_d, res_i = min_k(rd0, eids, rk)
+
+    visited = jnp.full((b, rounds * ex), -1, dtype=jnp.int32)
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None]
+
+    def body(t, state):
+        beam_d, beam_i, expanded, visited, res_d, res_i = state
+
+        cand_d = jnp.where(expanded | (beam_i < 0), inf, beam_d)
+        sel_negd, j = jax.lax.top_k(-cand_d, ex)
+        has = jnp.isfinite(-sel_negd)
+        u = jnp.take_along_axis(beam_i, j, axis=1)
+        u = jnp.where(has, u, -1)
+
+        expanded = expanded.at[bidx, j].set(
+            jnp.take_along_axis(expanded, j, axis=1) | has
+        )
+        visited = jax.lax.dynamic_update_slice(visited, u, (0, t * ex))
+
+        safe_u = jnp.maximum(u, 0)
+        # the round's ONLY dependent HBM traffic: both gathers keyed by u
+        nbrs = adjacency[safe_u]  # [B, ex, deg]
+        pv = nbr_prev[safe_u]  # [B, ex, deg, PD]
+        nbrs = jnp.where(has[:, :, None], nbrs, -1).reshape(b, ex * deg)
+        pv = pv.reshape(b, ex * deg, -1)
+        if ex > 1:
+            srt = jnp.sort(nbrs, axis=1)
+            rep = jnp.concatenate(
+                [
+                    jnp.zeros((b, 1), jnp.bool_),
+                    (srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0),
+                ],
+                axis=1,
+            )
+            order = jnp.argsort(nbrs, axis=1)
+            dup_intra = jnp.zeros_like(rep)
+            dup_intra = dup_intra.at[bidx, order].set(rep)
+            nbrs = jnp.where(dup_intra, -1, nbrs)
+
+        dup_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=-1)
+        dup_vis = jnp.any(nbrs[:, :, None] == visited[:, None, :], axis=-1)
+        fresh = (nbrs >= 0) & ~dup_beam & ~dup_vis
+
+        nd = preview_dist(pv)  # no gather: previews rode the u-record
+        nd_beam = jnp.where(fresh, nd, inf)
+
+        nfresh = jnp.where(fresh, nbrs, -1)
+        all_d = jnp.concatenate([beam_d, nd_beam], axis=1)
+        all_i = jnp.concatenate([beam_i, nfresh], axis=1)
+        all_x = jnp.concatenate(
+            [expanded, jnp.zeros((b, ex * deg), dtype=jnp.bool_)], axis=1
+        )
+        negd, pos = jax.lax.top_k(-all_d, el)
+        beam_d = -negd
+        beam_i = jnp.take_along_axis(all_i, pos, axis=1)
+        expanded = jnp.take_along_axis(all_x, pos, axis=1)
+
+        safe = jnp.maximum(nbrs, 0)
+        res_ok = fresh & valid[safe]
+        if filtered:
+            res_ok = res_ok & allow[safe]
+        nd_res = jnp.where(res_ok, nd, inf)
+        res_d, res_i = merge_min_k(res_d, res_i, nd_res, nfresh)
+
+        return beam_d, beam_i, expanded, visited, res_d, res_i
+
+    state = (beam_d, beam_i, expanded, visited, res_d, res_i)
+    _, _, _, _, res_d, res_i = jax.lax.fori_loop(0, rounds, body, state)
+
+    # --- exact rescore: ONE final gather of the rk preview winners --------
+    res_i = jnp.where(jnp.isfinite(res_d), res_i, -1)
+    safe_i = jnp.maximum(res_i, 0)
+    vv = vectors[safe_i]  # [B, rk, Dp]
+    dx = query_block_distance(queries, vv, space, quant, q_aux, aux[safe_i])
+    dx = jnp.where(res_i >= 0, dx, inf)
+    out_d, out_i = min_k(dx, res_i, k)
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+    safe_o = jnp.maximum(out_i, 0)
+    out_e = jnp.where(out_i >= 0, epochs[safe_o], -1)
+    return _pack_results(out_d, out_i, out_e)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _build_previews(
+    vectors: jax.Array, adjacency: jax.Array, proj: jax.Array
+) -> jax.Array:
+    """nbr_prev[u, j] = proj(vectors[adjacency[u, j]]), bf16. Rebuilt whole
+    whenever the adjacency changes (one gather+matmul pass: ~cap*deg rows;
+    sub-second at 1M on TPU), which keeps every adjacency-write site free
+    of incremental bookkeeping."""
+    safe = jnp.maximum(adjacency, 0)  # [cap, deg]
+    rows = vectors[safe].astype(jnp.bfloat16)  # [cap, deg, Dp]
+    return jnp.einsum(
+        "udi,ip->udp", rows, proj, preferred_element_type=jnp.bfloat16
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "space", "quant"))
@@ -604,6 +794,7 @@ class GraphDeviceIndex:
         device: jax.Device | None = None,
         oversample: int | None = None,
         rescoring: bool = True,
+        preview_dims: int | None = None,
     ) -> None:
         # oversampling/rescoring index options (reference validator
         # quantization_and_rescoring.rs): with a lossy storage quantization
@@ -673,6 +864,18 @@ class GraphDeviceIndex:
         self.n_entries = n_entries
         self.max_delta = max_delta
 
+        # preview-guided traversal (VERDICT r4 #5 lever): >0 enables the
+        # 1-gather-per-round kernel with PD-dim JL previews of every node's
+        # neighbors riding its adjacency record. Float storages only (i8/b1
+        # previews would need the aux scale folded in).
+        self.preview_dims = preview_dims if preview_dims is not None else int(
+            os.environ.get("VECTOR_STORE_GRAPH_PREVIEW", "0") or 0
+        )
+        if self.quantization in (Quantization.I8, Quantization.B1):
+            self.preview_dims = 0
+        self._nbr_prev: jax.Array | None = None
+        self._prev_R: jax.Array | None = None
+
         cap = self.store.capacity
         with jax.default_device(self.store.device):
             self.adjacency = jnp.full((cap, self.degree), -1, dtype=jnp.int32)
@@ -691,6 +894,43 @@ class GraphDeviceIndex:
         self._delta_set: set[int] = set()
 
     # -- basic properties ----------------------------------------------------
+
+    @property
+    def adjacency(self) -> jax.Array:
+        return self._adjacency_arr
+
+    @adjacency.setter
+    def adjacency(self, v: jax.Array) -> None:
+        # every adjacency write invalidates the preview table (rebuilt
+        # lazily, whole, on next preview-guided search)
+        self._adjacency_arr = v
+        self._prev_dirty = True
+
+    def _ensure_previews(self) -> None:
+        if self._nbr_prev is not None and not self._prev_dirty:
+            return
+        pd = self.preview_dims
+        dp = int(self.store.vectors.shape[1])
+        if self._prev_R is None or self._prev_R.shape != (dp, pd):
+            rng = np.random.default_rng(0x9E3779B9)
+            # orthonormal random subspace (QR of a gaussian) over the
+            # ACTIVE dims only — storage rows are zero-padded to dp, and a
+            # subspace drawn over all dp coordinates would waste most of
+            # its rank on the padding. A plain gaussian JL matrix also
+            # distorts distances even at full rank (singular-value
+            # spread); Q is an exact isometry at pd == dimensions and the
+            # minimum-distortion projection below it.
+            d_act = min(self.dimensions, dp)
+            q, _ = np.linalg.qr(
+                rng.normal(size=(d_act, max(min(pd, d_act), 1)))
+            )
+            r = np.zeros((dp, pd), dtype=np.float32)
+            r[:d_act, : q.shape[1]] = q[:, :pd]
+            self._prev_R = jnp.asarray(r, dtype=jnp.bfloat16)
+        self._nbr_prev = _build_previews(
+            self.store.vectors, self._adjacency_arr, self._prev_R
+        )
+        self._prev_dirty = False
 
     @property
     def size(self) -> int:
@@ -1674,29 +1914,58 @@ class GraphDeviceIndex:
                 filtered = True
                 # per-query partition masks are handled by the flat path for
                 # local indexes; graph engine serves global indexes
-            graph_packed = _graph_beam_search(
-                store.vectors,
-                store.aux,
-                store.epochs,
-                store.valid,
-                allow,
-                self.adjacency,
-                self._entries_array(),
-                jnp.asarray(qs),
-                jnp.asarray(q_aux),
-                space=self.space_type,
-                quant=self.quantization,
-                k=k_pad,
-                beam_width=ef,
-                # lockstep rounds: with expand=4 nodes popped per round the
-                # traversal converges well before ef rounds — search_iters
-                # caps the serialized gather chain (the engine's dominant
-                # cost: each round gathers expand*degree rows per query)
-                # while beam_width=ef keeps the candidate pool's recall
-                iters=min(ef, self.search_iters) if self.search_iters else ef,
-                filtered=filtered,
-                expand=self.beam_expand,
-            )
+            iters = min(ef, self.search_iters) if self.search_iters else ef
+            if self.preview_dims > 0:
+                # preview-guided: 1 dependent gather per round instead of 2
+                # (adjacency + neighbor previews both keyed by the expanded
+                # node), exact re-rank of the top preview candidates at the
+                # end — see _graph_beam_search_preview
+                self._ensure_previews()
+                graph_packed = _graph_beam_search_preview(
+                    store.vectors,
+                    store.aux,
+                    store.epochs,
+                    store.valid,
+                    allow,
+                    self.adjacency,
+                    self._nbr_prev,
+                    self._prev_R,
+                    self._entries_array(),
+                    jnp.asarray(qs),
+                    jnp.asarray(q_aux),
+                    space=self.space_type,
+                    quant=self.quantization,
+                    k=k_pad,
+                    beam_width=ef,
+                    iters=iters,
+                    filtered=filtered,
+                    expand=self.beam_expand,
+                )
+            else:
+                graph_packed = _graph_beam_search(
+                    store.vectors,
+                    store.aux,
+                    store.epochs,
+                    store.valid,
+                    allow,
+                    self.adjacency,
+                    self._entries_array(),
+                    jnp.asarray(qs),
+                    jnp.asarray(q_aux),
+                    space=self.space_type,
+                    quant=self.quantization,
+                    k=k_pad,
+                    beam_width=ef,
+                    # lockstep rounds: with expand=4 nodes popped per round
+                    # the traversal converges well before ef rounds —
+                    # search_iters caps the serialized gather chain (the
+                    # engine's dominant cost: each round gathers
+                    # expand*degree rows per query) while beam_width=ef
+                    # keeps the candidate pool's recall
+                    iters=iters,
+                    filtered=filtered,
+                    expand=self.beam_expand,
+                )
             if ids_path:
                 # ship winner ids only (the [3,B,k] dist/id/epoch pack is
                 # 3x the bytes); exact f32 distances + epochs resolve from
