@@ -346,3 +346,57 @@ async def test_rebuild_progresses_under_continuous_query_load(monkeypatch):
     finally:
         await client.close()
         await service.stop()
+
+
+class TestRebuildFloor:
+    def test_own_spill_does_not_retrigger_rebuild(self, monkeypatch):
+        """Regression (r5): a rebuild's cluster-overflow spill re-enters the
+        delta; when that spill exceeded the rebuild threshold the absolute
+        delta-size trigger rebuilt forever (measured: 189 back-to-back 1M
+        rebuilds). The trigger must measure growth ABOVE the post-swap
+        floor. Forced here with cmax=1: almost every row spills."""
+        import vector_store_tpu.engine.ivf as ivf_mod
+        from vector_store_tpu.core.types import Quantization, SpaceType
+        from vector_store_tpu.engine.ivf import IvfDeviceIndex
+
+        # capacity nlist*cmax = 2*128 = 256 < 512 rows -> half the rows spill
+        monkeypatch.setattr(ivf_mod, "choose_cmax", lambda n, nlist, h: 128)
+        monkeypatch.setattr(ivf_mod, "choose_nlist", lambda n: 2)
+        rng = np.random.default_rng(4)
+        n, d = 512, 8
+        idx = IvfDeviceIndex(
+            d,
+            space_type=SpaceType.EUCLIDEAN,
+            quantization=Quantization.BF16,
+            initial_capacity=2048,
+            min_build=256,
+            kmeans_block=64,
+            kmeans_iters=2,
+            rebuild_fraction=0.05,
+        )
+        idx.interpret = True  # CPU backend: grouped kernel in interpret mode
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n, dtype=np.int64), np.zeros(n, np.int32), vecs
+        )
+        assert idx._should_rebuild()
+        idx.maintain()  # full build; ~half the rows spill back to delta
+        while idx._warm_queue:
+            idx.maintain(budget=1)
+        assert idx.main_vecs is not None
+        spill = idx._rebuild_floor
+        assert spill > int(0.05 * n) + 64, spill  # spill >> threshold
+        # the bug: this returned True forever; the floor must gate it
+        assert not idx._should_rebuild()
+        assert not idx.maintain(budget=1)
+        # genuinely NEW churn above the floor still triggers a rebuild
+        extra = rng.normal(size=(128, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n, n + 128, dtype=np.int64),
+            np.zeros(128, np.int32),
+            extra,
+        )
+        assert idx._should_rebuild()
+        # search correctness with the spill serving from the delta
+        res = idx.search(vecs[:4], 3)
+        assert [r.slots[0] for r in res] == [0, 1, 2, 3]

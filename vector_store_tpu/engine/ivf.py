@@ -397,6 +397,9 @@ class IvfDeviceIndex:
         self.s_boost = 1
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
+        # delta rows present right after the last swap (that build's own
+        # spill); rebuild triggers measure growth ABOVE this floor
+        self._rebuild_floor = 0
         self._warm_queue: list[int] = []  # batch sizes to pre-compile
         # maintenance introspection: (phase, seconds) per slice, newest
         # last — the serving artifact's per-slice stall evidence
@@ -765,7 +768,16 @@ class IvfDeviceIndex:
         delta_live = int(
             (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
         )
-        return delta_live >= max(
+        # measure NEW growth since the last swap, not absolute delta size:
+        # a rebuild's own cluster-overflow spill re-enters the delta, and
+        # when that spill exceeds the threshold an absolute test rebuilds
+        # forever (measured: 189 back-to-back rebuilds at 1M with
+        # rebuild_fraction=0.015 — spill ~2% > 1.5%). Spilled rows stay
+        # exactly searchable via the delta scan and re-attempt placement at
+        # the next churn-triggered rebuild.
+        if delta_live < self._rebuild_floor:
+            self._rebuild_floor = delta_live
+        return delta_live - self._rebuild_floor >= max(
             self.kmeans_block, int(self.rebuild_fraction * self._live)
         )
 
@@ -985,6 +997,12 @@ class IvfDeviceIndex:
                 self._delta_pos2slot,
             ) = snap
             raise
+        # baseline for the next rebuild trigger: everything in the delta
+        # right now is this build's own spill (overflow + mid-build
+        # mutations), not new churn
+        self._rebuild_floor = int(
+            (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
+        )
         # queue serving-shape pre-compiles for EVERY batch bucket (drained
         # by maintenance slices that run ahead of searches; with the
         # persistent compile cache they are usually free)
