@@ -467,6 +467,149 @@ def run_filtered_diverse(n: int = 1_000_000, d: int = 128) -> dict:
     return out
 
 
+def run_filtered_engine(n: int = 1_000_000, d: int = 128) -> dict:
+    """Engine-side filtered attribution (VERDICT r4 #4): the service-path
+    filtered artifact (filtered-1000k) sits at a few hundred QPS per band
+    with nothing separating filter-machinery cost from the single-core
+    HTTP ceiling. Here each selectivity band runs ON THE ENGINE:
+
+      - device-masked scan (the dense/mid band kernel): a cached
+        AllowMaskHandle pre-filters rows inside the fused IVF scan —
+        measured as pipelined transport QPS (same loop as the unfiltered
+        e2e burst) plus the one-time mask materialization cost;
+      - grouped subset-exact (the sparse terminal): one host BLAS pass
+        over the match set for a whole query group.
+
+    Reference: usearch.rs:224-248 filters inside traversal per id; the TPU
+    equivalents are these two regimes, triaged by match density."""
+    import jax
+
+    from vector_store_tpu.core.types import Quantization, SpaceType
+    from vector_store_tpu.engine.flat import split_query_windows
+    from vector_store_tpu.engine.ivf import IvfDeviceIndex
+    from vector_store_tpu.run import _enable_jax_compile_cache
+
+    _enable_jax_compile_cache()
+    from vector_store_tpu.benchkit import synth
+
+    seed = 42
+    k = 10
+    batch = int(os.environ.get("SCALE_BATCH", 2048))
+    rng = np.random.default_rng(seed)
+    out: dict = {"config": f"filtered-engine-{n // 1000}k", "n": n, "d": d,
+                 "quant": "BF16", "batch": batch, "bands": {}}
+
+    index = IvfDeviceIndex(
+        d,
+        space_type=SpaceType.EUCLIDEAN,
+        quantization=Quantization.BF16,
+        initial_capacity=n,
+        nprobe=int(os.environ.get("SCALE_NPROBE", 32)),
+    )
+    dataset = synth.rows_file_np(seed, n, d, 256)
+    chunk = 131072
+    all_vecs = np.empty((n, d), dtype=np.float32)
+    t0 = time.time()
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        vecs = np.asarray(dataset[lo:hi])
+        all_vecs[lo:hi] = vecs
+        index.upsert_bulk_device(lo, hi, synth.synth_rows_jax(seed, lo, hi, d, 256), vecs)
+    jax.block_until_ready(index._delta.vectors)
+    out["ingest_seconds"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    index.maintain()
+    while index.maintain(budget=1):
+        pass
+    out["build_seconds"] = round(time.time() - t0, 1)
+    out["nlist"], out["nprobe"] = index.nlist, index.nprobe
+
+    queries = all_vecs[rng.integers(0, n, size=batch)] + synth.embedding_sigma(
+        d, 0.1
+    ) * rng.normal(size=(batch, d)).astype(np.float32)
+    nq_gate = 64
+    q2 = (queries[:nq_gate] ** 2).sum(-1)
+
+    # unfiltered pipelined baseline on the same loop (the comparator)
+    index.search(queries, k)  # warm
+    reps, uplink = 24, 8
+    big = np.tile(queries, (uplink, 1))
+    split_query_windows(index.upload_queries(big), batch)
+    t0 = time.time()
+    pends = []
+    for _ in range(reps // uplink):
+        for s in split_query_windows(index.upload_queries(big), batch):
+            pends.append(index.search_begin(queries, k, queries_dev=s))
+    index.collect_many(pends)
+    out["unfiltered_qps"] = round(batch * reps / (time.time() - t0), 1)
+
+    for frac in (0.5, 0.1, 0.01, 0.001):
+        band: dict = {}
+        mask = rng.random(n) < frac
+        matches = np.flatnonzero(mask)
+        band["matching_rows"] = int(matches.size)
+
+        # exact filtered GT for the gate queries (blocked host pass)
+        kk = min(k, matches.size)
+        best_d = np.full((nq_gate, 0), np.inf, dtype=np.float32)
+        best_i = np.zeros((nq_gate, 0), dtype=np.int64)
+        for lo in range(0, matches.size, 500_000):
+            sub_i = matches[lo : lo + 500_000]
+            block = all_vecs[sub_i]
+            dist = (
+                q2[:, None]
+                + (block**2).sum(-1)[None, :]
+                - 2.0 * queries[:nq_gate] @ block.T
+            )
+            top = np.argpartition(dist, min(kk, dist.shape[1] - 1), axis=1)[:, :kk]
+            best_d = np.concatenate(
+                [best_d, np.take_along_axis(dist, top, axis=1)], axis=1
+            )
+            best_i = np.concatenate([best_i, sub_i[top]], axis=1)
+        order = np.argsort(best_d, axis=1)[:, :kk]
+        gt = np.take_along_axis(best_i, order, axis=1)
+
+        if frac >= 1.0 / 32.0:
+            # device-masked regime (the actor's dense/mid triage band)
+            handle = index.upload_allow_mask(mask)
+            t0 = time.time()
+            res = index.search(queries, 2 * k, allow_mask=handle)
+            band["mask_materialize_s"] = round(time.time() - t0, 2)
+            hits = 0
+            for i in range(nq_gate):
+                hits += len(set(res[i].slots[:kk].tolist()) & set(gt[i].tolist()))
+            band["masked_recall_at_10"] = round(hits / (nq_gate * kk), 4)
+            t0 = time.time()
+            pends = []
+            for _ in range(reps // uplink):
+                for s in split_query_windows(index.upload_queries(big), batch):
+                    pends.append(
+                        index.search_begin(
+                            queries, 2 * k, allow_mask=handle, queries_dev=s
+                        )
+                    )
+            index.collect_many(pends)
+            band["masked_qps"] = round(batch * reps / (time.time() - t0), 1)
+            band["masked_vs_unfiltered"] = round(
+                band["masked_qps"] / out["unfiltered_qps"], 3
+            )
+        # grouped subset-exact terminal (the sparse regime; also measured
+        # on dense bands for the full cost curve)
+        group = 128
+        t0 = time.time()
+        dists, epochs = index.search_exact_host_subset(queries[:group], matches)
+        sub_s = time.time() - t0
+        band["subset_exact_group_qps"] = round(group / sub_s, 1)
+        band["subset_exact_ms_per_group128"] = round(sub_s * 1e3, 1)
+        top1 = matches[np.argmin(dists, axis=1)][:nq_gate]
+        band["subset_top1_matches_gt"] = bool((top1 == gt[:, 0]).mean() > 0.95)
+        out["bands"][f"{frac:g}"] = band
+        print(f"[scale] engine band {frac:g}: {band}", file=sys.stderr, flush=True)
+
+    out["data"] = "synthetic clustered gaussians (SIFT-1M shape); exact filtered GT"
+    return out
+
+
 def run_streaming(n: int = 1_000_000, d: int = 128) -> dict:
     """BASELINE config 5 at spec scale on the current engine (VERDICT r3
     #7): a 1M-row IVF index serves pipelined query windows while
@@ -1366,6 +1509,9 @@ def main() -> None:
     elif name.startswith("filtered-diverse"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_filtered_diverse(n=n)
+    elif name.startswith("filtered-engine"):
+        n = int(os.environ.get("SCALE_N", 1_000_000))
+        result = run_filtered_engine(n=n)
     elif name.startswith("filtered"):
         n = int(os.environ.get("SCALE_N", 1_000_000))
         result = run_filtered(n=n)

@@ -825,23 +825,45 @@ class VsIndexActor:
             and not self.is_local
             and hasattr(self.engine, "upload_queries")
         ):
-            big = np.concatenate(
-                [np.stack([r.vector for r in b]) for b, _ in units]
+            # Bucket EVERY shape that reaches the device: each batch pads
+            # to its engine batch bucket and the super-batch total pads to
+            # a bucket too. Actor drains produce arbitrary batch sizes, and
+            # an unbucketed upload compiles a fresh dequant program per
+            # distinct length — measured on-chip: the 1M streaming-actor
+            # serving phase spent its whole window in back-to-back 30-120s
+            # relay compiles (24 calls in 148s, p50 65 s/call).
+            from vector_store_tpu.engine.flat import _BATCH_BUCKETS, _bucket
+
+            stacks: list[np.ndarray] = []
+            offs: list[tuple[int, int]] = []
+            off = 0
+            for b, _h in units:
+                q = np.stack([r.vector for r in b])
+                blen = _bucket(len(b), _BATCH_BUCKETS)
+                if blen > len(b):
+                    q = np.pad(q, [(0, blen - len(b)), (0, 0)])
+                stacks.append(q)
+                offs.append((off, blen))
+                off += blen
+            total_buckets = tuple(
+                m * _BATCH_BUCKETS[-1]
+                for m in range(1, UPLINK_WINDOW + 1)
             )
+            tpad = _bucket(off, _BATCH_BUCKETS + total_buckets)
+            big = np.concatenate(stacks)
+            if tpad > off:
+                big = np.pad(big, [(0, tpad - off), (0, 0)])
             qs_all = self.engine.upload_queries(big)
             out = []
-            lo = 0
-            for b, h in units:
-                hi = lo + len(b)
+            for (b, h), (o, blen) in zip(units, offs):
                 out.append(
                     (
                         b,
                         self._begin_batch(
-                            b, queries_dev=qs_all[lo:hi], allow_mask=h
+                            b, queries_dev=qs_all[o : o + blen], allow_mask=h
                         ),
                     )
                 )
-                lo = hi
             return out
         return [(b, self._begin_batch(b, allow_mask=h)) for b, h in units]
 
