@@ -676,6 +676,14 @@ class IvfDeviceIndex:
         too, inside usearch's own threads)."""
         return self._build is not None and self._build.get("phase") != "swap"
 
+    # mutations arriving WHILE a rebuild slice runs are safe: every
+    # upsert/remove path records touched slots in _build["dirty"], and the
+    # swap re-routes dirty rows through the fresh delta — the serving
+    # actor uses this to apply modify batches concurrently with
+    # kmeans/assign/arrays slices (only the `start` snapshot and the
+    # `swap` cutover need exclusivity)
+    maintain_modify_safe = True
+
     def maintain_pending(self) -> str | None:
         """Kind of the next maintenance slice, or None when idle: `warm`
         (shape pre-compile), `start` (snapshot a due rebuild), a build
@@ -703,13 +711,25 @@ class IvfDeviceIndex:
             return False
         if self._build is None and self._warm_queue:
             # post-build: pre-compile one serving batch shape per slice so
-            # first queries never eat a cold XLA/Mosaic compile
+            # first queries never eat a cold XLA/Mosaic compile. ("up", m)
+            # entries warm the actor's super-batch uplink shapes (the
+            # pipelined window path uploads several batches per transfer;
+            # each distinct total length is its own dequant program).
             b = self._warm_queue.pop()
             t0 = _time.time()
             try:
-                self.search(
-                    np.zeros((b, self.dimensions), np.float32), min(10, max(self._live, 1))
-                )
+                if isinstance(b, tuple):
+                    jax.block_until_ready(
+                        self.upload_queries(
+                            np.zeros((b[1], self.dimensions), np.float32)
+                        )
+                    )
+                    b = f"up{b[1]}"
+                else:
+                    self.search(
+                        np.zeros((b, self.dimensions), np.float32),
+                        min(10, max(self._live, 1)),
+                    )
             except Exception:
                 logger.debug("IVF warmup failed", exc_info=True)
             self.maintain_log.append((f"warm{b}", _time.time() - t0))
@@ -1003,10 +1023,14 @@ class IvfDeviceIndex:
         self._rebuild_floor = int(
             (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
         )
-        # queue serving-shape pre-compiles for EVERY batch bucket (drained
-        # by maintenance slices that run ahead of searches; with the
-        # persistent compile cache they are usually free)
-        self._warm_queue = list(_BATCH_BUCKETS)
+        # queue serving-shape pre-compiles for EVERY batch bucket plus the
+        # actor's two super-batch uplink shapes (drained by maintenance
+        # slices that run ahead of searches; with the persistent compile
+        # cache they are usually free)
+        self._warm_queue = list(_BATCH_BUCKETS) + [
+            ("up", 2 * _BATCH_BUCKETS[-1]),
+            ("up", 4 * _BATCH_BUCKETS[-1]),
+        ]
 
     def _swap_in(
         self, vecs, paux, pos2slot, centroids, nlist, cmax,

@@ -337,6 +337,7 @@ class VsIndexActor:
         # maintain_pending): rebuild phases that don't mutate serving state
         # run alongside live searches so builds progress UNDER load
         self._maintain_fut: asyncio.Future | None = None
+        self._maintain_kind: str | None = None  # kind of the in-flight slice
         # monotonic enqueue time of the oldest unapplied modify (aging)
         self._modify_oldest = 0.0
 
@@ -441,8 +442,26 @@ class VsIndexActor:
         has_pending_api = hasattr(self.engine, "maintain_pending")
         maintain_recheck = 0.0  # throttle for the idle-scan in maintain_pending
 
+        def modify_ok() -> bool:
+            """May a modify batch apply right now? Always when no
+            maintenance slice is in flight; engines that dirty-track
+            mid-build mutations (maintain_modify_safe) also allow it
+            concurrently with every slice except the `start` snapshot,
+            which reads the same host tables a modify mutates. Without
+            this, continuous churn and a long rebuild starve each other:
+            measured at 1M, a mid-run rebuild made ZERO progress in 77 s
+            of build-active time because slices waited for a modify-queue
+            gap that 1.5k upserts/s never provided."""
+            if self._maintain_fut is None:
+                return True
+            return (
+                getattr(self.engine, "maintain_modify_safe", False)
+                and self._maintain_kind != "start"
+            )
+
         def _maintain_done(f: asyncio.Future) -> None:
             self._maintain_fut = None
+            self._maintain_kind = None
             if not f.cancelled():
                 exc = f.exception()
                 if exc is not None:
@@ -504,11 +523,7 @@ class VsIndexActor:
             # idle gaps that a saturating query load never provides. The
             # swap slice stays exclusive (step 3).
             swap_due = False
-            if (
-                has_pending_api
-                and self._maintain_fut is None
-                and not self._modify_queue
-            ):
+            if has_pending_api and self._maintain_fut is None:
                 kind = None
                 now = loop.time()
                 if now >= maintain_recheck:
@@ -524,7 +539,13 @@ class VsIndexActor:
                     # this priority a saturating query load starves the
                     # cutover forever)
                     swap_due = True
+                elif kind == "start" and self._modify_queue:
+                    # the snapshot reads the host tables a modify batch
+                    # mutates: wait for a modify gap (bounded: one batch
+                    # application away)
+                    pass
                 elif kind is not None:
+                    self._maintain_kind = kind
                     fut = loop.run_in_executor(None, self.engine.maintain, 1)
                     fut.add_done_callback(_maintain_done)
                     self._maintain_fut = fut
@@ -544,7 +565,7 @@ class VsIndexActor:
             # own, so without aging, ingestion — and freshness — starve
             modify_due = (
                 self._modify_queue
-                and self._maintain_fut is None
+                and modify_ok()
                 and (
                     time.monotonic() - self._modify_oldest >= MODIFY_MAX_AGE_S
                     or len(self._modify_queue) >= MAX_MODIFY_BATCH
@@ -604,10 +625,10 @@ class VsIndexActor:
                         pass
                 continue
 
-            # 2) modifications (pipeline drained, no maintenance slice in
-            # flight — modifies mutate the same engine state a build slice
-            # snapshots, so they serialize against maintenance)
-            if self._modify_queue and self._maintain_fut is None:
+            # 2) modifications (pipeline drained; concurrent with dirty-
+            # tracking engines' build slices, exclusive against `start` —
+            # see modify_ok)
+            if self._modify_queue and modify_ok():
                 ops = self._modify_queue[:MAX_MODIFY_BATCH]
                 del self._modify_queue[: len(ops)]
                 # one bounded batch per grant: reset the age clock so
@@ -649,7 +670,7 @@ class VsIndexActor:
             # busy-spin: its wakeup is the slice's done callback.
             self._modify_event.clear()
             if not self._search_queue.empty() or (
-                self._modify_queue and self._maintain_fut is None
+                self._modify_queue and modify_ok()
             ):
                 continue
             getter = asyncio.ensure_future(self._search_queue.get())
@@ -845,9 +866,12 @@ class VsIndexActor:
                 stacks.append(q)
                 offs.append((off, blen))
                 off += blen
-            total_buckets = tuple(
-                m * _BATCH_BUCKETS[-1]
-                for m in range(1, UPLINK_WINDOW + 1)
+            # power-of-two multiples only: each distinct TOTAL length is a
+            # fresh dequant compile (30-120 s through the relay), and the
+            # engine pre-warms exactly these two super-batch shapes
+            total_buckets = (
+                2 * _BATCH_BUCKETS[-1],
+                4 * _BATCH_BUCKETS[-1],
             )
             tpad = _bucket(off, _BATCH_BUCKETS + total_buckets)
             big = np.concatenate(stacks)
