@@ -987,6 +987,43 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
             hits += len(got & set(gt[i].tolist()))
         return hits / (nq * k)
 
+    # relay weather stamp (bench.py idiom): tiny dispatch+pull RTT + 8 MB
+    # bulk each way, so the artifact separates link weather from design
+    import jax.numpy as jnp
+
+    _tiny = jnp.zeros((8,), jnp.float32)
+    _bump = jax.jit(lambda x: x + 1.0)
+    np.asarray(_bump(_tiny))
+    _bw = 2_097_152
+    _bigdev = jnp.zeros((_bw,), jnp.float32)
+    np.asarray(_bigdev)
+    _upsum = jax.jit(lambda x: x.sum())
+    _bh = np.zeros((_bw,), np.float32)
+    float(np.asarray(_upsum(jnp.asarray(_bh))))
+
+    def weather() -> dict:
+        rtts = []
+        for _ in range(3):
+            w0 = time.time()
+            np.asarray(_bump(_tiny))
+            rtts.append(time.time() - w0)
+        rtt = float(np.median(rtts))
+        w0 = time.time()
+        np.asarray(_bigdev)
+        dn = time.time() - w0
+        w0 = time.time()
+        float(np.asarray(_upsum(jnp.asarray(_bh))))
+        up = time.time() - w0
+        mb = _bw * 4 / 1e6
+        return {
+            "relay_rtt_ms": round(rtt * 1e3, 1),
+            "relay_mb_s_down": round(mb / max(dn - rtt, 1e-3), 1),
+            "relay_mb_s_up": round(mb / max(up - rtt, 1e-3), 1),
+        }
+
+    out["weather_before"] = weather()
+    print(f"[scale] weather {out['weather_before']}", file=sys.stderr, flush=True)
+
     recall0 = await calc_recall()
     print(f"[scale] actor pre-churn recall {recall0:.4f}", file=sys.stderr, flush=True)
     while recall0 < 0.95 and engine.nprobe < min(engine.nlist, 512):
@@ -997,7 +1034,10 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
 
     # -- concurrent serving phase ------------------------------------------
     stop = asyncio.Event()
-    qb = 256  # queries per ann_many call; 8 workers keep ~2048 in flight
+    # queries per ann_many call; 16 workers keep ~4096 in flight = TWO
+    # device windows, so the collector's result pull overlaps the next
+    # window's dispatch (8x256 = one window = QPS capped at 1/RTT)
+    qb = 256
     pool = np.tile(held, (max(1, -(-qb * 8 // nq)), 1))
     calls: list[tuple[float, float, int, bool]] = []  # t0, dt, m, build_active
     churn_stats = {"up": 0, "rm": 0, "ms": 0.0}
@@ -1110,6 +1150,7 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
             await asyncio.sleep(pace)
 
     build_trace: list[tuple[float, str | None]] = []
+    sched_trace: list[tuple[float, str | None, int, int]] = []
 
     async def sampler() -> None:
         while not stop.is_set():
@@ -1117,9 +1158,21 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
             build_trace.append(
                 (time.time() - t_run, st.get("phase") if st else None)
             )
+            try:
+                pend = engine.maintain_pending()
+            except Exception:
+                pend = "err"
+            sched_trace.append(
+                (
+                    time.time() - t_run,
+                    pend,
+                    len(actor._modify_queue),
+                    actor._search_queue.qsize(),
+                )
+            )
             await asyncio.sleep(0.05)
 
-    workers = [asyncio.create_task(query_worker(w)) for w in range(8)]
+    workers = [asyncio.create_task(query_worker(w)) for w in range(16)]
     workers.append(asyncio.create_task(churn_worker()))
     workers.append(asyncio.create_task(fresh_worker()))
     workers.append(asyncio.create_task(sampler()))
@@ -1167,6 +1220,42 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
         out["freshness_gate_1s_passed"] = bool(
             float(np.percentile(fresh_ms, 50)) < 1000.0
         )
+    # per-20s call-latency timeline (separates weather minutes from design)
+    if calls:
+        tl = {}
+        for t, dt, _m, _b in calls:
+            tl.setdefault(int(t // 20) * 20, []).append(dt * 1e3)
+        out["call_p50_ms_by_20s"] = {
+            str(b): round(float(np.percentile(v, 50)), 1)
+            for b, v in sorted(tl.items())
+        }
+    # scheduler evidence: what the maintenance probe saw during the run
+    kinds = {}
+    for _t, p, _mq, _sq in sched_trace:
+        kinds[p] = kinds.get(p, 0) + 1
+    out["sched_pending_histogram"] = {str(k): v for k, v in kinds.items()}
+    out["sched_modify_queue_empty_fraction"] = round(
+        sum(1 for _t, _p, mq, _sq in sched_trace if mq == 0)
+        / max(len(sched_trace), 1),
+        3,
+    )
+    # rebuild-trigger components at run end
+    try:
+        import vector_store_tpu.engine.ivf as _ivf
+
+        delta_live = int(
+            (
+                engine._valid_host[: engine.capacity]
+                & (engine._region == _ivf._DELTA)
+            ).sum()
+        )
+        out["end_delta_live"] = delta_live
+        out["end_rebuild_floor"] = int(engine._rebuild_floor)
+        out["end_rebuild_threshold"] = int(
+            max(engine.kmeans_block, engine.rebuild_fraction * engine._live)
+        )
+    except Exception:
+        pass
     # rebuild activity from the sampler + engine slice log
     phases_seen = [p for _, p in build_trace if p is not None]
     out["build_active_fraction"] = round(
@@ -1184,6 +1273,7 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
         swaps = by_phase.get("swap", [])
         out["rebuilds_completed_mid_run"] = len(swaps)
         out["swap_slice_ms"] = [round(s * 1e3, 1) for s in swaps]
+    out["weather_after"] = weather()
     recall1 = await calc_recall()
     out["recall_post_churn"] = round(recall1, 4)
     out["recall_gate_passed"] = bool(recall0 >= 0.95 and recall1 >= 0.95)

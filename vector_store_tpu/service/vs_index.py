@@ -539,12 +539,16 @@ class VsIndexActor:
                     # this priority a saturating query load starves the
                     # cutover forever)
                     swap_due = True
-                elif kind == "start" and self._modify_queue:
-                    # the snapshot reads the host tables a modify batch
-                    # mutates: wait for a modify gap (bounded: one batch
-                    # application away)
-                    pass
                 elif kind is not None:
+                    # `start` snapshots host tables, so modify APPLICATION
+                    # is excluded while it runs (modify_ok) — but ops
+                    # sitting unapplied in the queue are harmless, so start
+                    # dispatches regardless of queue depth. (Gating start
+                    # on an EMPTY queue starved rebuilds: measured at 1.6k
+                    # upserts/s the queue is empty 1.9% of the time and a
+                    # due rebuild stayed pending for 99 s. The reference
+                    # likewise blocks Adds during Reserve via the exclusive
+                    # permit, usearch.rs:515-623.)
                     self._maintain_kind = kind
                     fut = loop.run_in_executor(None, self.engine.maintain, 1)
                     fut.add_done_callback(_maintain_done)
