@@ -235,6 +235,18 @@ class TestIvfLifecycle:
             assert idx.maintain(budget=1) is True
             steps += 1
         assert steps >= 1
+        # the swap queued the mid-build mutations for bounded re-entry:
+        # during the lag window the STALE snapshot copy of slot 5 must not
+        # serve (tombstoned at swap — the reference's stale-epoch-rejection
+        # window during CDC lag)
+        assert idx.maintain_pending() == "reenter"
+        res = idx.search(vecs[5:6].repeat(8, axis=0), 10)
+        for rr in res:
+            for s, dist in zip(rr.slots, rr.distances):
+                if s == 5:
+                    assert dist > 1.0
+        while idx.maintain_pending() == "reenter":
+            assert idx.maintain(budget=1) is True
         # upserted value serves with its new epoch
         r = idx.search(new5.repeat(8, axis=0), 3)[0]
         assert r.slots[0] == 5 and r.epochs[0] == 9
@@ -545,29 +557,39 @@ class TestIvfRebuildFailure:
         idx._warm_queue.clear()
         extra, _ = clustered(1200, d, seed=5)
         idx.upsert_batch(np.arange(n, n + 1200), np.zeros(1200, np.int32), extra)
+        # a point mass larger than any cmax guarantees cluster overflow, so
+        # the swap's device-side spill re-entry (the failure surface under
+        # test) is certain to fire
+        mass = np.full((300, d), 55.0, np.float32)
+        idx.upsert_batch(
+            np.arange(n + 1200, n + 1500), np.zeros(300, np.int32), mass
+        )
         size_before = idx.size
 
-        # start a budgeted rebuild, mutate mid-build (so the swap has a
-        # reset re-upsert to fail), then make that re-upsert throw once
+        # start a budgeted rebuild, mutate mid-build, then make the swap's
+        # device-side spill re-entry throw once (the swap's only bulk
+        # ingest since dirty rows re-enter via bounded post-swap chunks)
         assert idx.maintain(budget=1) is True
         assert idx._build is not None
         new5 = np.full((1, d), 77.0, np.float32)
         idx.upsert_batch(np.asarray([5]), np.asarray([9]), new5)
 
-        real_upsert = type(idx).upsert_batch
+        from vector_store_tpu.engine.flat import FlatDeviceIndex
+
+        real_bulk = FlatDeviceIndex.upsert_bulk_device
         calls = {"n": 0}
 
         def boom(self, *a, **kw):
             calls["n"] += 1
             raise RuntimeError("injected swap failure")
 
-        monkeypatch.setattr(type(idx), "upsert_batch", boom)
+        monkeypatch.setattr(FlatDeviceIndex, "upsert_bulk_device", boom)
         while idx._build is not None:
             ok = idx.maintain(budget=1)
             if not ok:
                 break
-        monkeypatch.setattr(type(idx), "upsert_batch", real_upsert)
-        assert calls["n"] == 1  # the reset re-upsert fired and failed
+        monkeypatch.setattr(FlatDeviceIndex, "upsert_bulk_device", real_bulk)
+        assert calls["n"] == 1  # the spill re-entry fired and failed
         assert idx._build is None
         assert idx._ivf_ok is True  # NOT disabled: old main exists
         assert idx.size == size_before
@@ -788,3 +810,146 @@ class TestIvfI8:
             | (packed[..., 2].astype(np.int32) << 16)
         ) - 1
         np.testing.assert_array_equal(un, ids)
+
+
+class TestIvfSwapReentry:
+    """Post-swap re-entry design (round 5): the exclusive swap slice ships
+    zero vector bytes host->device — cluster-overflow spill re-enters the
+    fresh delta by device gather from the build snapshot, and mid-build
+    mutations re-enter via bounded concurrent chunks (_reenter_step)."""
+
+    def _built_with_mass(self, mass_rows=300, d=32):
+        n = 2048
+        vecs, _ = clustered(n, d)
+        idx = make_index(d)
+        idx.upsert_batch(np.arange(n), np.ones(n, np.int32), vecs)
+        # point mass > cmax so the first build itself spills
+        mass = np.full((mass_rows, d), 55.0, np.float32)
+        idx.upsert_batch(
+            np.arange(n, n + mass_rows), np.full(mass_rows, 7, np.int32), mass
+        )
+        assert idx.maintain() is True
+        idx._warm_queue.clear()
+        return idx, vecs, mass, n
+
+    def test_spill_reenters_device_side_and_serves(self, interp_pallas):
+        idx, vecs, mass, n = self._built_with_mass()
+        # overflow rows live in the delta (device re-entry), placed rows in main
+        spilled = int((idx._region[: idx.capacity] == 2).sum())  # _DELTA
+        assert spilled > 0, "point mass must overflow its cluster"
+        assert idx.size == n + mass.shape[0]
+        # every mass row is searchable at ~zero distance with its epoch
+        res = idx.search(mass[:8], 10)
+        for r in res:
+            assert r.slots.size
+            assert r.distances[0] == pytest.approx(0.0, abs=1e-2)
+            assert (r.slots[0] >= n) and r.epochs[0] == 7
+        # base rows still serve
+        r = idx.search(vecs[:8], 3)
+        assert r[0].slots[0] == 0
+
+    def test_reenter_chunks_bounded_and_floor_recomputed(
+        self, interp_pallas, monkeypatch
+    ):
+        idx, vecs, mass, n = self._built_with_mass()
+        monkeypatch.setattr(type(idx), "REENTER_CHUNK", 64)
+        # enough fresh churn to cross the rebuild growth trigger
+        d = vecs.shape[1]
+        churn, _ = clustered(1100, d, seed=21)
+        idx.upsert_batch(
+            np.arange(n + 400, n + 1500), np.full(1100, 2, np.int32), churn
+        )
+        # force a rebuild with many mid-build mutations
+        assert idx.maintain(budget=1) is True  # start snapshot
+        assert idx._build is not None
+        nd = 300
+        newv = np.full((nd, vecs.shape[1]), -33.0, np.float32)
+        idx.upsert_batch(
+            np.arange(100, 100 + nd), np.full(nd, 5, np.int32), newv
+        )
+        while idx._build is not None:
+            assert idx.maintain(budget=1) is True
+        # re-entry queued, trigger paused, chunks bounded
+        assert idx.maintain_pending() == "reenter"
+        assert idx._should_rebuild() is False
+        slices = 0
+        while idx.maintain_pending() == "reenter":
+            assert idx.maintain(budget=1) is True
+            slices += 1
+        assert slices >= nd // 64  # bounded chunks, not one mega-upload
+        # floor reflects spill + re-entered dirty rows (no instant re-trigger)
+        delta_live = int(
+            (idx._valid_host[: idx.capacity] & (idx._region == 2)).sum()
+        )
+        assert idx._rebuild_floor == delta_live
+        # mutated rows serve current values
+        r = idx.search(newv[:8], 3)[0]
+        assert 100 <= r.slots[0] < 100 + nd and r.epochs[0] == 5
+        assert r.distances[0] == pytest.approx(0.0, abs=1e-2)
+
+    def test_mutations_during_reenter_lag_win(self, interp_pallas, monkeypatch):
+        """A slot upserted (or removed) between the swap and its re-entry
+        chunk must keep the NEWER outcome — the chunk skips it."""
+        idx, vecs, mass, n = self._built_with_mass()
+        monkeypatch.setattr(type(idx), "REENTER_CHUNK", 64)
+        d = vecs.shape[1]
+        churn, _ = clustered(1100, d, seed=22)
+        idx.upsert_batch(
+            np.arange(n + 400, n + 1500), np.full(1100, 2, np.int32), churn
+        )
+        assert idx.maintain(budget=1) is True
+        nd = 200
+        newv = np.full((nd, d), -33.0, np.float32)
+        idx.upsert_batch(np.arange(0, nd), np.full(nd, 5, np.int32), newv)
+        while idx._build is not None:
+            assert idx.maintain(budget=1) is True
+        assert idx.maintain_pending() == "reenter"
+        # during the lag window: slot 3 gets a newer value, slot 4 is removed
+        newest = np.full((1, d), 99.0, np.float32)
+        idx.upsert_batch(np.asarray([3]), np.asarray([9]), newest)
+        idx.remove_batch(np.asarray([4]))
+        while idx.maintain_pending() == "reenter":
+            assert idx.maintain(budget=1) is True
+        r = idx.search(newest.repeat(8, axis=0), 3)[0]
+        assert r.slots[0] == 3 and r.epochs[0] == 9
+        res = idx.search(vecs[4:5].repeat(8, axis=0), 10)
+        assert not any(4 in rr.slots for rr in res)
+
+    def test_pad_ladder_stable_shapes(self):
+        from vector_store_tpu.engine.ivf import _pad_ladder
+
+        b = 16384
+        assert _pad_ladder(1, b) == b
+        assert _pad_ladder(b, b) == b
+        assert _pad_ladder(b + 1, b) == b + b // 2
+        assert _pad_ladder(1_000_000, b) == 1_048_576
+        # everything within one ladder step maps to the same shape
+        assert _pad_ladder(900_000, b) == _pad_ladder(1_000_000, b)
+        # monotone and bounded overhead (< 1.5x)
+        for n in (10_000, 50_000, 123_456, 777_777, 2_000_000):
+            m = _pad_ladder(n, b)
+            assert m >= n and m < 1.5 * n + b
+
+    def test_post_swap_delta_capacity_stable(self, interp_pallas):
+        """Rebuild #2+ sizes the fresh delta from the previous cycle's
+        high-water mark so repeated swaps reuse compiled scan shapes."""
+        idx, vecs, mass, n = self._built_with_mass()
+        cap1 = idx._delta.capacity
+        d = vecs.shape[1]
+        # a churn cycle, then rebuild again
+        churn = np.random.default_rng(3).normal(size=(1200, d)).astype(np.float32)
+        idx.upsert_batch(
+            np.arange(n + 400, n + 1600), np.full(1200, 2, np.int32), churn
+        )
+        high = idx._delta_next
+        assert idx.maintain() is True
+        idx._warm_queue.clear()
+        cap2 = idx._delta.capacity
+        assert cap2 >= min(high, cap1) or cap2 == cap1
+        # a second identical cycle lands on the SAME capacity (shape reuse)
+        idx.upsert_batch(
+            np.arange(n + 400, n + 1600), np.full(1200, 3, np.int32), churn
+        )
+        assert idx.maintain() is True
+        idx._warm_queue.clear()
+        assert idx._delta.capacity == cap2

@@ -887,6 +887,10 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
         "quant": "BF16",
     }
     KEY = IndexKey("ks", "idx")
+    # seed the post-swap delta capacity for the expected churn so every
+    # cycle lands on ONE compiled capacity (no organic-growth compiles on
+    # the serving path; engine._build_fresh_delta need formula)
+    os.environ.setdefault("VECTOR_STORE_IVF_DELTA_CAP_HINT", "262144")
     metadata = make_vs_metadata(dimensions=d)  # ef_search default 64 -> nprobe 32
     table = Table(metadata)
     actor = VsIndexActor(metadata, table)

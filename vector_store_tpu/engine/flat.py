@@ -65,6 +65,28 @@ def _bucket(n: int, buckets: tuple[int, ...]) -> int:
     return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
 
 
+# mutation batches arrive in arbitrary sizes (actor modify batches, CDC
+# bursts, post-swap re-entry chunks); every scatter program is shape-keyed
+# by the batch length, and a fresh compile through the host relay stalls
+# serving — pad to a coarse ladder by REPEATING the last element (duplicate
+# scatter indices with identical values are deterministic and harmless)
+_MUT_BUCKETS = (64, 256, 1024, 4096, 16384, 32768, 65536)
+
+
+def _pad_mutation(n: int, *arrays: np.ndarray) -> list[np.ndarray]:
+    """Pad each [n, ...] array to the mutation bucket by repeating its last
+    row. Callers must compute live-count/host-mirror updates from the
+    UNPADDED arrays first."""
+    m = _bucket(n, _MUT_BUCKETS)
+    if m == n:
+        return list(arrays)
+    reps = m - n
+    return [
+        np.concatenate([a, np.repeat(a[-1:], reps, axis=0)], axis=0)
+        for a in arrays
+    ]
+
+
 @dataclass
 class SearchResult:
     """Host-side search output; invalid lanes already stripped."""
@@ -484,7 +506,8 @@ def _bulk_ingest(
     paux,
     rows_f32,  # [n, D] f32 device-resident rows (unnormalized)
     lo,  # scalar i32 first slot (operand, not static: chunks share one program)
-    epoch,  # scalar i32
+    epochs_new,  # [n] i32 per-row epochs
+    live_new,  # [n] bool: False rows are shape padding (never valid/ranked)
     parts_new,  # [n] i32 partition slots (-1 = none)
     *,
     space_kind: str,
@@ -526,13 +549,16 @@ def _bulk_ingest(
         new_aux = jnp.zeros((n,), jnp.float32)
         a = jnp.full((n,), -1.0, jnp.float32)
         b = jnp.zeros((n,), jnp.float32)
+    from vector_store_tpu.ops.pallas_scan import INVALID_BIAS
+
+    # padding rows (live_new False) must never rank: invalid bias on the
+    # pallas path, valid False on the XLA path
+    b = jnp.where(live_new, b, INVALID_BIAS)
     lo32 = lo.astype(jnp.int32)
     vectors = jax.lax.dynamic_update_slice(vectors, vals, (lo32, 0))
     aux = jax.lax.dynamic_update_slice(aux, new_aux, (lo32,))
-    epochs = jax.lax.dynamic_update_slice(
-        epochs, jnp.full((n,), 0, jnp.int32) + epoch, (lo32,)
-    )
-    valid = jax.lax.dynamic_update_slice(valid, jnp.ones((n,), jnp.bool_), (lo32,))
+    epochs = jax.lax.dynamic_update_slice(epochs, epochs_new, (lo32,))
+    valid = jax.lax.dynamic_update_slice(valid, live_new, (lo32,))
     parts = jax.lax.dynamic_update_slice(parts, parts_new, (lo32,))
     paux = jax.lax.dynamic_update_slice(paux, a[None, :], (0, lo32))
     paux = jax.lax.dynamic_update_slice(paux, b[None, :], (1, lo32))
@@ -888,10 +914,25 @@ class FlatDeviceIndex:
             # storage lets the fused pallas path treat cosine as dot
             norms = np.linalg.norm(vectors, axis=-1, keepdims=True)
             vectors = vectors / np.maximum(norms, 1e-30)
+        if partitions is None:
+            partitions = np.full((slots.size,), -1, dtype=np.int32)
+        # pad the whole device pipeline to the mutation-size ladder
+        # (repeat-last: duplicate scatter indices with identical values are
+        # deterministic) so arbitrary modify-batch sizes — actor batches,
+        # CDC bursts, post-swap re-entry chunks — reuse a handful of
+        # compiled upload/scatter programs instead of compiling one per
+        # distinct length. Host bookkeeping below uses the UNPADDED arrays.
+        slots_p, epochs_p, parts_p, vecs_p = _pad_mutation(
+            slots.size,
+            slots,
+            np.asarray(epochs, dtype=np.int32),
+            np.asarray(partitions, dtype=np.int32),
+            vectors,
+        )
         if self.ingest_i8:
             # wire format: int8 + per-row scale, dequantized to the storage
             # dtype on device (half the uplink bytes of bf16)
-            vpad = vectors
+            vpad = vecs_p
             pad = self.dp - vpad.shape[-1]
             if pad:
                 vpad = np.pad(vpad, [(0, 0), (0, pad)])
@@ -906,7 +947,7 @@ class FlatDeviceIndex:
                 dt=np.dtype(storage_dtype(self.quantization)).name,
             )
         else:
-            vals = quantize_for_storage(vectors, self.quantization)
+            vals = quantize_for_storage(vecs_p, self.quantization)
             pad = self.dp - vals.shape[-1]
             if pad:
                 vals = np.pad(vals, [(0, 0), (0, pad)])
@@ -919,19 +960,17 @@ class FlatDeviceIndex:
             self.space_type,
             self.quantization,
         )
-        if partitions is None:
-            partitions = np.full((slots.size,), -1, dtype=np.int32)
         self.vectors, self.aux, self.epochs, self.valid, self.parts = _apply_upserts(
             self.vectors,
             self.aux,
             self.epochs,
             self.valid,
             self.parts,
-            jnp.asarray(slots),
+            jnp.asarray(slots_p),
             vals_dev,
             jnp.asarray(new_aux),
-            jnp.asarray(np.asarray(epochs, dtype=np.int32)),
-            jnp.asarray(np.asarray(partitions, dtype=np.int32)),
+            jnp.asarray(epochs_p),
+            jnp.asarray(parts_p),
         )
         if self.use_pallas or self._part_interpret:
             from vector_store_tpu.ops.pallas_scan import paux_coeffs
@@ -939,12 +978,12 @@ class FlatDeviceIndex:
             a_row, b_row = paux_coeffs(self.space_type, vals_repr)
             self.paux = _apply_paux_upserts(
                 self.paux,
-                jnp.asarray(slots),
+                jnp.asarray(slots_p),
                 jnp.asarray(a_row),
                 jnp.asarray(b_row),
             )
         if self.rescore:
-            rvals = quantize_for_storage(vectors, Quantization.BF16)
+            rvals = quantize_for_storage(vecs_p, Quantization.BF16)
             rpad = self.dp_rescore - rvals.shape[-1]
             if rpad:
                 rvals = np.pad(rvals, [(0, 0), (0, rpad)])
@@ -952,7 +991,7 @@ class FlatDeviceIndex:
             self.rescore_vectors, self.rescore_aux = _apply_rescore_upserts(
                 self.rescore_vectors,
                 self.rescore_aux,
-                jnp.asarray(slots),
+                jnp.asarray(slots_p),
                 jnp.asarray(rvals),
                 jnp.asarray(raux),
             )
@@ -976,6 +1015,8 @@ class FlatDeviceIndex:
         rows_host: np.ndarray,  # [hi-lo, D] f32 host twin of the same rows
         partitions: np.ndarray | None = None,
         epoch: int = 0,
+        epochs: np.ndarray | None = None,  # [hi-lo] i32 per-row (wins over epoch)
+        n_real: int | None = None,  # rows beyond n_real are shape padding
     ) -> None:
         """Bulk-loader fast path: contiguous fresh slots [lo, hi) whose
         vector payload is ALREADY device-resident (a device-side source —
@@ -984,10 +1025,18 @@ class FlatDeviceIndex:
         host->device payload is three scalars. `rows_host` is the f32 twin
         used for the host mirrors (exact-distance rescoring) — it must be
         the same rows up to float rounding. The reference's bulk reserve +
-        add loop (usearch.rs:442-443) is the analogous ingest shape."""
+        add loop (usearch.rs:442-443) is the analogous ingest shape.
+
+        `n_real` (default hi-lo) marks trailing rows as SHAPE PADDING:
+        they land in the arrays but never become valid/ranked — callers
+        ingesting variable-size blocks pad to a coarse size ladder so
+        repeated swaps reuse the same compiled programs (a fresh compile
+        through the relay stalls serving for its duration)."""
         n = int(hi) - int(lo)
         if n <= 0:
             return
+        if n_real is None:
+            n_real = n
         if self.quantization is Quantization.B1:
             raise ValueError("bulk device ingest does not support B1 packing")
         if rows_dev.shape != (n, self.dimensions):
@@ -1008,6 +1057,13 @@ class FlatDeviceIndex:
             parts_new = jnp.asarray(np.asarray(partitions, dtype=np.int32))
         dt = np.dtype(storage_dtype(self.quantization)).name
         lo_dev = jnp.int32(lo)
+        if epochs is None:
+            epochs_h = np.full((n,), epoch, dtype=np.int32)
+        else:
+            epochs_h = np.zeros((n,), dtype=np.int32)
+            epochs_h[:n_real] = np.asarray(epochs, dtype=np.int32)[:n_real]
+        live_h = np.zeros((n,), dtype=bool)
+        live_h[:n_real] = True
         (
             self.vectors,
             self.aux,
@@ -1024,7 +1080,8 @@ class FlatDeviceIndex:
             self.paux,
             rows_dev,
             lo_dev,
-            jnp.int32(epoch),
+            jnp.asarray(epochs_h),
+            jnp.asarray(live_h),
             parts_new,
             space_kind=space_kind,
             dt=dt,
@@ -1039,16 +1096,17 @@ class FlatDeviceIndex:
                 normalize=normalize,
                 cosine=self.space_type is SpaceType.COSINE,
             )
-        # host mirrors from the numpy twin
-        rh = np.asarray(rows_host, dtype=np.float32)
+        # host mirrors from the numpy twin (padding rows stay invalid)
+        hi_real = lo + n_real
+        rh = np.asarray(rows_host, dtype=np.float32)[:n_real]
         if normalize:
             norms = np.linalg.norm(rh, axis=-1, keepdims=True)
             rh = rh / np.maximum(norms, 1e-30)
-        self._valid_host[lo:hi] = True
-        self._epochs_host[lo:hi] = epoch
+        self._valid_host[lo:hi_real] = True
+        self._epochs_host[lo:hi_real] = epochs_h[:n_real]
         if self._vecs_host is not None:
-            self._vecs_host[lo:hi] = rh[:, : self.dimensions]
-        self._live += n
+            self._vecs_host[lo:hi_real] = rh[:, : self.dimensions]
+        self._live += n_real
         if partitions is not None:
             # fresh partitionless slots need no directory work (_slot_part
             # defaults to -1); partitioned rows go through the normal
@@ -1067,9 +1125,10 @@ class FlatDeviceIndex:
         if slots.size == 0:  # double-decrement the live count
             return
         was_valid = self._valid_host[slots]
-        self.valid = _apply_removes(self.valid, jnp.asarray(slots))
+        (slots_p,) = _pad_mutation(slots.size, slots)  # shape-ladder pad
+        self.valid = _apply_removes(self.valid, jnp.asarray(slots_p))
         if self.use_pallas or self._part_interpret:
-            self.paux = _apply_paux_removes(self.paux, jnp.asarray(slots))
+            self.paux = _apply_paux_removes(self.paux, jnp.asarray(slots_p))
         self._valid_host[slots] = False
         self._live -= int(was_valid.sum())
         if self._part_rows_host is not None:

@@ -45,6 +45,7 @@ from vector_store_tpu.engine.flat import (
     PendingSearch,
     SearchResult,
     _bucket,
+    _pad_mutation,
     _BATCH_BUCKETS,
     _K_BUCKETS,
     pull_packed,
@@ -116,6 +117,43 @@ class _DelegatePending:
     @property
     def k(self):
         return self.inner.k
+
+
+def _pad_ladder(n: int, block: int) -> int:
+    """Round n UP to a coarse geometric ladder of block multiples
+    ({1, 1.5, 2, 3, 4, 6, 8, ...} x block). Every padded device program in
+    the rebuild pipeline (snapshot gather, k-means, assign, relayout) is
+    shape-keyed by the padded size, and a fresh compile through the host
+    relay stalls serving for 30-120 s — repeated rebuilds at drifting
+    n_live must land on the SAME shapes (cf. ops/ivf.py's _CMAX_LADDER)."""
+    if n <= block:
+        return block
+    m = block
+    while True:
+        if n <= m:
+            return m
+        if n <= m + m // 2:
+            return m + m // 2
+        m *= 2
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "d"))
+def _gather_spill(
+    rows: jax.Array, idx: jax.Array, *, scale: float, d: int
+) -> jax.Array:
+    """Gather snapshot rows (storage dtype, normalized) by padded index and
+    dequantize to true-scale f32 for re-ingest. Shape-keyed by the snapshot
+    pad ladder x the spill pad ladder — stable across rebuilds."""
+    out = rows[idx, :d].astype(jnp.float32)
+    if scale != 1.0:
+        out = out / scale
+    return out
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _set_pos2slot_block(pos2slot: jax.Array, block: jax.Array, lo: jax.Array) -> jax.Array:
+    """pos2slot[lo:lo+len(block)] = block (block padded to a size ladder)."""
+    return jax.lax.dynamic_update_slice(pos2slot, block, (lo,))
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("n",))
@@ -397,6 +435,22 @@ class IvfDeviceIndex:
         self.s_boost = 1
         self._ivf_ok = True  # flips off on Mosaic failure; pure-flat then
         self._build: dict | None = None  # in-progress sliced rebuild state
+        # post-swap re-entry queue: slots mutated mid-build whose current
+        # values re-enter the fresh delta in bounded host-upload chunks
+        # (concurrent maintenance slices), instead of one 100 MB upload
+        # inside the exclusive swap slice
+        self._reenter: dict | None = None
+        # steady-state delta capacity tracking: each swap sizes the fresh
+        # delta to a capacity whose scan/merge programs are ALREADY
+        # compiled (the previous cycle's high-water), so post-swap serving
+        # never waits on a fresh-capacity compile. The env hint seeds the
+        # first cycle when expected churn is known up front.
+        import os as _os
+
+        self.delta_cap_hint = int(
+            _os.environ.get("VECTOR_STORE_IVF_DELTA_CAP_HINT", "0")
+        )
+        self._delta_cap_high = 0
         # delta rows present right after the last swap (that build's own
         # spill); rebuild triggers measure growth ABOVE this floor
         self._rebuild_floor = 0
@@ -539,11 +593,12 @@ class IvfDeviceIndex:
         in_main = self._region[slots] == _MAIN
         if in_main.any():
             old_pos = self._pos[slots[in_main]].astype(np.int32)
+            (old_pos_p,) = _pad_mutation(old_pos.size, old_pos)
             self.main_paux = _invalidate_positions(
-                self.main_paux, jnp.asarray(old_pos)
+                self.main_paux, jnp.asarray(old_pos_p)
             )
             self.main_pos2slot = _clear_pos2slot(
-                self.main_pos2slot, jnp.asarray(old_pos)
+                self.main_pos2slot, jnp.asarray(old_pos_p)
             )
             self._main_rows -= int(in_main.sum())
 
@@ -564,11 +619,20 @@ class IvfDeviceIndex:
                 self._delta_next += fresh
             dpos[~in_delta] = newpos
         self._delta.upsert_batch(dpos, epochs, vectors)
+        if self.main_vecs is not None:
+            # steady-state churn capacity (first build's bulk phase holds
+            # the whole corpus in the delta — not a churn signal)
+            self._delta_cap_high = max(
+                self._delta_cap_high, self._delta.capacity
+            )
         self._sync_delta_pos2slot()
         self._delta_pos2slot_host[dpos] = slots
+        dpos_p, slots_p = _pad_mutation(
+            dpos.size, dpos.astype(np.int32), slots.astype(np.int32)
+        )
         self._delta_pos2slot = self._delta_pos2slot.at[
-            jnp.asarray(dpos.astype(np.int32))
-        ].set(jnp.asarray(slots.astype(np.int32)))
+            jnp.asarray(dpos_p)
+        ].set(jnp.asarray(slots_p))
 
         newly_live = ~self._valid_host[slots]
         self._live += int(newly_live.sum())
@@ -635,11 +699,12 @@ class IvfDeviceIndex:
         in_main = (self._region[slots] == _MAIN) & was
         if in_main.any():
             old_pos = self._pos[slots[in_main]].astype(np.int32)
+            (old_pos_p,) = _pad_mutation(old_pos.size, old_pos)
             self.main_paux = _invalidate_positions(
-                self.main_paux, jnp.asarray(old_pos)
+                self.main_paux, jnp.asarray(old_pos_p)
             )
             self.main_pos2slot = _clear_pos2slot(
-                self.main_pos2slot, jnp.asarray(old_pos)
+                self.main_pos2slot, jnp.asarray(old_pos_p)
             )
             self._main_rows -= int(in_main.sum())
         in_delta = (self._region[slots] == _DELTA) & was
@@ -659,10 +724,18 @@ class IvfDeviceIndex:
     # actor's maintenance slot never blocks queries for long (the
     # reference's exclusive Reserve permits are short; a monolithic 1M-row
     # recluster through a slow host link is not): snapshot-gather, then one
-    # sampled Lloyd iteration per slice, then one relayout+swap slice.
-    # Mutations arriving mid-build are tracked in a dirty set and
-    # reconciled at swap time (the snapshot's stale copies are tombstoned
-    # and the current values re-enter through the fresh delta).
+    # sampled Lloyd iteration per slice, then one relayout slice, then one
+    # metadata-only swap slice (zero vector bytes on the uplink: cluster
+    # overflow re-enters the fresh delta by DEVICE gather from the
+    # snapshot, and mid-build mutations re-enter through bounded post-swap
+    # `reenter` chunks). All padded shapes ride coarse geometric ladders
+    # (_pad_ladder, _CMAX_LADDER, _MUT_BUCKETS, the delta-capacity
+    # high-water) so repeated rebuilds reuse compiled programs — a fresh
+    # compile through the host relay stalls serving 30-120 s.
+    # Mutations arriving mid-build are tracked in a dirty set; the swap
+    # tombstones their stale snapshot copies and queues their current
+    # values for re-entry (index-lagged for a few slices, the reference's
+    # stale-epoch window during CDC lag).
 
     @property
     def maintain_concurrent(self) -> bool:
@@ -673,8 +746,12 @@ class IvfDeviceIndex:
         batches and reserves the exclusive slot for the final swap slice
         (the reference's short exclusive Reserve permit,
         usearch.rs:515-623; the long build work stays concurrent there
-        too, inside usearch's own threads)."""
-        return self._build is not None and self._build.get("phase") != "swap"
+        too, inside usearch's own threads). Post-swap `reenter` chunks
+        MUTATE serving arrays (they are upserts) — the actor schedules
+        them exclusively like modify batches, just bounded."""
+        if self._build is None:
+            return False
+        return self._build.get("phase") != "swap"
 
     # mutations arriving WHILE a rebuild slice runs are safe: every
     # upsert/remove path records touched slots in _build["dirty"], and the
@@ -687,14 +764,18 @@ class IvfDeviceIndex:
     def maintain_pending(self) -> str | None:
         """Kind of the next maintenance slice, or None when idle: `warm`
         (shape pre-compile), `start` (snapshot a due rebuild), a build
-        phase (`kmeans`/`assign`/`arrays`), or `swap` (the one exclusive
-        slice). Everything except `swap` is safe to run concurrently with
-        search dispatch — the serving actor uses this to keep rebuilds
-        progressing UNDER query load instead of only in idle gaps."""
+        phase (`kmeans`/`assign`/`arrays`), `swap` (the one exclusive
+        slice), or `reenter` (bounded post-swap re-entry of mid-build
+        mutations). Everything except `swap` is safe to run concurrently
+        with search dispatch — the serving actor uses this to keep
+        rebuilds progressing UNDER query load instead of only in idle
+        gaps."""
         if not self._ivf_ok:
             return None
         if self._build is not None:
             return self._build.get("phase", "kmeans")
+        if self._reenter is not None:
+            return "reenter"
         if self._warm_queue:
             return "warm"
         if self._should_rebuild():
@@ -709,6 +790,21 @@ class IvfDeviceIndex:
 
         if not self._ivf_ok:
             return False
+        if self._build is None and self._reenter is not None:
+            t0 = _time.time()
+            try:
+                if budget is None:
+                    while self._reenter is not None:
+                        self._reenter_step()
+                else:
+                    self._reenter_step()
+            except Exception:
+                # transient upload/device error: the cursor only advances
+                # after a chunk lands, so the next slice retries it
+                logger.warning("IVF re-entry chunk failed; will retry", exc_info=True)
+                return False
+            self.maintain_log.append(("reenter", _time.time() - t0))
+            return True
         if self._build is None and self._warm_queue:
             # post-build: pre-compile one serving batch shape per slice so
             # first queries never eat a cold XLA/Mosaic compile. ("up", m)
@@ -752,12 +848,57 @@ class IvfDeviceIndex:
             if budget is None:
                 while self._build is not None:
                     self._build_step()
+                # synchronous full maintain: drain post-swap re-entry too
+                while self._reenter is not None:
+                    self._reenter_step()
             else:
                 self._build_step()
         except Exception:
             self._build_fail()
             return False
         return True
+
+    # bounded host-upload chunk: ~16 MB of f32 rows per slice at the
+    # actor's maintenance cadence (sub-second through a ~20 MB/s relay,
+    # one compiled shape since flat.upsert_batch buckets mutation sizes)
+    REENTER_CHUNK = 32768
+
+    def _reenter_step(self) -> None:
+        """Re-enter one bounded chunk of post-swap dirty slots through the
+        normal upsert path (current host-mirror values). Slots mutated or
+        removed since the swap are skipped — the live path already placed
+        (or invalidated) them."""
+        st = self._reenter
+        assert st is not None
+        slots_all = st["slots"]
+        cur = st["cursor"]
+        rest = slots_all[cur:]
+        # still waiting on re-entry = valid and not yet in any region
+        pending = rest[
+            self._valid_host[rest] & (self._region[rest] == _NONE)
+        ]
+        chunk = pending[: self.REENTER_CHUNK]
+        if chunk.size:
+            self.upsert_batch(
+                chunk,
+                self._epochs_host[chunk],
+                self._vecs_host[chunk],
+            )
+        if chunk.size < pending.size:
+            # advance past everything consumed or skipped before the chunk
+            # boundary: find the position of the last chunk element
+            last = chunk[-1]
+            st["cursor"] = cur + int(np.searchsorted(rest, last)) + 1
+        else:
+            self._reenter = None
+            # every mid-build mutation is back in the delta: NOW the delta
+            # content is the build's own floor for the growth trigger
+            self._rebuild_floor = int(
+                (
+                    self._valid_host[: self.capacity]
+                    & (self._region == _DELTA)
+                ).sum()
+            )
 
     def _build_fail(self) -> None:
         if self.main_vecs is None:
@@ -781,6 +922,10 @@ class IvfDeviceIndex:
         self._build = None
 
     def _should_rebuild(self) -> bool:
+        if self._reenter is not None:
+            # post-swap re-entry still draining: the delta is absorbing the
+            # previous build's own mutations, not new churn
+            return False
         if self._live < self.min_build:
             return False
         if self.main_vecs is None:
@@ -807,9 +952,13 @@ class IvfDeviceIndex:
         n_live = live_slots.size
         if n_live == 0:
             return
-        nlist = choose_nlist(n_live)
-        cmax = choose_cmax(n_live, nlist, self.headroom)
-        n_pad = -(-n_live // self.kmeans_block) * self.kmeans_block
+        # pad to the coarse geometric ladder and derive nlist/cmax from the
+        # PADDED size: repeated rebuilds at drifting n_live then reuse the
+        # same compiled programs end to end (gather/kmeans/assign/relayout
+        # are all shape-keyed by n_pad, nlist, cmax)
+        n_pad = _pad_ladder(n_live, self.kmeans_block)
+        nlist = choose_nlist(n_pad)
+        cmax = choose_cmax(n_pad, nlist, self.headroom)
 
         # gather all live rows into one device array (a COPY — safe to keep
         # across slices while mutations donate the source buffers)
@@ -819,9 +968,9 @@ class IvfDeviceIndex:
             self.main_vecs.shape[0] if self.main_vecs is not None else 0
         )
         row_idx = np.where(regions == _MAIN, pos, main_npos + pos).astype(
-            np.int64
+            np.int32  # half the index-upload bytes of int64
         )
-        row_idx_pad = np.zeros((n_pad,), dtype=np.int64)
+        row_idx_pad = np.zeros((n_pad,), dtype=np.int32)
         row_idx_pad[:n_live] = row_idx
         live_mask = np.zeros((n_pad,), dtype=bool)
         live_mask[:n_live] = True
@@ -946,6 +1095,106 @@ class IvfDeviceIndex:
         # pull the placement map while still off the serving path
         st["row_pos_h"] = np.asarray(row_pos)[: st["n_live"]]
         st["new_main"] = (vecs, paux, pos2slot, centroids)
+        # the fresh delta (spill gather + bulk ingest + pos2slot) is ALSO
+        # built here, while it is not yet serving: the exclusive swap slice
+        # then ships zero vector bytes and compiles nothing
+        self._build_fresh_delta()
+
+    def _build_fresh_delta(self) -> None:
+        """Construct the post-swap delta off the serving path (concurrent
+        `arrays` slice): cluster-overflow spill re-enters it by DEVICE
+        gather from the build snapshot. Rows that go dirty between now and
+        the swap are invalidated at swap time (bounded padded removes) and
+        re-enter through the normal `reenter` chunks."""
+        st = self._build
+        assert st is not None
+        live_slots = st["live_slots"]
+        row_pos_h = st["row_pos_h"]
+        dirty_now = set(st["dirty"])
+        placed = row_pos_h >= 0
+        if dirty_now:
+            dirty_arr = np.fromiter(dirty_now, np.int64)
+            not_dirty = ~np.isin(live_slots, dirty_arr)
+        else:
+            not_dirty = np.ones(live_slots.shape, dtype=bool)
+        spill_sel = (~placed) & not_dirty & self._valid_host[live_slots]
+        spill_idx = np.flatnonzero(spill_sel).astype(np.int64)
+        spill_slots = live_slots[spill_sel]
+        n_spill = int(spill_slots.size)
+        spill_pad = _pad_ladder(n_spill, self.kmeans_block) if n_spill else 0
+
+        # size on a coarse ladder so repeated swaps land on the SAME array
+        # shapes; rebuild #2+ predicts the cycle's need from the previous
+        # cycle's high-water (and the seeded churn hint)
+        margin = 131_072
+        reenter_est = len(dirty_now)
+        if self.main_vecs is None:
+            need = spill_pad + reenter_est + margin
+        else:
+            need = max(
+                self._delta_cap_high, spill_pad + reenter_est + margin
+            )
+        need = max(need, self.delta_cap_hint)
+        need = -(-need // margin) * margin
+        fresh = FlatDeviceIndex(
+            self.dimensions,
+            space_type=self.space_type,
+            quantization=self.quantization,
+            initial_capacity=max(self.kmeans_block, 8192, need),
+            reserve_increment=131_072,
+            device=self.device,
+            host_distances=True,
+            query_i8=self.query_i8,
+            ingest_i8=self.ingest_i8,
+            # bf16 tier for i8 only (see the constructor's delta notes)
+            rescore=(self.quantization is Quantization.I8) and self.rescoring,
+            rescoring=self.rescoring,
+        )
+        dcap = fresh.capacity
+        pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
+        with jax.default_device(self.device):
+            pos2slot_dev = jnp.full((dcap,), -1, jnp.int32)
+        if n_spill:
+            idx_pad = np.zeros((spill_pad,), dtype=np.int32)
+            idx_pad[:n_spill] = spill_idx
+            rows_f32 = _gather_spill(
+                st["rows"], jnp.asarray(idx_pad),
+                scale=self._storage_scale, d=self.dimensions,
+            )
+            fresh.upsert_bulk_device(
+                0,
+                spill_pad,
+                rows_f32,
+                rows_host=self._vecs_host[spill_slots],
+                epochs=self._epochs_host[spill_slots],
+                n_real=n_spill,
+            )
+            pos2slot_host[:n_spill] = spill_slots
+            block = np.full((spill_pad,), -1, dtype=np.int32)
+            block[:n_spill] = spill_slots
+            pos2slot_dev = _set_pos2slot_block(
+                pos2slot_dev, jnp.asarray(block), jnp.int32(0)
+            )
+        if self.interpret:
+            # interpret-mode knobs applied before it starts serving
+            prev = self._delta
+            self._delta = fresh
+            try:
+                self._set_delta_interpret()
+            finally:
+                self._delta = prev
+        # absorb the ingest's device time in THIS (concurrent) slice so the
+        # exclusive swap never inherits queued device work
+        jax.block_until_ready(fresh.vectors)
+        st["fresh"] = {
+            "delta": fresh,
+            "pos2slot_host": pos2slot_host,
+            "pos2slot_dev": pos2slot_dev,
+            "spill_slots": spill_slots,
+            "n_spill": n_spill,
+            "spill_pad": spill_pad,
+            "dirty_at_arrays": dirty_now,
+        }
 
     def _build_finish(self) -> None:
         import time as _time
@@ -995,7 +1244,7 @@ class IvfDeviceIndex:
         try:
             self._swap_in(
                 vecs, paux, pos2slot, centroids, nlist, cmax,
-                live_slots, row_pos_h, dirty,
+                live_slots, row_pos_h, dirty, st["fresh"],
             )
         except BaseException:
             (
@@ -1018,8 +1267,10 @@ class IvfDeviceIndex:
             ) = snap
             raise
         # baseline for the next rebuild trigger: everything in the delta
-        # right now is this build's own spill (overflow + mid-build
-        # mutations), not new churn
+        # right now is this build's own spill, and the queued re-entry
+        # chunks (mid-build mutations) are also the build's own — the floor
+        # is recomputed after the LAST re-entry chunk lands (_reenter_step),
+        # and _should_rebuild holds off until then
         self._rebuild_floor = int(
             (self._valid_host[: self.capacity] & (self._region == _DELTA)).sum()
         )
@@ -1034,7 +1285,7 @@ class IvfDeviceIndex:
 
     def _swap_in(
         self, vecs, paux, pos2slot, centroids, nlist, cmax,
-        live_slots, row_pos_h, dirty,
+        live_slots, row_pos_h, dirty, fresh_st,
     ) -> None:
         self.main_vecs = vecs
         self.main_paux = paux
@@ -1047,8 +1298,10 @@ class IvfDeviceIndex:
         placed_slots = live_slots[placed]
         placed_pos = row_pos_h[placed]
         if dirty:
-            dmask = np.isin(placed_slots, np.fromiter(dirty, np.int64))
+            dirty_arr = np.fromiter(dirty, np.int64)
+            dmask = np.isin(placed_slots, dirty_arr)
         else:
+            dirty_arr = np.empty((0,), dtype=np.int64)
             dmask = np.zeros(placed_slots.shape, dtype=bool)
         ok = ~dmask
         self._region[placed_slots[ok]] = _MAIN
@@ -1058,57 +1311,86 @@ class IvfDeviceIndex:
             # snapshot rows of slots mutated mid-build are stale: tombstone
             # them; the current values re-enter through the fresh delta
             stale = placed_pos[dmask].astype(np.int32)
+            (stale_p,) = _pad_mutation(stale.size, stale)
             self.main_paux = _invalidate_positions(
-                self.main_paux, jnp.asarray(stale)
+                self.main_paux, jnp.asarray(stale_p)
             )
             self.main_pos2slot = _clear_pos2slot(
-                self.main_pos2slot, jnp.asarray(stale)
+                self.main_pos2slot, jnp.asarray(stale_p)
             )
 
-        # every snapshot slot not cleanly placed — cluster overflow, mid-
-        # build mutations (their old delta is discarded), stale-placed —
-        # plus slots created mid-build, re-enters via the fresh delta
-        reset = set(live_slots[~placed].tolist())
-        reset |= set(placed_slots[dmask].tolist())
-        reset |= dirty
-        reset_live = np.asarray(
-            sorted(s for s in reset if self._valid_host[s]), dtype=np.int64
+        # the fresh delta was built during the concurrent `arrays` slice
+        # (spill re-entered by device gather — zero uplink bytes here);
+        # this exclusive slice only reconciles what changed since and cuts
+        # the metadata over. DIRTY rows (mutated/created mid-build) re-
+        # enter via BOUNDED host-upload chunks (_reenter_step) after the
+        # swap — index-lagged for a few slices, exactly the reference's
+        # stale-epoch-rejection window during CDC lag (usearch.rs
+        # PrimaryId epochs; metrics.rs indexing_lag is the measure).
+        reenter_slots = np.asarray(
+            sorted(s for s in dirty if self._valid_host[s]), dtype=np.int64
         )
-        if reset_live.size:
-            self._region[reset_live] = _NONE
-            self._pos[reset_live] = -1
-            self._valid_host[reset_live] = False
-            self._live -= reset_live.size
 
-        # fresh delta
-        self._delta = FlatDeviceIndex(
-            self.dimensions,
-            space_type=self.space_type,
-            quantization=self.quantization,
-            initial_capacity=max(self.kmeans_block, 8192),
-            reserve_increment=131_072,
-            device=self.device,
-            host_distances=True,
-            query_i8=self.query_i8,
-            ingest_i8=self.ingest_i8,
-            # bf16 tier for i8 only (see the constructor's delta notes)
-            rescore=(self.quantization is Quantization.I8) and self.rescoring,
-            rescoring=self.rescoring,
+        # not-placed rows leave their snapshot region assignment; spill
+        # re-enters below, dirty re-enters via chunks (valid + live count
+        # unchanged: the rows are still logically live, just index-lagged).
+        # reenter_slots covers slots CREATED mid-build too — their region
+        # still points into the old delta, which dies with the swap.
+        off = np.concatenate(
+            [live_slots[~placed], placed_slots[dmask], reenter_slots]
         )
-        if self.interpret:
-            self._set_delta_interpret()
-        self._delta_next = 0
-        self._delta_free = np.empty((0,), dtype=np.int64)
-        dcap = self._delta.capacity
-        self._delta_pos2slot_host = np.full((dcap,), -1, dtype=np.int64)
-        with jax.default_device(self.device):
-            self._delta_pos2slot = jnp.full((dcap,), -1, jnp.int32)
-        if reset_live.size:
-            self.upsert_batch(
-                reset_live,
-                self._epochs_host[reset_live],
-                self._vecs_host[reset_live],
+        self._region[off] = _NONE
+        self._pos[off] = -1
+
+        fresh = fresh_st["delta"]
+        spill_slots = fresh_st["spill_slots"]
+        n_spill = fresh_st["n_spill"]
+        spill_pad = fresh_st["spill_pad"]
+        pos2slot_host = fresh_st["pos2slot_host"]
+        pos2slot_dev = fresh_st["pos2slot_dev"]
+
+        # spill rows that went dirty (or invalid) AFTER the arrays slice
+        # carry stale copies in the fresh delta: invalidate them (their
+        # current values ride the reenter chunks)
+        stale_sel = np.zeros((n_spill,), dtype=bool)
+        if n_spill:
+            dirty_since = dirty - fresh_st["dirty_at_arrays"]
+            if dirty_since:
+                stale_sel |= np.isin(
+                    spill_slots, np.fromiter(dirty_since, np.int64)
+                )
+            stale_sel |= ~self._valid_host[spill_slots]
+        if stale_sel.any():
+            stale_pos = np.flatnonzero(stale_sel).astype(np.int64)
+            fresh.remove_batch(stale_pos)
+            pos2slot_host[stale_pos] = -1
+            (stale_pos_p,) = _pad_mutation(
+                stale_pos.size, stale_pos.astype(np.int32)
             )
+            pos2slot_dev = _clear_pos2slot(
+                pos2slot_dev, jnp.asarray(stale_pos_p)
+            )
+
+        self._delta = fresh
+        self._delta_next = spill_pad
+        free = [np.arange(n_spill, spill_pad, dtype=np.int64)]
+        if stale_sel.any():
+            free.append(np.flatnonzero(stale_sel).astype(np.int64))
+        self._delta_free = np.concatenate(free) if free else np.empty(
+            (0,), dtype=np.int64
+        )
+        self._delta_pos2slot_host = pos2slot_host
+        self._delta_pos2slot = pos2slot_dev
+        live_spill = spill_slots[~stale_sel]
+        if live_spill.size:
+            self._region[live_spill] = _DELTA
+            self._pos[live_spill] = np.flatnonzero(~stale_sel).astype(
+                np.int64
+            )
+
+        self._reenter = (
+            {"slots": reenter_slots, "cursor": 0} if reenter_slots.size else None
+        )
 
     def _probe_grouped(self, vecs, paux, centroids, queries_f32, nlist, cmax):
         qs = self._prep_queries(queries_f32)

@@ -532,12 +532,16 @@ class VsIndexActor:
                         # the idle probe scans host state; don't re-run it
                         # every loop iteration under load
                         maintain_recheck = now + 0.05
-                if kind == "swap":
-                    # the one exclusive slice: stop dispatching NEW search
-                    # batches, let the pipeline drain, run the swap in step
-                    # 3 (the reference's blocking Reserve permit — without
-                    # this priority a saturating query load starves the
-                    # cutover forever)
+                if kind in ("swap", "reenter"):
+                    # exclusive slices: stop dispatching NEW search
+                    # batches, let the pipeline drain, run in step 3 (the
+                    # reference's blocking Reserve permit — without this
+                    # priority a saturating query load starves the cutover
+                    # forever). `reenter` chunks are bounded upserts
+                    # (post-swap re-entry of mid-build mutations): they
+                    # mutate serving arrays like any modify batch, so they
+                    # take the same drained-pipeline slot — but each chunk
+                    # is sub-second, so queries interleave between chunks
                     swap_due = True
                 elif kind is not None:
                     # `start` snapshots host tables, so modify APPLICATION
@@ -657,13 +661,21 @@ class VsIndexActor:
             if hasattr(self.engine, "maintain") and self._maintain_fut is None:
                 run_exclusive = True
                 if has_pending_api:
-                    run_exclusive = self.engine.maintain_pending() == "swap"
+                    run_exclusive = self.engine.maintain_pending() in (
+                        "swap",
+                        "reenter",
+                    )
                 if run_exclusive:
                     did_work = await loop.run_in_executor(
                         None, self.engine.maintain, MERGE_BATCH
                     )
                     if did_work:
-                        # yield so searches preempt between slices
+                        # a grace window before the NEXT exclusive slice is
+                        # considered: queued searches dispatch in between,
+                        # so a multi-chunk re-entry never starves queries
+                        # for its whole duration (chunks are sub-second;
+                        # the window bounds added re-entry latency)
+                        maintain_recheck = loop.time() + 0.25
                         await asyncio.sleep(0)
                         continue
 
