@@ -180,3 +180,60 @@ async def test_unsafe_engine_serializes_modifies():
     finally:
         eng.slice_release.set()
         await actor.stop()
+
+
+async def test_reenter_runs_exclusively_like_modify():
+    """Post-swap `reenter` chunks are upserts — they mutate serving arrays,
+    so the actor must run them in the exclusive (drained-pipeline) slot,
+    never concurrently with modify application (round 5: the swap slice
+    became metadata-only and mid-build mutations re-enter via bounded
+    chunks)."""
+
+    class ReenterEngine(SlowSliceEngine):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.pending_kinds = ["reenter"]
+
+        def maintain(self, budget=None):
+            if not self.pending_kinds:
+                return False
+            kind = self.pending_kinds.pop(0)
+            self.slices_run.append(kind)
+            if kind == "reenter":
+                self.slice_running.set()
+                assert self.slice_release.wait(20), "slice never released"
+            return True
+
+    actor, table = await _serve(ReenterEngine)
+    eng = actor.engine
+    try:
+        actor.apply_operations(_ops(table, 0, 100))
+        deadline = time.time() + 10
+        while await actor.count() < 1:
+            assert time.time() < deadline
+            await asyncio.sleep(0.01)
+        # the reenter slice dispatches via the exclusive step (pipeline
+        # drained), and the actor loop awaits it inline: a modify arriving
+        # MID-SLICE must NOT apply until the slice completes
+        await asyncio.to_thread(eng.slice_running.wait, 10)
+        assert eng.slice_running.is_set()
+        actor.apply_operations(_ops(table, 1, 200))
+        await asyncio.sleep(0.3)
+        assert await _count_direct(actor) == 1, (
+            "modify applied concurrently with a reenter slice"
+        )
+        eng.slice_release.set()
+        deadline = time.time() + 5
+        while await actor.count() < 2:
+            assert time.time() < deadline, "modify never applied after slice"
+            await asyncio.sleep(0.01)
+        assert eng.slices_run == ["reenter"]
+    finally:
+        eng.slice_release.set()
+        await actor.stop()
+
+
+async def _count_direct(actor) -> int:
+    """Engine row count WITHOUT going through the actor queue (an
+    actor.count() would block behind the in-flight exclusive slice)."""
+    return actor.engine.size
