@@ -889,8 +889,11 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
     KEY = IndexKey("ks", "idx")
     # seed the post-swap delta capacity for the expected churn so every
     # cycle lands on ONE compiled capacity (no organic-growth compiles on
-    # the serving path; engine._build_fresh_delta need formula)
+    # the serving path; engine._build_fresh_delta need formula), and pad
+    # the rebuild ladder with churn headroom so the first mid-run rebuild
+    # reuses the initial build's compiled shapes
     os.environ.setdefault("VECTOR_STORE_IVF_DELTA_CAP_HINT", "262144")
+    os.environ.setdefault("VECTOR_STORE_IVF_PAD_HEADROOM", "1.2")
     metadata = make_vs_metadata(dimensions=d)  # ef_search default 64 -> nprobe 32
     table = Table(metadata)
     actor = VsIndexActor(metadata, table)
@@ -1122,11 +1125,11 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
             churn_stats["ms"] += (time.perf_counter() - c0) * 1e3
             await asyncio.sleep(0.25)
 
-    async def fresh_worker() -> None:
+    async def fresh_worker(pace: float | None = None) -> None:
         # >= 20 samples: probe queries ride the NORMAL serving batches (no
         # hot spin; VERDICT r4 #10) — paced so the probe load is negligible
         nonlocal next_slot
-        pace = max(dur / 28.0, 0.5)
+        pace = pace or max(dur / 28.0, 0.5)
         while not stop.is_set():
             probe = probe_vec()
             slot = next_slot
@@ -1190,6 +1193,64 @@ async def _streaming_actor_async(n: int, d: int) -> dict:
             print("[scale] worker task failed:", file=sys.stderr)
             traceback.print_exception(r, file=sys.stderr)
     elapsed = time.time() - t_run
+
+    # -- moderate-load freshness phase -------------------------------------
+    # The saturated phase's freshness is dominated by closed-loop queueing
+    # delay (every probe waits behind ~2 full device windows), which says
+    # nothing about indexing lag. Re-measure freshness at a partial load —
+    # the reference's indexing_lag histogram is likewise an operating-load
+    # metric, not a saturation one (metrics.rs:82-95).
+    fresh_saturated = list(fresh_ms)
+    fresh_ms.clear()
+    stop = asyncio.Event()
+    mod_calls: list[float] = []
+    mod_dur = min(60.0, dur / 2)
+
+    async def mod_query_worker(w: int) -> None:
+        i = w * 64
+        while not stop.is_set():
+            q = pool[i % nq : i % nq + 64]
+            if q.shape[0] < 64:
+                q = pool[:64]
+            c0 = time.perf_counter()
+            await actor.ann_many(q, k)
+            mod_calls.append(time.perf_counter() - c0)
+            i += 64
+            await asyncio.sleep(0.05)
+
+    print("[scale] moderate-load freshness phase", file=sys.stderr, flush=True)
+    workers = [asyncio.create_task(mod_query_worker(w)) for w in range(4)]
+    workers.append(asyncio.create_task(churn_worker()))
+    workers.append(asyncio.create_task(fresh_worker(1.2)))
+    await asyncio.sleep(mod_dur)
+    stop.set()
+    mod_results = await asyncio.gather(*workers, return_exceptions=True)
+    for r in mod_results:
+        if isinstance(r, BaseException):
+            import traceback
+
+            print("[scale] moderate worker failed:", file=sys.stderr)
+            traceback.print_exception(r, file=sys.stderr)
+    fresh_moderate = list(fresh_ms)
+    fresh_ms.clear()
+    fresh_ms.extend(fresh_saturated)
+    out["moderate_duration_seconds"] = round(mod_dur, 1)
+    if mod_calls:
+        out["moderate_qps"] = round(64 * len(mod_calls) / mod_dur, 1)
+        out["moderate_call_p50_ms"] = round(
+            float(np.percentile(mod_calls, 50)) * 1e3, 1
+        )
+    out["freshness_moderate_samples"] = len(fresh_moderate)
+    if fresh_moderate:
+        out["freshness_moderate_ms_p50"] = round(
+            float(np.percentile(fresh_moderate, 50)), 1
+        )
+        out["freshness_moderate_ms_p95"] = round(
+            float(np.percentile(fresh_moderate, 95)), 1
+        )
+        out["freshness_moderate_gate_1s_passed"] = bool(
+            float(np.percentile(fresh_moderate, 50)) < 1000.0
+        )
 
     # -- reduce --------------------------------------------------------------
     total_q = sum(m for _, _, m, _ in calls)

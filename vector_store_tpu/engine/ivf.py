@@ -451,6 +451,14 @@ class IvfDeviceIndex:
             _os.environ.get("VECTOR_STORE_IVF_DELTA_CAP_HINT", "0")
         )
         self._delta_cap_high = 0
+        # pad-ladder headroom: choosing the initial build's n_pad with
+        # anticipated-churn headroom keeps the FIRST mid-run rebuild on the
+        # same ladder step (measured: 1M + ~10% churn crossed 1,048,576 ->
+        # 1,572,864 and the fresh gather/relayout compiles cost a 29 s
+        # serving stall on the first rebuild cycle)
+        self.pad_headroom = float(
+            _os.environ.get("VECTOR_STORE_IVF_PAD_HEADROOM", "1.0")
+        )
         # delta rows present right after the last swap (that build's own
         # spill); rebuild triggers measure growth ABOVE this floor
         self._rebuild_floor = 0
@@ -811,10 +819,19 @@ class IvfDeviceIndex:
             # entries warm the actor's super-batch uplink shapes (the
             # pipelined window path uploads several batches per transfer;
             # each distinct total length is its own dequant program).
+            # ("mut", b) warms the mutation-bucket scatter programs against
+            # a throwaway twin, and "startg" warms the NEXT rebuild's
+            # snapshot-gather — both measured as 10 s first-hit stalls on
+            # the first mid-run rebuild cycle at 1M.
             b = self._warm_queue.pop()
             t0 = _time.time()
             try:
-                if isinstance(b, tuple):
+                if isinstance(b, tuple) and b[0] == "mut":
+                    self._warm_mutation(b[1])
+                    b = f"mut{b[1]}"
+                elif b == "startg":
+                    self._warm_start_gather()
+                elif isinstance(b, tuple):
                     jax.block_until_ready(
                         self.upload_queries(
                             np.zeros((b[1], self.dimensions), np.float32)
@@ -862,6 +879,73 @@ class IvfDeviceIndex:
     # actor's maintenance cadence (sub-second through a ~20 MB/s relay,
     # one compiled shape since flat.upsert_batch buckets mutation sizes)
     REENTER_CHUNK = 32768
+
+    def _warm_mutation(self, b: int) -> None:
+        """Pre-compile the mutation-bucket scatter programs (flat upsert/
+        remove + the engine's pos2slot / main-tombstone scatters) against
+        throwaway arrays. The module-level jits are shared, so the serving
+        delta's first re-entry chunk (or churn burst) at this bucket hits
+        the cache instead of stalling ~10 s compiling through the relay."""
+        if self.interpret:
+            return  # CPU test mode: compiles are cheap, skip the twin
+        twin = FlatDeviceIndex(
+            self.dimensions,
+            space_type=self.space_type,
+            quantization=self.quantization,
+            initial_capacity=self._delta.capacity,
+            reserve_increment=131_072,
+            device=self.device,
+            host_distances=True,
+            query_i8=self.query_i8,
+            ingest_i8=self.ingest_i8,
+            rescore=(self.quantization is Quantization.I8) and self.rescoring,
+            rescoring=self.rescoring,
+        )
+        b = min(b, twin.capacity)
+        vecs = np.zeros((b, self.dimensions), np.float32)
+        vecs[:, 0] = 1.0  # avoid zero-norm rows under cosine
+        twin.upsert_batch(
+            np.arange(b, dtype=np.int64), np.zeros(b, np.int32), vecs
+        )
+        twin.remove_batch(np.arange(b, dtype=np.int64))
+        jax.block_until_ready(twin.vectors)
+        # engine-level scatters at the same bucket, on dummies of the
+        # serving shapes
+        zb = np.zeros(b, np.int32)
+        dpos_p, slots_p = _pad_mutation(b, zb, zb)
+        with jax.default_device(self.device):
+            dummy_p2s = jnp.full(
+                (self._delta_pos2slot.shape[0],), -1, jnp.int32
+            )
+        dummy_p2s = dummy_p2s.at[jnp.asarray(dpos_p)].set(
+            jnp.asarray(slots_p)
+        )
+        jax.block_until_ready(dummy_p2s)
+        if self.main_paux is not None:
+            npos = self.main_paux.shape[1]
+            (pos_p,) = _pad_mutation(b, zb)
+            with jax.default_device(self.device):
+                dpaux = jnp.zeros((8, npos), jnp.float32)
+                dp2s = jnp.full((npos,), -1, jnp.int32)
+            dpaux = _invalidate_positions(dpaux, jnp.asarray(pos_p))
+            dp2s = _clear_pos2slot(dp2s, jnp.asarray(pos_p))
+            jax.block_until_ready(dp2s)
+
+    def _warm_start_gather(self) -> None:
+        """Pre-compile the NEXT rebuild's snapshot concat+gather (the
+        `start` slice's device work — measured 9.8 s first-hit at 1M on the
+        first mid-run rebuild, stalling the serving relay)."""
+        if self.interpret or self.main_vecs is None:
+            return
+        n_guess = _pad_ladder(
+            max(self._live, int(self._live * self.pad_headroom)),
+            self.kmeans_block,
+        )
+        source = jnp.concatenate(
+            [self.main_vecs, self._delta.vectors], axis=0
+        )
+        idx = jnp.zeros((n_guess,), jnp.int32)
+        jax.block_until_ready(source[idx])
 
     def _reenter_step(self) -> None:
         """Re-enter one bounded chunk of post-swap dirty slots through the
@@ -956,7 +1040,9 @@ class IvfDeviceIndex:
         # PADDED size: repeated rebuilds at drifting n_live then reuse the
         # same compiled programs end to end (gather/kmeans/assign/relayout
         # are all shape-keyed by n_pad, nlist, cmax)
-        n_pad = _pad_ladder(n_live, self.kmeans_block)
+        n_pad = _pad_ladder(
+            max(n_live, int(n_live * self.pad_headroom)), self.kmeans_block
+        )
         nlist = choose_nlist(n_pad)
         cmax = choose_cmax(n_pad, nlist, self.headroom)
 
@@ -1277,11 +1363,21 @@ class IvfDeviceIndex:
         # queue serving-shape pre-compiles for EVERY batch bucket plus the
         # actor's two super-batch uplink shapes (drained by maintenance
         # slices that run ahead of searches; with the persistent compile
-        # cache they are usually free)
-        self._warm_queue = list(_BATCH_BUCKETS) + [
-            ("up", 2 * _BATCH_BUCKETS[-1]),
-            ("up", 4 * _BATCH_BUCKETS[-1]),
-        ]
+        # cache they are usually free). Mutation-bucket and next-rebuild
+        # snapshot-gather warms ride the same queue (popped LAST, after the
+        # serving shapes) — their first-hit compiles otherwise land as
+        # ~10 s stalls on the first mid-run rebuild cycle.
+        from vector_store_tpu.engine.flat import _MUT_BUCKETS
+
+        self._warm_queue = (
+            ["startg"]
+            + [("mut", m) for m in _MUT_BUCKETS if m <= self.REENTER_CHUNK]
+            + list(_BATCH_BUCKETS)
+            + [
+                ("up", 2 * _BATCH_BUCKETS[-1]),
+                ("up", 4 * _BATCH_BUCKETS[-1]),
+            ]
+        )
 
     def _swap_in(
         self, vecs, paux, pos2slot, centroids, nlist, cmax,
