@@ -252,7 +252,7 @@ def _graph_beam_search_preview(
     valid: jax.Array,  # [cap] bool
     allow: jax.Array,  # [cap] bool
     adjacency: jax.Array,  # [cap, deg] int32, -1 padded
-    nbr_prev: jax.Array,  # [cap, deg, PD] bf16: projected NEIGHBOR vectors
+    nbr_prev: jax.Array,  # [cap, deg*PD] bf16: projected NEIGHBOR vectors
     proj: jax.Array,  # [Dp, PD] bf16 JL projection
     entries: jax.Array,  # [E] int32, -1 padded
     queries: jax.Array,  # [B, Dp]
@@ -347,9 +347,9 @@ def _graph_beam_search_preview(
         safe_u = jnp.maximum(u, 0)
         # the round's ONLY dependent HBM traffic: both gathers keyed by u
         nbrs = adjacency[safe_u]  # [B, ex, deg]
-        pv = nbr_prev[safe_u]  # [B, ex, deg, PD]
+        pv = nbr_prev[safe_u]  # [B, ex, deg*PD] (flat tile-aligned rows)
         nbrs = jnp.where(has[:, :, None], nbrs, -1).reshape(b, ex * deg)
-        pv = pv.reshape(b, ex * deg, -1)
+        pv = pv.reshape(b, ex * deg, -1)  # split deg*PD -> (deg, PD) rows
         if ex > 1:
             srt = jnp.sort(nbrs, axis=1)
             rep = jnp.concatenate(
@@ -408,18 +408,49 @@ def _graph_beam_search_preview(
 
 
 @functools.partial(jax.jit, static_argnames=())
+def _build_previews_chunk(
+    vectors: jax.Array, adj_chunk: jax.Array, proj: jax.Array
+) -> jax.Array:
+    """One node block of the preview table: [blk, deg] adjacency ->
+    [blk, deg*PD] bf16 previews (flat minor dim so the stored table is
+    tile-aligned: deg*PD >= 1024 vs PD=32, which a (8,128) tile would pad
+    4x — the padding would ride every search gather)."""
+    safe = jnp.maximum(adj_chunk, 0)  # [blk, deg]
+    rows = vectors[safe].astype(jnp.bfloat16)  # [blk, deg, Dp]
+    out = jnp.einsum(
+        "udi,ip->udp", rows, proj, preferred_element_type=jnp.bfloat16
+    )
+    return out.reshape(out.shape[0], -1)
+
+
+_PREVIEW_BLOCK = 65536
+
+
 def _build_previews(
     vectors: jax.Array, adjacency: jax.Array, proj: jax.Array
 ) -> jax.Array:
-    """nbr_prev[u, j] = proj(vectors[adjacency[u, j]]), bf16. Rebuilt whole
-    whenever the adjacency changes (one gather+matmul pass: ~cap*deg rows;
-    sub-second at 1M on TPU), which keeps every adjacency-write site free
-    of incremental bookkeeping."""
-    safe = jnp.maximum(adjacency, 0)  # [cap, deg]
-    rows = vectors[safe].astype(jnp.bfloat16)  # [cap, deg, Dp]
-    return jnp.einsum(
-        "udi,ip->udp", rows, proj, preferred_element_type=jnp.bfloat16
-    )
+    """nbr_prev[u, j*PD:(j+1)*PD] = proj(vectors[adjacency[u, j]]), bf16,
+    stored [cap, deg*PD]. Rebuilt whole whenever the adjacency changes,
+    which keeps every adjacency-write site free of incremental
+    bookkeeping — but CHUNKED over node blocks: a single whole-table
+    program gathers cap*deg storage rows into one HLO temp (7.75 GB at
+    1M x deg 32 x 128-d) and OOMs a 16 GB chip; per-block temps are
+    blk*deg*Dp*2 bytes (~512 MB at blk 65536). The last partial block is
+    padded to the block shape so every dispatch reuses one compiled
+    program."""
+    cap, _deg = adjacency.shape
+    blk = min(_PREVIEW_BLOCK, cap)
+    if cap <= blk:
+        return _build_previews_chunk(vectors, adjacency, proj)
+    outs = []
+    for s in range(0, cap, blk):
+        chunk = adjacency[s : s + blk]
+        n = chunk.shape[0]
+        if n < blk:
+            chunk = jnp.pad(chunk, ((0, blk - n), (0, 0)), constant_values=-1)
+        out = _build_previews_chunk(vectors, chunk, proj)
+        outs.append(out[:n] if n < blk else out)
+    return jnp.concatenate(outs, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "space", "quant"))
