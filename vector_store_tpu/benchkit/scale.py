@@ -55,6 +55,11 @@ def run_graph(n: int = 1_000_000, d: int = 128) -> dict:
     # exact rank from the storage-precision traversal
     quant = Quantization(os.environ.get("SCALE_QUANT", "BF16").upper())
     out: dict = {"config": f"graph-{n // 1000}k", "n": n, "d": d, "quant": quant.value}
+    pv = int(os.environ.get("VECTOR_STORE_GRAPH_PREVIEW", "0") or 0)
+    if pv:
+        # preview-guided traversal runs are a different kernel; stamp the
+        # line so they can never masquerade as the default graph config
+        out["preview_dims"] = pv
 
     from vector_store_tpu.benchkit import synth
 
